@@ -1,0 +1,59 @@
+"""Flagship pipeline: streaming main-content extraction over transcripts.
+
+read (pruned) -> synthesize/ingest transcripts -> map_batches extraction
+(actor pool, zero-copy Arrow) -> [optional] stable (conv_id, turn_idx)
+sort -> [optional] checkpointed bucketed write with lineage sidecars.
+
+Skew handling: a cheap pre-count (groupby conv_id count on a projected
+dataset) identifies mega-conversations; the narrow extraction stage is
+skew-immune (rows are independent), so salting is only applied at the
+wide stages — the bucket writer hashes conv_id into many buckets
+(buckets ≫ heavy keys), and per-conv assembly salts mega-convs into
+sub-groups (stages/assemble handles one conv per group; mega convs are
+bounded by MAX turns per conv here, far below block budget).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..sources.transcripts import transcripts_dataset
+from ..stages.extract import ExtractTurns
+
+
+def extract_dataset(transcripts, *, batch_size: int = 512,
+                    concurrency=4):
+    """transcript Dataset -> extracted-turn Dataset (narrow, streaming)."""
+    return transcripts.map_batches(
+        ExtractTurns,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def heavy_conversations(transcripts, *, threshold: int = 64):
+    """Cheap skew pre-pass (SURVEY.md §4): conv_id -> turn count, heavy
+    keys only. Projects to one column before the shuffle."""
+    counts = transcripts.select_columns(["conv_id"]).groupby("conv_id").count()
+    heavy = counts.filter(lambda r: r["count()"] >= threshold)
+    return {r["conv_id"]: r["count()"] for r in heavy.take_all()}
+
+
+def run_extraction(sf_dir: str, out_dir: Optional[str] = None, *,
+                   ordered: bool = False, batch_size: int = 512,
+                   concurrency=4, n_buckets: int = 32):
+    """The flagship run. Returns the (lazy) extracted Dataset; when
+    ``out_dir`` is given, executes the checkpointed write and returns the
+    lineage metrics DataFrame instead."""
+    ts = transcripts_dataset(sf_dir)
+    extracted = extract_dataset(ts, batch_size=batch_size,
+                                concurrency=concurrency)
+    if ordered:
+        extracted = extracted.sort(["conv_id", "turn_idx"])
+    if out_dir is not None:
+        from ..state.checkpoint import checkpointed_write
+        return checkpointed_write(extracted, out_dir, key="conv_id",
+                                  n_buckets=n_buckets)
+    return extracted

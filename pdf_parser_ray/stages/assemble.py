@@ -1,0 +1,61 @@
+"""Per-conversation markdown assembly (the C001/C002 sink analog).
+
+Reimplements C002_json_to_md.py:26-95 — page markers, header section,
+left⊕right column merge with a blank line (C002:67-77), footer section —
+as ``groupby('conv_id').map_groups``: the group is sorted by
+``turn_idx`` inside the UDF, so assembly never depends on block arrival
+order (SURVEY.md §2.9 ordering contract).
+
+Scale note: ``map_groups`` materializes one conversation per task. A
+mega-conversation is bounded by the salting/pre-count pass in
+pipelines/extraction.py; a single conversation's extracted turns are
+assumed to fit in a worker's heap (same assumption the reference makes
+by accumulating a document's pages in a list,
+A002_header_footer_2_col.py:284-288).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def render_conversation_markdown(group: pd.DataFrame) -> pd.DataFrame:
+    group = group.sort_values("turn_idx")
+    markdown_content = []
+    for row in group.itertuples(index=False):
+        page_number = row.page_number
+        header = (row.header or "").strip()
+        footer = (row.footer or "").strip()
+        left_column = (row.left_column or "").strip()
+        right_column = (row.right_column or "").strip()
+
+        # C002_json_to_md.py:55-84, verbatim section structure
+        markdown_content.append(f"---\n\n# Page {page_number}\n")
+        markdown_content.append(f"--- Page {page_number} Start ---")
+        markdown_content.append("## Header")
+        markdown_content.append(header)
+        markdown_content.append("\n")
+        markdown_content.append(f"### Page {page_number} Content")
+        combined_columns_text = []
+        if left_column:
+            combined_columns_text.append(left_column)
+        if right_column:
+            combined_columns_text.append(right_column)
+        markdown_content.append("\n\n".join(combined_columns_text))
+        markdown_content.append("\n")
+        markdown_content.append(f"--- Page {page_number} Footer ---")
+        markdown_content.append("## Footer")
+        markdown_content.append(footer)
+        markdown_content.append("\n")
+
+    return pd.DataFrame({
+        "conv_id": [group["conv_id"].iloc[0]],
+        "total_pages": [len(group)],     # A002_header_footer_2_col.py:292-296
+        "markdown": ["\n".join(markdown_content)],
+    })
+
+
+def markdown_dataset(extracted_ds):
+    """extracted turns -> one markdown row per conversation."""
+    return extracted_ds.groupby("conv_id").map_groups(
+        render_conversation_markdown, batch_format="pandas")
