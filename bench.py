@@ -1,0 +1,160 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Plain run: executes the flagship extraction pipeline plus a set of
+headline queries, prints ONE JSON line:
+  {"metric": ..., "value": <flagship sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "turns": T,
+   "turns_per_sec": ...}
+
+--scaling: runs the flagship job twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and prints both
+throughputs plus scaling efficiency (the in-sandbox evidence for the
+north rule's N-vs-4N-node criterion; levels are logical CPU slots on
+one node).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# replicate the documents table this many times (distinct doc_id ranges)
+# so the flagship job is long enough to measure scaling honestly
+BENCH_MULT = int(os.environ.get("GRAFT_BENCH_MULT", "2"))
+
+
+def _flagship_dataset():
+    """documents (replicated BENCH_MULT x with shifted doc_ids) ->
+    transcripts -> extraction. Returns the lazy extracted Dataset."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_parser_ray.pipelines.extraction import extract_dataset
+    from pdf_parser_ray.sources.transcripts import synth_batch
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def synth_replicated(batch: pa.Table) -> pa.Table:
+        outs = []
+        for j in range(BENCH_MULT):
+            if j:
+                shifted = batch.set_column(
+                    batch.schema.get_field_index("doc_id"), "doc_id",
+                    pa.compute.add(batch.column("doc_id"), j * 1_000_000))
+                outs.append(synth_batch(shifted))
+            else:
+                outs.append(synth_batch(batch))
+        return pa.concat_tables(outs)
+
+    transcripts = docs.map_batches(synth_replicated, batch_format="pyarrow",
+                                   batch_size=128)
+    return extract_dataset(transcripts, batch_size=512,
+                           concurrency=max(2, NUM_CPUS - 4))
+
+
+def run_flagship() -> dict:
+    t0 = time.perf_counter()
+    ds = _flagship_dataset()
+    # consume as a stream: count + checksum via aggregation, no driver
+    # materialization of the payload
+    total = ds.count()
+    sec = time.perf_counter() - t0
+    return {"sec": round(sec, 3), "turns": total,
+            "turns_per_sec": round(total / sec, 1)}
+
+
+def run_queries() -> dict:
+    from pdf_parser_ray.queries import QUERIES
+    headline = ["q1_pricing_summary", "events_type_stats",
+                "orders_customer_join_stats", "docs_exact_dedup",
+                "docs_top_tokens", "embeddings_knn_bruteforce",
+                "dedup_minhash_word", "transcript_questions"]
+    out = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        QUERIES[name](SF_DIR)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    # warm the page cache so the timed run measures compute+shuffle
+    import pyarrow.parquet as pq
+    for t in ("documents", "lineitem", "orders", "customer", "events",
+              "embeddings"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    flagship = run_flagship()
+    queries = run_queries()
+    ray.shutdown()
+
+    print(json.dumps({
+        "metric": "flagship_extraction_wall_sec",
+        "value": flagship["sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "turns": flagship["turns"],
+        "turns_per_sec": flagship["turns_per_sec"],
+        "bench_mult": BENCH_MULT,
+    }))
+
+
+def scaling():
+    """Fresh process per parallelism level, same input."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_ONLY_FLAGSHIP="1")
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True)
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    tput8 = results[8]["turns_per_sec"]
+    tput32 = results[32]["turns_per_sec"]
+    eff = (tput32 / tput8) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "turns_per_sec_8": tput8,
+        "turns_per_sec_32": tput32,
+        "sec_8": results[8]["value"],
+        "sec_32": results[32]["value"],
+        "scaling_efficiency": round(eff, 3),
+        "turns": results[32]["turns"],
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif os.environ.get("GRAFT_BENCH_ONLY_FLAGSHIP"):
+        import ray
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        import pyarrow.parquet as pq
+        pq.read_table(f"{SF_DIR}/documents.parquet")
+        flagship = run_flagship()
+        ray.shutdown()
+        print(json.dumps({"metric": "flagship_extraction_wall_sec",
+                          "value": flagship["sec"], "unit": "sec",
+                          "queries": {}, "sf": SF_DIR,
+                          "num_cpus": NUM_CPUS, **flagship}))
+    else:
+        main()

@@ -21,14 +21,33 @@ from ..sources.transcripts import transcripts_dataset
 from ..stages.extract import ExtractTurns
 
 
+def pool_size(reserve: int = 2, cap: int | None = None) -> tuple:
+    """Autoscaling (min, max) for an actor pool that always leaves
+    ``reserve`` CPUs for the read/shuffle/write stages — a pool that
+    reserves every CPU deadlocks a downstream all-to-all (observed at
+    num_cpus=4: pool of 4 starves the groupby shuffle indefinitely)."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # not initialized yet: conservative default
+        cpus = 4
+    hi = max(1, cpus - reserve)
+    if cap is not None:
+        hi = min(hi, cap)
+    return (1, hi)
+
+
 def extract_dataset(transcripts, *, batch_size: int = 512,
-                    concurrency=4):
-    """transcript Dataset -> extracted-turn Dataset (narrow, streaming)."""
+                    concurrency=None):
+    """transcript Dataset -> extracted-turn Dataset (narrow, streaming).
+
+    ``concurrency`` defaults to an autoscaling (min, max) actor pool
+    sized to leave shuffle headroom (see pool_size)."""
     return transcripts.map_batches(
         ExtractTurns,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else pool_size(),
         num_cpus=1,
     )
 
@@ -43,7 +62,7 @@ def heavy_conversations(transcripts, *, threshold: int = 64):
 
 def run_extraction(sf_dir: str, out_dir: Optional[str] = None, *,
                    ordered: bool = False, batch_size: int = 512,
-                   concurrency=4, n_buckets: int = 32):
+                   concurrency=None, n_buckets: int = 32):
     """The flagship run. Returns the (lazy) extracted Dataset; when
     ``out_dir`` is given, executes the checkpointed write and returns the
     lineage metrics DataFrame instead."""

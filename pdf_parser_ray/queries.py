@@ -1,0 +1,600 @@
+"""Driver-harness queries: one entry per implemented operator/pipeline.
+
+Each function takes ``sf_dir`` and returns a pandas DataFrame; the
+driver compares it against the matching SQL in ORACLES via DuckDB
+(row count + schema + order-insensitive value hash). Column names and
+explicit ROUND() calls match on both sides by construction.
+
+Queries without an ORACLES entry are non-SQL-expressible (extraction
+kernel, LSH dedup, markdown assembly, ...) and get a rows-only check;
+their correctness gate is the pytest oracle suite instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .relational import (broadcast_join, distinct, grouped_agg, hash_join,
+                         read_table, topk)
+
+# Money columns in the testdata are 2-decimal fixed point. Aggregating
+# doubles in parallel makes the result depend on summation order, and
+# rounding half-even (numpy) vs half-away (DuckDB) flips exact .xx5
+# boundaries — so every money aggregate here is computed in EXACT int64
+# cents inside the partial stage, with the oracle SQL using the same
+# integer expression tree; the final double division sequences are
+# identical on both sides, making results bit-equal at any parallelism.
+
+
+def _cents(x) -> np.ndarray:
+    return np.rint(np.asarray(x, dtype=np.float64) * 100).astype("int64")
+
+
+def _d(s) -> pd.Series:
+    return s.astype("float64")
+
+
+# --------------------------------------------------------------- relational
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "lineitem",
+                    ["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] <= cutoff]
+        qty_c = _cents(b["l_quantity"])
+        price_c = _cents(b["l_extendedprice"])
+        disc_c = _cents(b["l_discount"])
+        tax_c = _cents(b["l_tax"])
+        disc_price_e4 = price_c * (100 - disc_c)
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].values,
+            "l_linestatus": b["l_linestatus"].values,
+            "qty_c": qty_c, "price_c": price_c, "disc_c": disc_c,
+            "dp_e4": disc_price_e4,
+            "ch_e6": disc_price_e4 * (100 + tax_c)})
+
+    g = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                    ["l_returnflag", "l_linestatus"], {
+                        "s_qty": ("sum", "qty_c"),
+                        "s_price": ("sum", "price_c"),
+                        "s_disc": ("sum", "disc_c"),
+                        "s_dp": ("sum", "dp_e4"),
+                        "s_ch": ("sum", "ch_e6"),
+                        "count_order": ("count", None)})
+    n = g["count_order"]
+    out = g[["l_returnflag", "l_linestatus"]].copy()
+    out["sum_qty"] = _d(g["s_qty"]) / 100.0
+    out["sum_base_price"] = _d(g["s_price"]) / 100.0
+    out["sum_disc_price"] = _d(g["s_dp"]) / 10000.0
+    out["sum_charge"] = _d(g["s_ch"]) / 1000000.0
+    out["avg_qty"] = _d(g["s_qty"]) / 100.0 / n
+    out["avg_price"] = _d(g["s_price"]) / 100.0 / n
+    out["avg_disc"] = _d(g["s_disc"]) / 100.0 / n
+    out["count_order"] = n
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def lineitem_filter_project(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.compute as pc
+    ds = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_linenumber", "l_quantity",
+                     "l_extendedprice", "l_shipdate"])
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+
+    def f(t):
+        m = pc.and_(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                            pc.less(t["l_shipdate"], hi)),
+                    pc.greater(t["l_quantity"], 45.0))
+        return t.filter(m).select(["l_orderkey", "l_linenumber",
+                                   "l_quantity", "l_extendedprice"])
+
+    return ds.map_batches(f, batch_format="pyarrow").to_pandas()
+
+
+def orders_priority_count(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "orders", ["o_orderpriority"])
+    out = grouped_agg(ds, ["o_orderpriority"],
+                      {"n_orders": ("count", None)})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def top_customers_by_spend(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_custkey": b["o_custkey"].values,
+                             "price_c": _cents(b["o_totalprice"])})
+
+    g = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                    ["o_custkey"], {"s": ("sum", "price_c")})
+    g["total_spend"] = _d(g["s"]) / 100.0
+    return (g[["o_custkey", "total_spend"]]
+            .sort_values(["total_spend", "o_custkey"],
+                         ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+def q3_shipping_topk(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: broadcast semi-join (small dims) + partial-agg
+    revenue per order + top-k. At 100 TB the orders side moves to
+    hash_join; dims stay broadcast."""
+    import pyarrow.parquet as pq
+    cutoff = pd.Timestamp("1998-03-15")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey",
+                                    "o_orderdate"]).to_pandas()
+    orders = orders[(orders["o_orderdate"] < cutoff)
+                    & orders["o_custkey"].isin(building)]
+    okeys = set(orders["o_orderkey"])
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] > cutoff) & b["l_orderkey"].isin(okeys)]
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].values,
+            "rev_e4": _cents(b["l_extendedprice"])
+            * (100 - _cents(b["l_discount"]))})
+
+    rev = grouped_agg(li.map_batches(prep, batch_format="pandas"),
+                      ["l_orderkey"], {"s": ("sum", "rev_e4")})
+    rev["revenue"] = _d(rev["s"]) / 10000.0
+    out = rev.merge(orders[["o_orderkey", "o_orderdate"]],
+                    left_on="l_orderkey", right_on="o_orderkey")
+    out = out[["l_orderkey", "revenue", "o_orderdate"]]
+    return (out.sort_values(["revenue", "l_orderkey"],
+                            ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+def customer_nation_stats(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
+    cust = read_table(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    joined = broadcast_join(cust, nation, on="c_nationkey")
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_name": b["n_name"].values,
+                             "bal_c": _cents(b["c_acctbal"])})
+
+    g = grouped_agg(joined.map_batches(prep, batch_format="pandas"),
+                    ["n_name"], {"n_customers": ("count", None),
+                                 "s": ("sum", "bal_c")})
+    out = g[["n_name", "n_customers"]].copy()
+    out["avg_acctbal"] = _d(g["s"]) / 100.0 / g["n_customers"]
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def orders_customer_join_stats(sf_dir: str) -> pd.DataFrame:
+    """Partitioned hash join (both sides treated as large)."""
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer",
+                      ["c_custkey", "c_mktsegment"]).rename_columns(
+                          {"c_custkey": "o_custkey"})
+    joined = hash_join(orders, cust, on="o_custkey", n_buckets=16)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_mktsegment": b["c_mktsegment"].values,
+                             "price_c": _cents(b["o_totalprice"])})
+
+    g = grouped_agg(joined.map_batches(prep, batch_format="pandas"),
+                    ["c_mktsegment"], {"n_orders": ("count", None),
+                                       "s": ("sum", "price_c")})
+    out = g[["c_mktsegment", "n_orders"]].copy()
+    out["total_price"] = _d(g["s"]) / 100.0
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+# ------------------------------------------------------------------- events
+
+def events_type_stats(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"].values,
+                             "v_c": _cents(b["value"]),
+                             "value": b["value"].values})
+
+    g = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                    ["event_type"], {"n_events": ("count", None),
+                                     "s": ("sum", "v_c"),
+                                     "max_value": ("max", "value")})
+    out = g[["event_type", "n_events"]].copy()
+    out["sum_value"] = _d(g["s"]) / 100.0
+    out["avg_value"] = _d(g["s"]) / 100.0 / g["n_events"]
+    out["max_value"] = g["max_value"]
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_hourly_counts(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "events", ["ts"])
+
+    def add_hour(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hour": b["ts"].dt.floor("h")})
+
+    out = grouped_agg(ds.map_batches(add_hour, batch_format="pandas"),
+                      ["hour"], {"n_events": ("count", None)})
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+def events_user_topk(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "events", ["user_id", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": b["user_id"].values,
+                             "v_c": _cents(b["value"])})
+
+    g = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                    ["user_id"], {"s": ("sum", "v_c")})
+    g["total_value"] = _d(g["s"]) / 100.0
+    return (g[["user_id", "total_value"]]
+            .sort_values(["total_value", "user_id"],
+                         ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+def events_distinct_types(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "events", ["event_type"])
+    return distinct(ds, ["event_type"]).sort_values(
+        "event_type").reset_index(drop=True)
+
+
+def events_dedup_user_type(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "events", ["user_id", "event_type"])
+    return (distinct(ds, ["user_id", "event_type"])
+            .sort_values(["user_id", "event_type"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------- documents
+
+def docs_token_counts(sf_dir: str) -> pd.DataFrame:
+    from .stages.text_analysis import token_count_batch
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.map_batches(token_count_batch, batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def docs_quality_scores(sf_dir: str) -> pd.DataFrame:
+    from .stages.text_analysis import quality_batch
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.map_batches(quality_batch, batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def docs_top_tokens(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].str.findall(r"\S+").explode().dropna()
+        vc = s.value_counts()
+        return pd.DataFrame({"token": vc.index, "cnt": vc.values})
+
+    g = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                    ["token"], {"n": ("sum", "cnt")})
+    g["n"] = g["n"].astype("int64")
+    return (g.sort_values(["n", "token"], ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+
+def docs_lang_counts(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "documents", ["lang"])
+    out = grouped_agg(ds, ["lang"], {"n_docs": ("count", None)})
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def docs_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    from .stages.dedup import exact_dedup_keep
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup_keep(ds)
+
+
+def docs_fingerprint(sf_dir: str) -> pd.DataFrame:
+    from .stages.text_analysis import md5_fingerprint_batch
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.map_batches(md5_fingerprint_batch, batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+# --------------------------------------------------------------- embeddings
+
+def _query_vec(sf_dir: str):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    return df.loc[df["vec_id"] == 0, "embedding"].iloc[0]
+
+
+def embeddings_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
+    from .stages.similarity import knn_bruteforce
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_bruteforce(ds, _query_vec(sf_dir), k=10, exclude_id=0)
+
+
+def embeddings_knn_lsh(sf_dir: str) -> pd.DataFrame:
+    from .stages.similarity import knn_lsh
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_lsh(ds, _query_vec(sf_dir), k=10, exclude_id=0)
+
+
+def embeddings_near_dup(sf_dir: str) -> pd.DataFrame:
+    from .stages.dedup import embedding_dedup_pairs
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dedup_pairs(ds, threshold=0.95)
+
+
+# ------------------------------------------------- rows-only: dedup family
+
+def dedup_minhash_word(sf_dir: str) -> pd.DataFrame:
+    from .stages.dedup import minhash_dedup_pairs
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_pairs(ds, shingle="word3", threshold=0.7)
+
+
+def dedup_ngram_char(sf_dir: str) -> pd.DataFrame:
+    from .stages.dedup import minhash_dedup_pairs
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_pairs(ds, shingle="char5", threshold=0.7)
+
+
+def dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    from .stages.dedup import simhash_dedup_pairs
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup_pairs(ds, max_hamming=3)
+
+
+def docs_lang_id(sf_dir: str) -> pd.DataFrame:
+    from .stages.text_analysis import LangId
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 2))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def docs_winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
+    from .stages.text_analysis import winnow_batch
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.map_batches(winnow_batch, batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+# ------------------------------------- rows-only: flagship extraction suite
+
+def flagship_extract(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.extraction import run_extraction
+    ds = run_extraction(sf_dir, ordered=True)
+    return ds.to_pandas()
+
+
+def transcript_questions(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.extraction import run_extraction
+    from .stages.questions import questions_dataset
+    extracted = run_extraction(sf_dir)
+    return questions_dataset(extracted).to_pandas()
+
+
+def conversation_markdown(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.extraction import run_extraction
+    from .stages.assemble import markdown_dataset
+    extracted = run_extraction(sf_dir)
+    return (markdown_dataset(extracted).to_pandas()
+            .sort_values("conv_id").reset_index(drop=True))
+
+
+def transcript_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact (conv_id, turn_idx) dedup over a corpus with injected
+    duplicate rows (D1 analog)."""
+    import ray.data as rd
+    from .sources.transcripts import transcripts_table
+    from .stages.dedup import exact_dedup_rows
+    t = transcripts_table(sf_dir, with_duplicates=True)
+    ds = rd.from_arrow(t.select(["conv_id", "turn_idx", "role", "tool"]))
+    out = exact_dedup_rows(ds, ["conv_id", "turn_idx"]).to_pandas()
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def multimodal_decode(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+    from .stages.multimodal import synth_media_table, decode_media_dataset
+    media = rd.from_arrow(synth_media_table(96))
+    df = decode_media_dataset(media).to_pandas()
+    df["features"] = df["features"].map(
+        lambda a: np.round(np.asarray(a, dtype=np.float64), 4).tolist())
+    return df.sort_values("media_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------- registry
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "lineitem_filter_project": lineitem_filter_project,
+    "orders_priority_count": orders_priority_count,
+    "top_customers_by_spend": top_customers_by_spend,
+    "q3_shipping_topk": q3_shipping_topk,
+    "customer_nation_stats": customer_nation_stats,
+    "orders_customer_join_stats": orders_customer_join_stats,
+    "events_type_stats": events_type_stats,
+    "events_hourly_counts": events_hourly_counts,
+    "events_user_topk": events_user_topk,
+    "events_distinct_types": events_distinct_types,
+    "events_dedup_user_type": events_dedup_user_type,
+    "docs_token_counts": docs_token_counts,
+    "docs_quality_scores": docs_quality_scores,
+    "docs_top_tokens": docs_top_tokens,
+    "docs_lang_counts": docs_lang_counts,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_fingerprint": docs_fingerprint,
+    "embeddings_knn_bruteforce": embeddings_knn_bruteforce,
+    "embeddings_knn_lsh": embeddings_knn_lsh,
+    "embeddings_near_dup": embeddings_near_dup,
+    "dedup_minhash_word": dedup_minhash_word,
+    "dedup_ngram_char": dedup_ngram_char,
+    "dedup_simhash": dedup_simhash,
+    "docs_lang_id": docs_lang_id,
+    "docs_winnow_fingerprints": docs_winnow_fingerprints,
+    "flagship_extract": flagship_extract,
+    "transcript_questions": transcript_questions,
+    "conversation_markdown": conversation_markdown,
+    "transcript_exact_dedup": transcript_exact_dedup,
+    "multimodal_decode": multimodal_decode,
+}
+
+_BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
+
+ORACLES = {
+    # money aggregates use exact int64-cents arithmetic mirroring the
+    # Ray side (see _cents): identical doubles, no rounding ambiguity.
+    "q1_pricing_summary": """
+        WITH c AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(ROUND(l_quantity * 100) AS BIGINT)      AS qty_c,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+                 CAST(ROUND(l_discount * 100) AS BIGINT)      AS disc_c,
+                 CAST(ROUND(l_tax * 100) AS BIGINT)           AS tax_c
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(qty_c) AS DOUBLE) / 100.0   AS sum_qty,
+               CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_base_price,
+               CAST(SUM(price_c * (100 - disc_c)) AS DOUBLE) / 10000.0
+                 AS sum_disc_price,
+               CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE)
+                 / 1000000.0 AS sum_charge,
+               CAST(SUM(qty_c) AS DOUBLE) / 100.0 / COUNT(*)   AS avg_qty,
+               CAST(SUM(price_c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+               CAST(SUM(disc_c) AS DOUBLE) / 100.0 / COUNT(*)  AS avg_disc,
+               COUNT(*) AS count_order
+        FROM c GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "lineitem_filter_project": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_quantity > 45
+    """,
+    "orders_priority_count": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "top_customers_by_spend": """
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS total_spend
+        FROM orders GROUP BY o_custkey
+        ORDER BY total_spend DESC, o_custkey LIMIT 10
+    """,
+    "q3_shipping_topk": """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS revenue,
+               o_orderdate
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "customer_nation_stats": """
+        SELECT n_name, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / COUNT(*) AS avg_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "orders_customer_join_stats": """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "events_type_stats": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS sum_value,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / COUNT(*) AS avg_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "events_hourly_counts": """
+        SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "events_user_topk": """
+        SELECT user_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS total_value
+        FROM events GROUP BY user_id
+        ORDER BY total_value DESC, user_id LIMIT 10
+    """,
+    "events_distinct_types": """
+        SELECT DISTINCT event_type FROM events ORDER BY event_type
+    """,
+    "events_dedup_user_type": """
+        SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type
+    """,
+    "docs_token_counts": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+               len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_tokens_bpe
+        FROM documents ORDER BY doc_id
+    """,
+    "docs_quality_scores": """
+        SELECT doc_id,
+               length(text) AS text_len,
+               len(regexp_extract_all(text, '[A-Za-z]')) AS alpha_chars,
+               len(regexp_extract_all(text, '[0-9]')) AS digit_chars,
+               len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r\\f\\v]')) AS punct_chars,
+               len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+               CASE WHEN length(text) > 0
+                    THEN len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                         / length(text) ELSE 0 END AS alpha_ratio
+        FROM documents ORDER BY doc_id
+    """,
+    "docs_top_tokens": """
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+          FROM documents)
+        SELECT token, COUNT(*) AS n FROM toks
+        GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    "docs_lang_counts": """
+        SELECT lang, COUNT(*) AS n_docs FROM documents
+        GROUP BY lang ORDER BY lang
+    """,
+    "docs_exact_dedup": """
+        SELECT MIN(doc_id) AS doc_id FROM documents
+        GROUP BY md5(text) ORDER BY doc_id
+    """,
+    "docs_fingerprint": """
+        SELECT doc_id, md5(text) AS fingerprint
+        FROM documents ORDER BY doc_id
+    """,
+    "embeddings_knn_bruteforce": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = 0)
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4)
+                 AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+    """,
+}

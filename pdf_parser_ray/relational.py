@@ -1,0 +1,242 @@
+"""Scalable relational operators over the star-schema test tables.
+
+The reference has no dataset-level relational ops (SURVEY.md §2.4) —
+this module supplies the standard ones the driver's DuckDB-oracle
+harness exercises, each built the Ray-Data-first way:
+
+- grouped_agg:      partial aggregation inside map_batches (one row per
+                    key per batch) -> tiny groupby of the partials ->
+                    finalize. The all-to-all shuffle only ever moves
+                    |keys| x |blocks| rows, never the raw table.
+- topk:             per-batch top-k partials -> k x |blocks| rows ->
+                    final top-k. No global sort.
+- broadcast_join:   ray.put the small side ONCE; every actor reads it
+                    in __init__ and merges per batch. No shuffle.
+- hash_join:        both sides large: stable-bucket both sides on the
+                    key, union, one groupby('bucket') shuffle, pandas
+                    merge per bucket. Buckets ≫ nodes bounds skew.
+- distinct:         per-batch dedup partial -> grouped first.
+
+Float results that feed the DuckDB comparison are rounded explicitly
+(same ROUND in the SQL) so parallel partial-sum ordering can't leak
+into the value hash.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+# ------------------------------------------------------------------ helpers
+
+def read_table(sf_dir: str, name: str, columns: Optional[List[str]] = None):
+    """Pruned parquet read (columns pushed to the scan)."""
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# -------------------------------------------------------------- grouped agg
+
+def grouped_agg(ds, keys: List[str],
+                specs: Dict[str, Tuple[str, Optional[str]]],
+                batch_size: int = 65536) -> pd.DataFrame:
+    """Partial+final grouped aggregation.
+
+    specs: out_col -> (agg, in_col); agg in {sum, count, min, max, mean}.
+    count with in_col=None counts rows.
+    """
+    partial_cols: List[Tuple[str, str, str]] = []  # (partial_name, kind, out)
+    for out, (agg, col) in specs.items():
+        if agg in ("sum", "mean"):
+            partial_cols.append((f"s__{out}", "sum", out))
+        if agg == "mean":
+            partial_cols.append((f"c__{out}", "count", out))
+        if agg == "count":
+            partial_cols.append((f"n__{out}", "count", out))
+        if agg == "min":
+            partial_cols.append((f"mn__{out}", "min", out))
+        if agg == "max":
+            partial_cols.append((f"mx__{out}", "max", out))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False, observed=True)
+        out_frames = {}
+        for out, (agg, col) in specs.items():
+            if agg in ("sum", "mean"):
+                out_frames[f"s__{out}"] = g[col].sum()
+            if agg == "mean":
+                out_frames[f"c__{out}"] = g[col].count()
+            if agg == "count":
+                out_frames[f"n__{out}"] = (g.size() if col is None
+                                           else g[col].count())
+            if agg == "min":
+                out_frames[f"mn__{out}"] = g[col].min()
+            if agg == "max":
+                out_frames[f"mx__{out}"] = g[col].max()
+        return pd.DataFrame(out_frames).reset_index()
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
+    aggs = []
+    for pname, kind, _out in partial_cols:
+        if kind in ("sum", "count"):
+            aggs.append(Sum(pname, alias_name=pname))
+        elif kind == "min":
+            aggs.append(Min(pname, alias_name=pname))
+        elif kind == "max":
+            aggs.append(Max(pname, alias_name=pname))
+    final = partials.groupby(keys).aggregate(*aggs).to_pandas()
+
+    result = final[keys].copy()
+    for out, (agg, col) in specs.items():
+        if agg == "sum":
+            result[out] = final[f"s__{out}"]
+        elif agg == "count":
+            result[out] = final[f"n__{out}"].astype("int64")
+        elif agg == "mean":
+            result[out] = final[f"s__{out}"] / final[f"c__{out}"]
+        elif agg == "min":
+            result[out] = final[f"mn__{out}"]
+        elif agg == "max":
+            result[out] = final[f"mx__{out}"]
+    return result
+
+
+# ------------------------------------------------------------------- top-k
+
+def topk(ds, sort_cols: List[str], ascending: List[bool], k: int,
+         columns: Optional[List[str]] = None,
+         batch_size: int = 65536) -> pd.DataFrame:
+    """Distributed top-k without a global sort: per-batch partial top-k
+    (k rows per block max), then a driver-side final top-k over the
+    tiny partial set."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if columns:
+            batch = batch[columns]
+        return batch.sort_values(sort_cols, ascending=ascending,
+                                 kind="mergesort").head(k)
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size).to_pandas()
+    return (partials.sort_values(sort_cols, ascending=ascending,
+                                 kind="mergesort")
+            .head(k).reset_index(drop=True))
+
+
+# -------------------------------------------------------------------- joins
+
+class _BroadcastJoiner:
+    """Actor-pool merge against a ray.put() small side: shipped once to
+    the object store, fetched once per actor in __init__, zero-copy
+    shared thereafter (SURVEY.md §2.4 J1 broadcast-lookup pattern)."""
+
+    def __init__(self, small_ref, on, how):
+        import ray
+        self.small = ray.get(small_ref)
+        self.on = on
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.small, on=self.on, how=self.how)
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner",
+                   batch_size: int = 65536, concurrency=(1, 2)):
+    import ray
+    ref = ray.put(small_df)
+    return ds.map_batches(_BroadcastJoiner, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_args=(ref, on, how))
+
+
+def hash_join(left, right, on: str, how: str = "inner",
+              n_buckets: int = 32) -> "ray.data.Dataset":
+    """Partitioned hash join for two LARGE sides.
+
+    Both sides get a stable bucket from the join key, are unioned into
+    one superset schema (missing columns null-filled), and a single
+    groupby('bucket') shuffle co-locates matching keys; each bucket is
+    merged with pandas. Bucket count ≫ nodes keeps skew bounded; salt
+    hot keys by raising n_buckets.
+    """
+    import pyarrow.compute as pc
+
+    l_schema, r_schema = left.schema(), right.schema()
+    l_names = [n for n in l_schema.names]
+    r_names = [n for n in r_schema.names]
+    overlap = (set(l_names) & set(r_names)) - {on}
+    if overlap:
+        raise ValueError(f"column overlap besides key: {overlap}")
+    def _as_arrow(t):
+        # from_pandas datasets report object-dtype (string) columns as
+        # the Python `object` class rather than an Arrow DataType
+        if isinstance(t, pa.DataType):
+            return t
+        if t is object:
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    types = {n: _as_arrow(t) for n, t in zip(l_schema.names, l_schema.types)}
+    types.update((n, _as_arrow(t))
+                 for n, t in zip(r_schema.names, r_schema.types))
+    all_names = l_names + [n for n in r_names if n != on]
+
+    def prep(side_names, side_tag):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            key = t.column(on)
+            if pa.types.is_integer(key.type):
+                bucket = pa.array(
+                    (key.combine_chunks().to_numpy(zero_copy_only=False)
+                     % n_buckets).astype(np.int32))
+            else:
+                import zlib
+                bucket = pa.array(np.asarray(
+                    [zlib.crc32(str(v).encode()) % n_buckets
+                     for v in key.to_pylist()], dtype=np.int32))
+            cols, names = [], []
+            for name in all_names:
+                names.append(name)
+                if name in side_names:
+                    cols.append(t.column(name))
+                else:
+                    cols.append(pa.nulls(n, types[name]))
+            names += ["__side", "bucket"]
+            cols += [pa.array([side_tag] * n, pa.string()), bucket]
+            return pa.Table.from_arrays(cols, names=names)
+        return fn
+
+    lp = left.map_batches(prep(set(l_names), "l"), batch_format="pyarrow")
+    rp = right.map_batches(prep(set(r_names), "r"), batch_format="pyarrow")
+    both = lp.union(rp)
+
+    r_only = [n for n in r_names if n != on]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"][l_names]
+        r = g[g["__side"] == "r"][[on] + r_only]
+        return l.merge(r, on=on, how=how)
+
+    return both.groupby("bucket").map_groups(join_bucket,
+                                             batch_format="pandas")
+
+
+# ----------------------------------------------------------------- distinct
+
+def distinct(ds, columns: List[str], batch_size: int = 65536) -> pd.DataFrame:
+    """Exact distinct: per-batch dedup partial, then grouped first —
+    only unique-per-block rows enter the shuffle."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[columns].drop_duplicates()
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
+    return (partials.groupby(columns)
+            .map_groups(lambda g: g.head(1), batch_format="pandas")
+            .to_pandas().reset_index(drop=True))

@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct. The decode/resize/frame-sample kernels would use
+PIL/ffmpeg — NOT present in this container — so the codec call is
+stubbed behind ``decoder="fake"`` (deterministic header parse) /
+``decoder="pil"`` (raises NotImplementedError until the lib exists).
+Everything Ray-side is real and tested: schema, actor-pool signature,
+small batch sizing for wide binary rows, Arrow-native list<float>
+feature output.
+
+Payload wire format for the deterministic fake codec (16-byte header):
+  bytes 0-4   magic b"FAKE0"
+  bytes 5-6   kind: b"im"/b"au"/b"vi"
+  bytes 6-10  width  (uint32 LE)  [audio: sample rate]
+  bytes 10-14 height (uint32 LE)  [audio: n_samples]
+  bytes 14-16 channels (uint16 LE)
+  rest        payload bytes
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),
+    ("payload", pa.large_binary()),
+    ("meta_json", pa.string()),
+])
+
+DECODED_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("channels", pa.int32()),
+    ("n_bytes", pa.int64()),
+    ("features", pa.list_(pa.float32(), 16)),
+])
+
+
+def make_fake_payload(media_id: int, kind: str = "im") -> bytes:
+    """Deterministic synthetic payload (for tests/fixtures)."""
+    rng = np.random.RandomState(media_id % (2**31))
+    w, h, c = int(rng.randint(16, 256)), int(rng.randint(16, 256)), 3
+    body = hashlib.blake2b(f"{media_id}:{kind}".encode(),
+                           digest_size=32).digest() * 4
+    return (b"FAKE0" + kind.encode("ascii")[:2].ljust(2, b"x")
+            + struct.pack("<IIH", w, h, c) + body)
+
+
+def synth_media_table(n: int = 64) -> pa.Table:
+    rows = {"media_id": [], "kind": [], "payload": [], "meta_json": []}
+    kinds = ["im", "au", "vi"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(make_fake_payload(i, kind))
+        rows["meta_json"].append(f'{{"source": "synth", "id": {i}}}')
+    return pa.Table.from_arrays(
+        [pa.array(rows["media_id"], pa.int64()),
+         pa.array(rows["kind"], pa.string()),
+         pa.array(rows["payload"], pa.large_binary()),
+         pa.array(rows["meta_json"], pa.string())],
+        schema=MEDIA_SCHEMA)
+
+
+class DecodeMedia:
+    """Actor-pool decode + feature-extract stage.
+
+    Use small ``batch_size`` (e.g. 32) — binary rows are wide; a batch x
+    concurrency must fit a worker heap. The decoder object is built once
+    per actor (the analog of the reference's model warmed in __init__,
+    A000_layoutlm_extractor.py:37-55).
+    """
+
+    def __init__(self, decoder: str = "fake"):
+        self.decoder = decoder
+        if decoder == "pil":
+            try:
+                from PIL import Image  # noqa: F401
+                self._pil = Image
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real image decode needs PIL, which is not in this "
+                    "container; use decoder='fake'") from e
+
+    def _decode(self, payload: bytes):
+        if self.decoder == "fake":
+            if payload[:5] != b"FAKE0":
+                raise ValueError("bad magic")
+            w, h, c = struct.unpack("<IIH", payload[7:17])
+            return w, h, c
+        raise NotImplementedError(f"decoder {self.decoder!r}")
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        # deterministic 16-dim "embedding" of the payload bytes
+        d = hashlib.blake2b(payload, digest_size=64).digest()
+        return (np.frombuffer(d, dtype=np.uint8)[:16].astype(np.float32)
+                / 255.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        w_l, h_l, c_l, nb, feats = [], [], [], [], []
+        for p in payloads:
+            w, h, c = self._decode(p)
+            w_l.append(w); h_l.append(h); c_l.append(c)
+            nb.append(len(p))
+            feats.append(self._features(p))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()),
+             pa.array(kinds, pa.string()),
+             pa.array(w_l, pa.int32()),
+             pa.array(h_l, pa.int32()),
+             pa.array(c_l, pa.int32()),
+             pa.array(nb, pa.int64()),
+             pa.FixedSizeListArray.from_arrays(
+                 pa.array(np.concatenate(feats), pa.float32()), 16)],
+            schema=DECODED_SCHEMA)
+
+
+def decode_media_dataset(media_ds, *, decoder: str = "fake",
+                         batch_size: int = 32, concurrency=(1, 2)):
+    """media table -> decoded features (actor pool, small batches for
+    wide binary rows)."""
+    return media_ds.map_batches(
+        DecodeMedia, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"decoder": decoder})

@@ -1,0 +1,78 @@
+"""Similarity search over an embedding column (list<float>).
+
+- knn_bruteforce: exact cosine top-k — per-batch numpy matmul against a
+  broadcast query matrix, per-batch top-k partials, tiny final merge.
+  This is the baseline (and the DuckDB-oracle-checkable one).
+- knn_lsh: the scale path — random-hyperplane buckets; the query probes
+  only matching buckets (multi-probe over Hamming-1 neighbors), then
+  exact re-rank. Recall < 1 by design; use for 10^9+ corpora where a
+  full scan per query is off the table.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import numpy as np
+import pandas as pd
+
+
+def _cosine_batch(batch: pd.DataFrame, q: np.ndarray, k: int,
+                  vec_col: str, id_col: str,
+                  exclude_id) -> pd.DataFrame:
+    vecs = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    qn = np.linalg.norm(q)
+    denom = norms * qn
+    sims = np.where(denom > 0, vecs @ q / np.where(denom == 0, 1, denom), 0.0)
+    out = pd.DataFrame({id_col: batch[id_col],
+                        "cos_sim": np.round(sims, 4)})
+    if exclude_id is not None:
+        out = out[out[id_col] != exclude_id]
+    return out.sort_values(["cos_sim", id_col],
+                           ascending=[False, True]).head(k)
+
+
+def knn_bruteforce(ds, query_vec, k: int = 10, *,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   exclude_id=None, batch_size: int = 8192) -> pd.DataFrame:
+    """Exact cosine top-k: partial top-k per batch, final merge of
+    k x n_blocks rows on the driver. Ties broken by id ascending (total
+    deterministic order)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    fn = functools.partial(_cosine_batch, q=q, k=k, vec_col=vec_col,
+                           id_col=id_col, exclude_id=exclude_id)
+    partials = ds.map_batches(fn, batch_format="pandas",
+                              batch_size=batch_size).to_pandas()
+    return (partials.sort_values(["cos_sim", id_col],
+                                 ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def _bucket_keys(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    proj = vecs @ planes.T > 0
+    return (proj @ (1 << np.arange(planes.shape[0]))).astype(np.int64)
+
+
+def knn_lsh(ds, query_vec, k: int = 10, *, n_planes: int = 10,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            exclude_id=None, seed: int = 777,
+            batch_size: int = 8192) -> pd.DataFrame:
+    """Approximate top-k: probe the query's hyperplane bucket plus all
+    Hamming-1 neighbor buckets, exact re-rank inside the probed set."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = np.random.RandomState(seed).standard_normal((n_planes, len(q)))
+    qkey = int(_bucket_keys(q[None, :], planes)[0])
+    probe = {qkey} | {qkey ^ (1 << i) for i in range(n_planes)}
+
+    def filter_probed(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        keys = _bucket_keys(vecs, planes)
+        mask = np.isin(keys, list(probe))
+        return batch[mask]
+
+    probed = ds.map_batches(filter_probed, batch_format="pandas",
+                            batch_size=batch_size)
+    return knn_bruteforce(probed, q, k, vec_col=vec_col, id_col=id_col,
+                          exclude_id=exclude_id, batch_size=batch_size)

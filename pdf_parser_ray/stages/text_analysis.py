@@ -1,0 +1,131 @@
+"""Text-analysis stages over the documents table.
+
+Large-scale training-data hygiene operators, each a vectorized
+``map_batches`` stage (pandas .str regex kernels — no Python loop over
+rows in the counting paths):
+
+- token counting: whitespace tokens + a BPE-ish regex token count
+  (ASCII-explicit classes so the DuckDB RE2 oracle matches Python re)
+- quality scoring: char-class ratios per doc
+- language ID: stopword/char-ngram heuristic (rows-only check: the
+  testdata 'lang' labels are synthetic and not recoverable from text)
+- fingerprinting: md5 content fingerprint (oracle: DuckDB md5()) and a
+  winnowing rolling-hash fingerprint set (rows-only)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+import numpy as np
+import pandas as pd
+
+# BPE-ish tokens: ASCII word runs or single non-word-non-space chars.
+# Explicit ASCII classes on BOTH sides (Python re defaults \w/\s to
+# unicode; DuckDB's RE2 defaults them to ASCII — spell it out instead).
+BPE_TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
+
+_STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is|it|you|that|was|for|are|with|they)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ich|sie|mit|ein|eine|zu|den)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|que|qui|dans|pour|pas|vous)\b",
+    "es": r"\b(el|la|los|las|es|una|que|de|en|por|para|con|no|se)\b",
+}
+_CJK = r"[一-鿿぀-ヿ가-힯]"
+
+
+def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_tokens": batch["text"].str.count(r"\S+").astype("int64"),
+        "n_tokens_bpe": batch["text"].str.count(BPE_TOKEN_PATTERN).astype("int64"),
+    })
+
+
+def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    text = batch["text"]
+    length = text.str.len().astype("int64")
+    alpha = text.str.count(r"[A-Za-z]").astype("int64")
+    digit = text.str.count(r"[0-9]").astype("int64")
+    punct = text.str.count(r"[^A-Za-z0-9 \t\n\r\f\v]").astype("int64")
+    n_tokens = text.str.count(r"\S+").astype("int64")
+    # no rounding: int/int true division is correctly rounded IEEE — the
+    # DuckDB oracle's alpha*1.0/length produces the identical double
+    alpha_ratio = np.where(length > 0, alpha / length, 0.0)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "text_len": length,
+        "alpha_chars": alpha,
+        "digit_chars": digit,
+        "punct_chars": punct,
+        "n_tokens": n_tokens,
+        "alpha_ratio": alpha_ratio,
+    })
+
+
+class LangId:
+    """Stopword-hit + CJK-char heuristic; patterns are pandas-vectorized
+    per batch, state (compiled patterns) held once per actor."""
+
+    def __init__(self):
+        self.patterns = dict(_STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].str.lower()
+        n_tokens = batch["text"].str.count(r"\S+").clip(lower=1)
+        scores = {lang: text.str.count(pat) / n_tokens
+                  for lang, pat in self.patterns.items()}
+        cjk = batch["text"].str.count(_CJK)
+        score_df = pd.DataFrame(scores)
+        best = score_df.idxmax(axis=1)
+        best_score = score_df.max(axis=1)
+        pred = np.where(cjk / batch["text"].str.len().clip(lower=1) > 0.2,
+                        "zh",
+                        np.where(best_score >= 0.05, best, "unknown"))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "pred_lang": pred,
+            "confidence": best_score.round(4),
+        })
+
+
+def md5_fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "fingerprint": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                        for t in batch["text"]],
+    })
+
+
+def winnow_batch(batch: pd.DataFrame, *, k: int = 5, window: int = 4
+                 ) -> pd.DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    rolling k-gram hashes, min per sliding window, distinct mins kept.
+    Vectorized with numpy sliding windows per doc."""
+    doc_ids, n_fps, min_fps, max_fps = [], [], [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        toks = text.split()
+        if len(toks) < k:
+            doc_ids.append(doc_id); n_fps.append(0)
+            min_fps.append(0); max_fps.append(0)
+            continue
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        h = np.array([int.from_bytes(
+            hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+            for g in grams], dtype=np.uint64)
+        if len(h) >= window:
+            win = np.lib.stride_tricks.sliding_window_view(h, window)
+            fps = np.unique(win.min(axis=1))
+        else:
+            fps = np.unique(h.min(keepdims=True))
+        doc_ids.append(doc_id)
+        n_fps.append(int(len(fps)))
+        min_fps.append(int(fps.min()))
+        max_fps.append(int(fps.max()))
+    return pd.DataFrame({
+        "doc_id": doc_ids,
+        "n_fingerprints": pd.array(n_fps, dtype="int64"),
+        "fp_min": pd.array(min_fps, dtype="uint64").astype("float64"),
+        "fp_max": pd.array(max_fps, dtype="uint64").astype("float64"),
+    })

@@ -1,0 +1,96 @@
+"""Dedup operator correctness on corpora with KNOWN duplicates (the
+testdata documents are all distinct, so these build their own)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill nearby every single day").split()
+
+
+def _doc(i, mutate=0):
+    words = list(BASE) * 3
+    rng = np.random.RandomState(i)
+    for _ in range(mutate):
+        words[rng.randint(len(words))] = f"tok{rng.randint(1000)}"
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    import ray.data as rd
+    rows = []
+    # 0 and 1: exact duplicates; 2: near-dup of 0 (2 words changed);
+    # 3: distinct-ish (heavily mutated); 4: unrelated
+    rows.append({"doc_id": 0, "text": _doc(0)})
+    rows.append({"doc_id": 1, "text": _doc(0)})
+    rows.append({"doc_id": 2, "text": _doc(2, mutate=2)})
+    rows.append({"doc_id": 3, "text": _doc(3, mutate=40)})
+    rows.append({"doc_id": 4, "text": " ".join(f"u{i}" for i in range(100))})
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_exact_dedup_keep(corpus):
+    from pdf_parser_ray.stages.dedup import exact_dedup_keep
+    kept = exact_dedup_keep(corpus)
+    assert kept["doc_id"].tolist() == [0, 2, 3, 4]   # 1 collapsed into 0
+
+
+def test_minhash_finds_exact_and_near(corpus):
+    from pdf_parser_ray.stages.dedup import minhash_dedup_pairs
+    pairs = minhash_dedup_pairs(corpus, threshold=0.5)
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got
+    assert (0, 2) in got and (1, 2) in got
+    assert not any(4 in p for p in got)
+    exact = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]["jaccard"].iloc[0]
+    assert exact == 1.0
+
+
+def test_ngram_char_minhash(corpus):
+    from pdf_parser_ray.stages.dedup import minhash_dedup_pairs
+    pairs = minhash_dedup_pairs(corpus, shingle="char5", threshold=0.5)
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got
+    assert not any(4 in p for p in got)
+
+
+def test_simhash_pairs(corpus):
+    from pdf_parser_ray.stages.dedup import simhash_dedup_pairs
+    pairs = simhash_dedup_pairs(corpus, max_hamming=3)
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got                 # identical -> hamming 0
+    ham01 = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]["hamming"].iloc[0]
+    assert ham01 == 0
+    assert not any(4 in p for p in got)
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data as rd
+    from pdf_parser_ray.stages.dedup import embedding_dedup_pairs
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal(32)
+    rows = []
+    rows.append({"vec_id": 0, "embedding": base})
+    rows.append({"vec_id": 1, "embedding": base + 1e-4 * rng.standard_normal(32)})
+    rows.append({"vec_id": 2, "embedding": rng.standard_normal(32)})
+    rows.append({"vec_id": 3, "embedding": -base})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = embedding_dedup_pairs(ds, threshold=0.99)
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert got == {(0, 1)}
+
+
+def test_exact_dedup_rows_transcripts(ray_session):
+    import ray.data as rd
+    from pdf_parser_ray.sources.transcripts import transcripts_table
+    from pdf_parser_ray.stages.dedup import exact_dedup_rows
+    t = transcripts_table("/root/testdata/sf0.001", limit_docs=60,
+                         with_duplicates=True)
+    base = transcripts_table("/root/testdata/sf0.001", limit_docs=60)
+    assert t.num_rows > base.num_rows          # duplicates injected
+    ds = rd.from_arrow(t.select(["conv_id", "turn_idx", "role", "tool"]))
+    out = exact_dedup_rows(ds, ["conv_id", "turn_idx"]).to_pandas()
+    assert len(out) == base.num_rows
+    assert not out.duplicated(["conv_id", "turn_idx"]).any()

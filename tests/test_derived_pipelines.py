@@ -1,0 +1,143 @@
+"""Questions flat-map, markdown assembly, and checkpoint/resume tests."""
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from pdf_parser_ray.sources.transcripts import transcripts_table
+from tests.reference_oracle import oracle_extract_turn, oracle_questions
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def extracted(ray_session):
+    import ray.data as rd
+    from pdf_parser_ray.pipelines.extraction import extract_dataset
+    t = transcripts_table(SF_DIR, limit_docs=30)
+    return extract_dataset(rd.from_arrow(t), batch_size=128,
+                           concurrency=2).materialize(), t
+
+
+def test_questions_match_oracle(extracted):
+    from pdf_parser_ray.stages.questions import questions_dataset
+    ds, t = extracted
+    got = questions_dataset(ds).to_pandas()
+
+    want_rows = []
+    for conv_id, turn_idx, text, tool in zip(
+            t.column("conv_id").to_pylist(), t.column("turn_idx").to_pylist(),
+            t.column("text").to_pylist(), t.column("tool").to_pylist()):
+        rec = oracle_extract_turn(text, tool, int(turn_idx))
+        for q in oracle_questions(rec["left_column"], rec["right_column"],
+                                  rec["page_number"]):
+            q["conv_id"] = conv_id
+            want_rows.append(q)
+    want = (pd.DataFrame(want_rows)
+            [["conv_id", "question_number", "question_text",
+              "page_number", "column"]]
+            .sort_values(["conv_id", "question_number", "page_number",
+                          "column"])
+            .reset_index(drop=True))
+    assert len(got) > 50, "corpus should contain many questions"
+    got = got.reset_index(drop=True)
+    for col in want.columns:
+        assert (got[col].astype(want[col].dtype) == want[col]).all(), col
+
+
+def test_markdown_assembly(extracted):
+    from pdf_parser_ray.stages.assemble import markdown_dataset
+    ds, t = extracted
+    md = markdown_dataset(ds).to_pandas().set_index("conv_id")
+
+    # independently assemble one conversation from oracle records
+    conv = "conv-00000003"
+    rows = [(ti, tx, to) for ci, ti, tx, to in zip(
+        t.column("conv_id").to_pylist(), t.column("turn_idx").to_pylist(),
+        t.column("text").to_pylist(), t.column("tool").to_pylist())
+        if ci == conv]
+    rows.sort(key=lambda r: r[0])
+    content = []
+    for ti, tx, to in rows:
+        rec = oracle_extract_turn(tx, to, ti)
+        n = rec["page_number"]
+        content.append(f"---\n\n# Page {n}\n")
+        content.append(f"--- Page {n} Start ---")
+        content.append("## Header")
+        content.append(rec["header"].strip())
+        content.append("\n")
+        content.append(f"### Page {n} Content")
+        cols = [c for c in (rec["left_column"].strip(),
+                            rec["right_column"].strip()) if c]
+        content.append("\n\n".join(cols))
+        content.append("\n")
+        content.append(f"--- Page {n} Footer ---")
+        content.append("## Footer")
+        content.append(rec["footer"].strip())
+        content.append("\n")
+    want = "\n".join(content)
+    assert md.loc[conv, "markdown"] == want
+    assert md.loc[conv, "total_pages"] == len(rows)
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    import ray.data as rd
+    from pdf_parser_ray.pipelines.extraction import extract_dataset
+    from pdf_parser_ray.state.checkpoint import (checkpointed_write,
+                                                 completed_buckets,
+                                                 read_lineage)
+    out = str(tmp_path / "ckpt")
+    t = transcripts_table(SF_DIR, limit_docs=40)
+    ds = extract_dataset(rd.from_arrow(t), batch_size=128, concurrency=2)
+    m1 = checkpointed_write(ds, out, n_buckets=4)
+    assert sorted(m1["bucket"]) == [0, 1, 2, 3]
+    total = m1["rows"].sum()
+
+    # simulate a lost bucket; resume recomputes only it
+    shutil.rmtree(os.path.join(out, "bucket=00002"))
+    ds2 = extract_dataset(rd.from_arrow(t), batch_size=128, concurrency=2)
+    m2 = checkpointed_write(ds2, out, n_buckets=4)
+    assert m2["bucket"].tolist() == [2]
+    assert completed_buckets(out) == [0, 1, 2, 3]
+    lin = read_lineage(out)
+    assert lin["rows"].sum() == total
+
+    # refuses to resume with different bucketing
+    with pytest.raises(ValueError, match="resume mismatch"):
+        checkpointed_write(ds2, out, n_buckets=8)
+
+    # written data round-trips with full row count and key sorting
+    import pyarrow.dataset as pds
+    readback = pds.dataset(out, format="parquet").to_table().to_pandas()
+    assert len(readback) == total
+    assert not readback.duplicated(["conv_id", "turn_idx"]).any()
+
+
+def test_heavy_conversations_prepass(ray_session):
+    import ray.data as rd
+    from pdf_parser_ray.pipelines.extraction import heavy_conversations
+    t = transcripts_table(SF_DIR, limit_docs=120)
+    heavy = heavy_conversations(rd.from_arrow(t), threshold=64)
+    assert "conv-00000000" in heavy          # the mega-conv
+    assert heavy["conv-00000000"] == 120
+    assert all(v >= 64 for v in heavy.values())
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+    from pdf_parser_ray.stages.multimodal import (DecodeMedia,
+                                                  decode_media_dataset,
+                                                  synth_media_table)
+    media = rd.from_arrow(synth_media_table(30))
+    out = decode_media_dataset(media, batch_size=8).to_pandas()
+    assert len(out) == 30
+    assert set(out.columns) == {"media_id", "kind", "width", "height",
+                                "channels", "n_bytes", "features"}
+    assert (out["width"] >= 16).all() and (out["channels"] == 3).all()
+    assert all(len(f) == 16 for f in out["features"])
+    # the real-codec path is stubbed: explicit NotImplementedError
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(decoder="pil")

@@ -1,0 +1,66 @@
+"""Driver-harness mirror: every QUERIES entry runs; the SQL-expressible
+subset must match DuckDB on the same parquet (values compared
+order-insensitively, like the driver)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_parser_ray.queries import ORACLES, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return (df.sort_values(list(df.columns), kind="mergesort")
+            .reset_index(drop=True))
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_sql_oracle_match(ray_session, con, name):
+    got = QUERIES[name](SF_DIR)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = con.sql(ORACLES[name]).df()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: column mismatch {got.columns} vs {want.columns}")
+    g, w = _canon(got), _canon(want)
+    assert len(g) == len(w), f"{name}: {len(g)} rows vs oracle {len(w)}"
+    pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(ray_session, name):
+    out = QUERIES[name](SF_DIR)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    assert out is not None
+    assert len(out.columns) > 0
+    # deterministic: running twice gives identical frames
+    if name in ("docs_lang_id", "multimodal_decode", "embeddings_knn_lsh"):
+        out2 = QUERIES[name](SF_DIR)
+        if not isinstance(out2, pd.DataFrame):
+            out2 = out2.to_pandas()
+        pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                      out2.reset_index(drop=True))

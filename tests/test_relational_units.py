@@ -1,0 +1,126 @@
+"""Unit tests for the relational building blocks against pandas."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def frames(ray_session):
+    rng = np.random.RandomState(42)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 50, 2000),
+        "v": rng.standard_normal(2000),
+        "w": rng.randint(0, 10, 2000),
+    })
+    right = pd.DataFrame({
+        "k": np.arange(0, 60),
+        "name": [f"name{i}" for i in range(60)],
+    })
+    return left, right
+
+
+def test_grouped_agg_matches_pandas(frames):
+    import ray.data as rd
+    from pdf_parser_ray.relational import grouped_agg
+    left, _ = frames
+    ds = rd.from_pandas(left).repartition(7)
+    got = grouped_agg(ds, ["k"], {
+        "n": ("count", None),
+        "s": ("sum", "v"),
+        "m": ("mean", "v"),
+        "mx": ("max", "w"),
+        "mn": ("min", "w"),
+    }).sort_values("k").reset_index(drop=True)
+    want = (left.groupby("k")
+            .agg(n=("v", "size"), s=("v", "sum"), m=("v", "mean"),
+                 mx=("w", "max"), mn=("w", "min"))
+            .reset_index())
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False,
+                                  atol=1e-9, rtol=0)
+
+
+def test_topk_matches_pandas(frames):
+    import ray.data as rd
+    from pdf_parser_ray.relational import topk
+    left, _ = frames
+    ds = rd.from_pandas(left).repartition(5)
+    got = topk(ds, ["v", "k"], [False, True], 15)
+    want = (left.sort_values(["v", "k"], ascending=[False, True])
+            .head(15).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_broadcast_join_matches_merge(frames):
+    import ray.data as rd
+    from pdf_parser_ray.relational import broadcast_join
+    left, right = frames
+    ds = rd.from_pandas(left).repartition(4)
+    got = (broadcast_join(ds, right, on="k").to_pandas()
+           .sort_values(["k", "v"]).reset_index(drop=True))
+    want = (left.merge(right, on="k")
+            .sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_hash_join_matches_merge(frames):
+    import ray.data as rd
+    from pdf_parser_ray.relational import hash_join
+    left, right = frames
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(2)
+    got = (hash_join(lds, rds, on="k", n_buckets=8).to_pandas()
+           .sort_values(["k", "v"]).reset_index(drop=True))
+    want = (left.merge(right, on="k")
+            .sort_values(["k", "v"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_hash_join_string_key(ray_session):
+    import ray.data as rd
+    from pdf_parser_ray.relational import hash_join
+    left = pd.DataFrame({"key": [f"k{i % 5}" for i in range(100)],
+                         "x": range(100)})
+    right = pd.DataFrame({"key": [f"k{i}" for i in range(7)],
+                          "y": range(7)})
+    got = (hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on="key", n_buckets=4).to_pandas()
+           .sort_values(["key", "x"]).reset_index(drop=True))
+    want = (left.merge(right, on="key")
+            .sort_values(["key", "x"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_distinct_matches_pandas(frames):
+    import ray.data as rd
+    from pdf_parser_ray.relational import distinct
+    left, _ = frames
+    ds = rd.from_pandas(left).repartition(6)
+    got = (distinct(ds, ["k", "w"]).sort_values(["k", "w"])
+           .reset_index(drop=True))
+    want = (left[["k", "w"]].drop_duplicates().sort_values(["k", "w"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_knn_bruteforce_matches_numpy(ray_session):
+    import ray.data as rd
+    from pdf_parser_ray.stages.similarity import knn_bruteforce, knn_lsh
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((500, 16))
+    df = pd.DataFrame({"vec_id": np.arange(500),
+                       "embedding": list(vecs)})
+    q = vecs[0]
+    got = knn_bruteforce(rd.from_pandas(df).repartition(4), q, k=10,
+                         exclude_id=0)
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = sorted(range(1, 500),
+                   key=lambda i: (-round(sims[i], 4), i))[:10]
+    assert got["vec_id"].tolist() == order
+    # LSH variant returns a subset ranked identically within its probe set
+    approx = knn_lsh(rd.from_pandas(df).repartition(4), q, k=10,
+                     exclude_id=0)
+    assert len(approx) <= 10
+    assert set(approx["vec_id"]) <= set(range(1, 500))
+    assert approx["cos_sim"].is_monotonic_decreasing
