@@ -38,7 +38,8 @@ def _flagship_dataset():
     from pdf_parser_ray.sources.transcripts import synth_batch
 
     docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                           columns=["doc_id", "text"])
+                           columns=["doc_id", "text"],
+                           override_num_blocks=2 * NUM_CPUS)
 
     def synth_replicated(batch: pa.Table) -> pa.Table:
         outs = []
@@ -54,8 +55,10 @@ def _flagship_dataset():
 
     transcripts = docs.map_batches(synth_replicated, batch_format="pyarrow",
                                    batch_size=128)
-    return extract_dataset(transcripts, batch_size=512,
-                           concurrency=max(2, NUM_CPUS - 4))
+    # NOTE batch_size counts the FUSED stage's input rows (documents,
+    # which synth multiplies ~7x per mult): 512 docs/batch left only 10
+    # tasks for the whole corpus and capped parallelism at 10 workers.
+    return extract_dataset(transcripts, batch_size=32)
 
 
 def run_flagship() -> dict:
@@ -115,25 +118,41 @@ def main():
 
 
 def scaling():
-    """Fresh process per parallelism level, same input."""
+    """Fresh process per parallelism level (N=2 vs 4N=8 CPUs), same
+    input — the in-sandbox evidence for the north rule's N-vs-4N-node
+    criterion.
+
+    Each level is pinned with CPU AFFINITY (taskset) in addition to
+    ray.init(num_cpus=N): Ray's logical slots alone don't confine
+    worker-internal (pyarrow) threads, and this shared-host sandbox
+    shows heavy wall-clock noise above ~8 cores, so 2-vs-8 pinned
+    physical cores is the honest compute-bound measurement. The
+    multiplier defaults high enough that the low level runs >=60 s
+    (fixed session+read costs amortized)."""
+    import shutil
+    lo, hi = 2, 8
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_ONLY_FLAGSHIP="1")
-        out = subprocess.run([sys.executable, __file__], env=env,
+        env.setdefault("GRAFT_BENCH_MULT", "32")
+        cmd = [sys.executable, __file__]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        out = subprocess.run(cmd, env=env,
                              capture_output=True, text=True, check=True)
         results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
-    tput8 = results[8]["turns_per_sec"]
-    tput32 = results[32]["turns_per_sec"]
-    eff = (tput32 / tput8) / (32 / 8)
+    tput_lo = results[lo]["turns_per_sec"]
+    tput_hi = results[hi]["turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
     print(json.dumps({
-        "metric": "scaling_efficiency_8_to_32_cpus",
-        "turns_per_sec_8": tput8,
-        "turns_per_sec_32": tput32,
-        "sec_8": results[8]["value"],
-        "sec_32": results[32]["value"],
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
+        f"turns_per_sec_{lo}": tput_lo,
+        f"turns_per_sec_{hi}": tput_hi,
+        f"sec_{lo}": results[lo]["value"],
+        f"sec_{hi}": results[hi]["value"],
         "scaling_efficiency": round(eff, 3),
-        "turns": results[32]["turns"],
+        "turns": results[hi]["turns"],
         "sf": SF_DIR,
     }))
 

@@ -294,12 +294,24 @@ def synth_batch(batch: pa.Table, **kwargs) -> pa.Table:
 
 
 def transcripts_dataset(sf_dir: str, *, mega_every: int = 97,
-                        mega_turns: int = 120):
-    """documents.parquet -> lazy transcript Dataset (column-pruned read)."""
+                        mega_turns: int = 120,
+                        override_num_blocks: int | None = None):
+    """documents.parquet -> lazy transcript Dataset (column-pruned read).
+
+    The documents read is the fan-out driver for the whole flagship
+    pipeline (synthesis multiplies rows ~7x), so it is split into
+    ~2 blocks per CPU; with a real multi-file corpus the file count
+    drives parallelism instead and the override is unnecessary."""
+    import ray
     import ray.data as rd
 
+    if override_num_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        override_num_blocks = 2 * cpus
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+                           columns=["doc_id", "text"],
+                           override_num_blocks=override_num_blocks)
     if mega_every == 97 and mega_turns == 120:
         return docs.map_batches(synth_batch, batch_format="pyarrow",
                                 batch_size=256)

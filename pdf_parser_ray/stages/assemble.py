@@ -55,7 +55,18 @@ def render_conversation_markdown(group: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def _render_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.concat([render_conversation_markdown(g)
+                      for _, g in df.groupby("conv_id", sort=False)],
+                     ignore_index=True)
+
+
 def markdown_dataset(extracted_ds):
-    """extracted turns -> one markdown row per conversation."""
-    return extracted_ds.groupby("conv_id").map_groups(
-        render_conversation_markdown, batch_format="pandas")
+    """extracted turns -> one markdown row per conversation.
+
+    Conversations are hash-bucketed and rendered per bucket
+    (relational.bucketed_map_groups): shuffling on ~2xCPU buckets
+    instead of per-conv groups avoids Ray's per-group reduce overhead
+    at conversation cardinality."""
+    from ..relational import bucketed_map_groups
+    return bucketed_map_groups(extracted_ds, ["conv_id"], _render_bucket)

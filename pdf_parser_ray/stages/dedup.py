@@ -49,21 +49,25 @@ def exact_dedup_keep(ds, *, text_col: str = "text", id_col: str = "doc_id",
         df = pd.DataFrame({"h": h, id_col: batch[id_col].values})
         return df.groupby("h", as_index=False)[id_col].min()
 
+    from ..relational import bucketed_map_groups
     partials = ds.map_batches(partial, batch_format="pandas",
                               batch_size=batch_size)
-    from ray.data.aggregate import Min
-    final = partials.groupby("h").aggregate(
-        Min(id_col, alias_name=id_col)).to_pandas()
+    final = bucketed_map_groups(
+        partials, ["h"],
+        lambda g: g.groupby("h", as_index=False, sort=False)[id_col].min()
+    ).to_pandas()
     return final[[id_col]].sort_values(id_col).reset_index(drop=True)
 
 
 def exact_dedup_rows(ds, key_cols: List[str]):
     """Row-level exact dedup by key (D1 analog: duplicate
-    (conv_id, turn_idx) rows collapse to one; first = deterministic
-    min over remaining columns is unnecessary because duplicates are
-    exact copies)."""
-    return ds.groupby(key_cols).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    (conv_id, turn_idx) rows collapse to one; duplicates are exact
+    copies so any representative is deterministic). Bucketed combine —
+    key cardinality is ~row count, the pathological case for Ray's
+    per-group reduce."""
+    from ..relational import bucketed_map_groups
+    return bucketed_map_groups(
+        ds, key_cols, lambda g: g.drop_duplicates(subset=key_cols))
 
 
 # ----------------------------------------------------------- minhash + LSH
@@ -140,6 +144,21 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"id_a": a, "id_b": b})
 
 
+def _grouped_pairs(df: pd.DataFrame, group_cols: List[str],
+                   id_col: str = "doc_id") -> pd.DataFrame:
+    """All within-group id pairs. Vectorized pre-filter: only rows whose
+    group key is duplicated can pair, so the Python loop touches the
+    (rare) collision groups only."""
+    dup = df[df.duplicated(group_cols, keep=False)]
+    a, b = [], []
+    for _, g in dup.groupby(group_cols, sort=False):
+        ids = sorted(set(g[id_col]))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i]); b.append(ids[j])
+    return pd.DataFrame({"id_a": a, "id_b": b})
+
+
 def _jaccard(sa: set, sb: set) -> float:
     if not sa and not sb:
         return 1.0
@@ -165,9 +184,11 @@ def minhash_dedup_pairs(ds, *, num_perm: int = 128, bands: int = 16,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
                                "shingle": shingle, "text_col": text_col,
                                "id_col": id_col})
-    cand = (band_rows.groupby(["band", "band_hash"])
-            .map_groups(_bucket_pairs, batch_format="pandas")
-            .to_pandas().drop_duplicates().reset_index(drop=True))
+    from ..relational import bucketed_map_groups
+    cand = (bucketed_map_groups(
+        band_rows, ["band", "band_hash"],
+        lambda g: _grouped_pairs(g, ["band", "band_hash"]))
+        .to_pandas().drop_duplicates().reset_index(drop=True))
     if cand.empty:
         return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
                              "id_b": pd.array([], dtype="int64"),
@@ -235,21 +256,19 @@ def simhash_dedup_pairs(ds, *, max_hamming: int = 3,
         concurrency=(1, 2),
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col})
 
-    def pairs_with_sig(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [],
-                                 "sig_a": [], "sig_b": []})
-        recs = list(zip(g["doc_id"], g["simhash"]))
+    def pairs_with_sig(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df.duplicated(["band", "band_key"], keep=False)]
         a, b, sa, sb = [], [], [], []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                a.append(recs[i][0]); b.append(recs[j][0])
-                sa.append(recs[i][1]); sb.append(recs[j][1])
+        for _, g in dup.groupby(["band", "band_key"], sort=False):
+            recs = sorted(set(zip(g["doc_id"], g["simhash"])))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    a.append(recs[i][0]); b.append(recs[j][0])
+                    sa.append(recs[i][1]); sb.append(recs[j][1])
         return pd.DataFrame({"id_a": a, "id_b": b, "sig_a": sa, "sig_b": sb})
 
-    cand = (rows.groupby(["band", "band_key"])
-            .map_groups(pairs_with_sig, batch_format="pandas")
+    from ..relational import bucketed_map_groups
+    cand = (bucketed_map_groups(rows, ["band", "band_key"], pairs_with_sig)
             .to_pandas().drop_duplicates(["id_a", "id_b"])
             .reset_index(drop=True))
     if cand.empty:
@@ -289,11 +308,12 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 12,
     buckets = ds.map_batches(
         functools.partial(bucket_batch, planes=planes),
         batch_format="pandas", batch_size=batch_size)
-    cand = (buckets.groupby("bucket")
-            .map_groups(lambda g: _bucket_pairs(
-                g.rename(columns={id_col: "doc_id"})),
-                batch_format="pandas")
-            .to_pandas().drop_duplicates().reset_index(drop=True))
+    from ..relational import bucketed_map_groups
+    cand = (bucketed_map_groups(
+        buckets, ["bucket"],
+        lambda g: _grouped_pairs(g.rename(columns={id_col: "doc_id"}),
+                                 ["bucket"]))
+        .to_pandas().drop_duplicates().reset_index(drop=True))
     if cand.empty:
         return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
                              "id_b": pd.array([], dtype="int64"),
