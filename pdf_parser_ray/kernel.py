@@ -355,7 +355,176 @@ CLASSIFIERS = {
     "a002": classify_a002,
     "a003": classify_a003,
     "a004": classify_a004,
+    # "a000" is registered below: it has its own whole-turn flow
+    # (model tokenize + extent-based classify), not a plain classifier.
 }
+
+
+# ---------------------------------------------------------------------------
+# A000 model-based strategy (A000_layoutlm_extractor.py)
+# ---------------------------------------------------------------------------
+
+def model_stub_blocks(blocks: List[TextBlock]) -> List[TextBlock]:
+    """Deterministic stand-in for the layout model
+    (A000_layoutlm_extractor.py:66-99): each native block becomes a
+    model region with a semantic type; the region's text is the native
+    text inside its bbox (J2 in-record lookup — identity here because
+    regions coincide with blocks), font_size=-1.0, font_name
+    "PDF_native" (A000:94-95). Type heuristic (fake model, stands in
+    for PubLayNet faster_rcnn): large font -> Title, leading bullet ->
+    List, else Text; all three pass the A000:82 type filter."""
+    out = []
+    for b in blocks:
+        if b.font_size >= 13.0:
+            btype = "Title"
+        elif b.text.startswith(("-", "*", "•")):
+            btype = "List"
+        else:
+            btype = "Text"
+        if btype in ("Text", "Title", "List"):  # A000:82
+            out.append(TextBlock(b.text, b.x0, b.y0, b.x1, b.y1,
+                                 -1.0, "PDF_native"))
+    return out
+
+
+def detect_vertical_lines_a000(
+    vlines, page_width: float, page_height: float,
+) -> List[Tuple[float, float, float, float]]:
+    """Relative thresholds (A000_layoutlm_extractor.py:121):
+    abs(dx) < 0.01*W and abs(dy) > 0.2*H."""
+    out = []
+    for x0, y0, x1, y1 in vlines:
+        if abs(x1 - x0) < page_width * 0.01 and abs(y1 - y0) > page_height * 0.2:
+            out.append((x0, y0, x1, y1))
+    return out
+
+
+def find_column_separator_a000(page: ParsedPage, blocks: List[TextBlock]):
+    """A000_layoutlm_extractor.py:128-181: returns (separator_x,
+    line_y0, line_y1); center window 0.25*W; fallback scan on block
+    CENTERS with step 5 requiring each side > 10% of blocks."""
+    page_width = page.width
+    separator_x = page_width / 2
+    vertical = detect_vertical_lines_a000(page.vlines, page_width, page.height)
+    if vertical:
+        center_x = page_width / 2
+        best_line = None
+        best_length = 0.0
+        for line in vertical:
+            x0, y0, x1, y1 = line
+            length = abs(y1 - y0)
+            distance_from_center = abs((x0 + x1) / 2 - center_x)
+            if distance_from_center < page_width * 0.25 and length > best_length:
+                best_line = line
+                best_length = length
+        if best_line:
+            return ((best_line[0] + best_line[2]) / 2,
+                    best_line[1], best_line[3])
+    if not blocks:
+        return page_width / 2, None, None
+    for test_x in range(int(page_width * 0.3), int(page_width * 0.7) + 1, 5):
+        left_count = 0
+        right_count = 0
+        for b in blocks:
+            cx = (b.x0 + b.x1) / 2
+            if cx < test_x:
+                left_count += 1
+            elif cx > test_x:
+                right_count += 1
+        if (left_count > len(blocks) * 0.1
+                and right_count > len(blocks) * 0.1):
+            separator_x = float(test_x)
+            break
+    return separator_x, None, None
+
+
+def classify_a000(blocks: List[TextBlock], page_height: float,
+                  separator_x: float, header_y_max, footer_y_min):
+    """A000_layoutlm_extractor.py:183-215: boundaries from the dominant
+    line extent ±10, else 0.15H/0.90H; EDGE-based tests (y1 < header
+    bound, y0 > footer bound)."""
+    eff_header = (header_y_max + 10 if header_y_max is not None
+                  else page_height * 0.15)
+    eff_footer = (footer_y_min - 10 if footer_y_min is not None
+                  else page_height * 0.9)
+    regions: Dict[str, List[TextBlock]] = {
+        "header": [], "footer": [], "left_column": [], "right_column": []}
+    for b in blocks:
+        if b.y1 < eff_header:
+            regions["header"].append(b)
+        elif b.y0 > eff_footer:
+            regions["footer"].append(b)
+        elif (b.x0 + b.x1) / 2 < separator_x:
+            regions["left_column"].append(b)
+        else:
+            regions["right_column"].append(b)
+    return regions
+
+
+def blocks_to_text_a000(blocks: List[TextBlock]) -> str:
+    """Overlap-based line grouping (A000_layoutlm_extractor.py:217-248):
+    a block joins the current visual line while its y0 is above the
+    line's max y1 + 10."""
+    if not blocks:
+        return ""
+    sorted_blocks = sorted(blocks, key=lambda b: (b.y0, b.x0))
+    lines = []
+    current_line_blocks: List[TextBlock] = []
+    current_line_y_max = -1.0
+    for b in sorted_blocks:
+        if not current_line_blocks or (b.y0 < current_line_y_max + 10):
+            current_line_blocks.append(b)
+            current_line_y_max = max(current_line_y_max, b.y1)
+        else:
+            lines.append(current_line_blocks)
+            current_line_blocks = [b]
+            current_line_y_max = b.y1
+    if current_line_blocks:
+        lines.append(current_line_blocks)
+    return "\n".join(
+        " ".join(b.text for b in sorted(line, key=lambda b: b.x0))
+        for line in lines)
+
+
+def _extract_turn_a000(page: ParsedPage, turn_idx: int) -> Dict:
+    blocks = model_stub_blocks(page.blocks)
+    separator_x, header_y_max, footer_y_min = \
+        find_column_separator_a000(page, blocks)
+    regions = classify_a000(blocks, page.height, separator_x,
+                            header_y_max, footer_y_min)
+    header_text = blocks_to_text_a000(regions["header"])
+    footer_text = blocks_to_text_a000(regions["footer"])
+    left_text = blocks_to_text_a000(regions["left_column"])
+    right_text = blocks_to_text_a000(regions["right_column"])
+    metadata = {  # A000_layoutlm_extractor.py:271-281
+        "total_text_blocks_layoutlm": len(blocks),
+        "header_blocks": len(regions["header"]),
+        "footer_blocks": len(regions["footer"]),
+        "left_column_blocks": len(regions["left_column"]),
+        "right_column_blocks": len(regions["right_column"]),
+        "vertical_lines_detected_count": len(
+            detect_vertical_lines_a000(page.vlines, page.width, page.height)),
+        "page_rect": [0.0, 0.0, page.width, page.height],
+        "header_y_boundary": header_y_max,
+        "footer_y_boundary": footer_y_min,
+    }
+    header_n = normalize_text_field(header_text)
+    footer_n = normalize_text_field(footer_text)
+    left_n = normalize_text_field(left_text)
+    right_n = normalize_text_field(right_text)
+    return {
+        "page_number": turn_idx + 1,
+        "header": header_n,
+        "footer": footer_n,
+        "left_column": left_n,
+        "right_column": right_n,
+        "page_width": _round2(page.width),
+        "page_height": _round2(page.height),
+        "column_separator_position": _round2(separator_x),
+        "extracted_text": assemble_extracted_text(header_n, left_n,
+                                                  right_n, footer_n),
+        "metadata_json": canonical_metadata_json(metadata),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -426,6 +595,8 @@ def assemble_extracted_text(header: str, left: str, right: str, footer: str) -> 
 # Per-turn orchestration (A002_header_footer_2_col.py:223-280)
 # ---------------------------------------------------------------------------
 
+CLASSIFIERS["a000"] = None  # routed via the dedicated flow in extract_turn
+
 OUTPUT_FIELDS = (
     "page_number", "header", "footer", "left_column", "right_column",
     "page_width", "page_height", "column_separator_position",
@@ -452,10 +623,13 @@ def extract_turn(text: str, tool: str, turn_idx: int,
         if tool == "html":
             from .html_parse import parse_html_payload
             page = parse_html_payload(text)
-        elif tool in ("pdf_layout", "colored", "vision"):
+        elif tool in ("pdf_layout", "colored", "vision", "layoutlm"):
             page = parse_layout_payload(text)
         else:
             page = plain_text_page(text)
+
+        if strategy == "a000":
+            return _extract_turn_a000(page, turn_idx)
 
         separator_x = find_column_separator(page.width, page.blocks, page.vlines)
         classify = CLASSIFIERS[strategy]

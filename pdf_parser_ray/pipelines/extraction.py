@@ -69,6 +69,31 @@ def extract_dataset(transcripts, *, batch_size: int = 512,
     )
 
 
+def compare_strategies(transcripts, strategies, *, batch_size: int = 512):
+    """Run N extraction strategies over the SAME transcript Dataset and
+    return {strategy_name: extracted Dataset} — the analog of the
+    reference's multi-strategy comparison harness
+    (pdf_layout_tester.py:325-365, compare_extractors). Each strategy
+    routes every tool to itself (forced), so outputs are comparable
+    row-for-row on (conv_id, turn_idx)."""
+    import functools
+
+    from ..kernel import CLASSIFIERS
+    from ..stages.extract import extract_batch
+
+    out = {}
+    for name in strategies:
+        if name not in CLASSIFIERS:
+            raise ValueError(f"unknown strategy {name!r}; "
+                             f"known: {sorted(CLASSIFIERS)}")
+        forced = {tool: name for tool in
+                  ("pdf_layout", "colored", "vision", "layoutlm", "html", "")}
+        out[name] = transcripts.map_batches(
+            functools.partial(extract_batch, registry=forced),
+            batch_format="pyarrow", batch_size=batch_size)
+    return out
+
+
 def heavy_conversations(transcripts, *, threshold: int = 64):
     """Cheap skew pre-pass (SURVEY.md §4): conv_id -> turn count, heavy
     keys only. Projects to one column, pre-counts per batch, and only

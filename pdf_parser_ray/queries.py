@@ -245,6 +245,53 @@ def events_user_topk(sf_dir: str) -> pd.DataFrame:
             .head(10).reset_index(drop=True))
 
 
+def events_user_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window (1h) aggregate per user — the engine's windowed
+    aggregation operator (SURVEY.md §2.9: Ray Data has no event-time
+    windows; tumbling windows are a grouped aggregate on the truncated
+    timestamp)."""
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": b["user_id"].values,
+                             "hour": b["ts"].dt.floor("h").values,
+                             "v_c": _cents(b["value"])})
+
+    g = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                    ["user_id", "hour"], {"n_events": ("count", None),
+                                          "s": ("sum", "v_c")})
+    out = g[["user_id", "hour", "n_events"]].copy()
+    out["sum_value"] = _d(g["s"]) / 100.0
+    return out.sort_values(["user_id", "hour"]).reset_index(drop=True)
+
+
+def events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-min inactivity gap) per user: bucketed
+    per-user combine, vectorized diff+cumsum inside the bucket. Ordering
+    ties on equal ts are gap-safe (diff 0 < gap -> same session), so the
+    result is deterministic under any stable tie order."""
+    from .relational import bucketed_map_groups
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+    gap = pd.Timedelta(minutes=30)
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = df["user_id"] != df["user_id"].shift()
+        gap_break = (df["ts"] - df["ts"].shift()) > gap
+        df = df.assign(session_id=(new_user | gap_break).groupby(
+            df["user_id"], observed=True).cumsum().astype("int64"))
+        g = df.groupby(["user_id", "session_id"], sort=False)
+        return pd.DataFrame({
+            "n_events": g.size(),
+            "session_start": g["ts"].min(),
+            "session_end": g["ts"].max(),
+        }).reset_index()
+
+    out = bucketed_map_groups(ds, ["user_id"], sessions).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
 def events_distinct_types(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "events", ["event_type"])
     return distinct(ds, ["event_type"]).sort_values(
@@ -404,6 +451,70 @@ def transcript_exact_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+def conversation_json_envelopes(sf_dir: str) -> pd.DataFrame:
+    """S3 sink analog: per-conversation JSON layout envelope."""
+    from .pipelines.extraction import run_extraction
+    from .stages.sinks import conversation_json_dataset
+    out = conversation_json_dataset(run_extraction(sf_dir)).to_pandas()
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def conversation_markdown_c001(sf_dir: str) -> pd.DataFrame:
+    """S6 sink analog: C001 comment-marker markdown variant."""
+    from .pipelines.extraction import run_extraction
+    from .stages.sinks import markdown_c001_dataset
+    out = markdown_c001_dataset(run_extraction(sf_dir)).to_pandas()
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def questions_reports(sf_dir: str) -> pd.DataFrame:
+    """S4+S5 sink analogs: per-conversation question JSON + markdown."""
+    from .pipelines.extraction import run_extraction
+    from .stages.questions import questions_dataset
+    from .stages.sinks import questions_json_dataset, questions_markdown_dataset
+    qs = questions_dataset(run_extraction(sf_dir)).materialize()
+    md = questions_markdown_dataset(qs).to_pandas()
+    js = questions_json_dataset(qs).to_pandas()[["conv_id", "questions_json"]]
+    out = md.merge(js, on="conv_id")
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def extract_compare_strategies(sf_dir: str) -> pd.DataFrame:
+    """Multi-strategy comparison harness (pdf_layout_tester.py:325-365
+    analog): every strategy over the same transcripts, summarized."""
+    import ray.data as rd
+    from .pipelines.extraction import compare_strategies
+    from .sources.transcripts import transcripts_table
+    t = transcripts_table(sf_dir, limit_docs=60)
+    results = compare_strategies(rd.from_arrow(t),
+                                 ["a000", "a002", "a003", "a004"])
+    rows = []
+    for name, ds in results.items():
+        df = ds.to_pandas()
+        rows.append({
+            "strategy": name,
+            "n_turns": len(df),
+            "n_with_header": int((df["header"] != "").sum()),
+            "n_with_footer": int((df["footer"] != "").sum()),
+            "extracted_chars": int(df["extracted_text"].str.len().sum()),
+        })
+    return (pd.DataFrame(rows).sort_values("strategy")
+            .reset_index(drop=True))
+
+
+def transcript_turnspec_filter(sf_dir: str) -> pd.DataFrame:
+    """M15 page-spec analog: parse '2-4' and push the turn_idx predicate
+    into the stream."""
+    import ray.data as rd
+    from .functions.pagespec import filter_turns
+    from .sources.transcripts import transcripts_table
+    t = transcripts_table(sf_dir, limit_docs=100)
+    ds = rd.from_arrow(t.select(["conv_id", "turn_idx", "tool"]))
+    out = filter_turns(ds, "2-4").to_pandas()
+    return (out.sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True))
+
+
 def multimodal_decode(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
     from .stages.multimodal import synth_media_table, decode_media_dataset
@@ -427,6 +538,8 @@ QUERIES = {
     "events_type_stats": events_type_stats,
     "events_hourly_counts": events_hourly_counts,
     "events_user_topk": events_user_topk,
+    "events_user_hourly": events_user_hourly,
+    "events_sessions": events_sessions,
     "events_distinct_types": events_distinct_types,
     "events_dedup_user_type": events_dedup_user_type,
     "docs_token_counts": docs_token_counts,
@@ -447,6 +560,11 @@ QUERIES = {
     "transcript_questions": transcript_questions,
     "conversation_markdown": conversation_markdown,
     "transcript_exact_dedup": transcript_exact_dedup,
+    "conversation_json_envelopes": conversation_json_envelopes,
+    "conversation_markdown_c001": conversation_markdown_c001,
+    "questions_reports": questions_reports,
+    "extract_compare_strategies": extract_compare_strategies,
+    "transcript_turnspec_filter": transcript_turnspec_filter,
     "multimodal_decode": multimodal_decode,
 }
 
@@ -542,6 +660,31 @@ ORACLES = {
                  / 100.0 AS total_value
         FROM events GROUP BY user_id
         ORDER BY total_value DESC, user_id LIMIT 10
+    """,
+    "events_user_hourly": """
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS sum_value
+        FROM events GROUP BY user_id, hour ORDER BY user_id, hour
+    """,
+    "events_sessions": """
+        WITH d AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM d)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM s GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
     """,
     "events_distinct_types": """
         SELECT DISTINCT event_type FROM events ORDER BY event_type

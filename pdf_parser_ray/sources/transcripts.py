@@ -182,6 +182,7 @@ _FAMILIES = (
     ("", "plain"),                  # 7: whole-page plain-text fallback
     ("pdf_layout", "near_tie"),     # 8: <10 line-grouping tolerance ties
     ("edge", "edge"),               # 9: empty / whitespace / malformed / corrupt
+    ("layoutlm", "layoutlm"),       # 10: a000 model-stub strategy path
 )
 
 
@@ -220,6 +221,17 @@ def _payload_for(rng: random.Random, fam: int, words: List[str],
         return tool, _make_layout_payload(
             rng, words, vline="center", columns=2, colored=False,
             footer_kind="digit", near_tie=True, questions=False, malformed=False)
+    if kind == "layoutlm":
+        payload = _make_layout_payload(
+            rng, words, vline=("center", "none")[rng.randint(0, 1)],
+            columns=2, colored=False, footer_kind="digit",
+            near_tie=False, questions=False, malformed=False)
+        # sprinkle bullet lines so the model stub emits List regions
+        extra = "\n".join(
+            f"40.0,{500.0 + 18 * i:.1f},280.0,{512.0 + 18 * i:.1f}|11.0|Times|- "
+            + " ".join(_chunk_words(words, 400 + 9 * i, 4))
+            for i in range(rng.randint(1, 3)))
+        return tool, payload + "\n" + extra
     # edge family
     edge = rng.randint(0, 3)
     if edge == 0:
@@ -247,13 +259,13 @@ def turns_for_doc(doc_id: int, text: str, *,
     conv_id = f"conv-{doc_id:08d}"
     rows = []
     for turn_idx in range(n_turns):
-        fam = (doc_id + 7 * turn_idx) % 10
+        fam = (doc_id + 7 * turn_idx) % len(_FAMILIES)
         tool, payload = _payload_for(rng, fam, words, turn_idx)
         if tool == "edge":
             tool = ""
         if turn_idx == 0:
             role = "user"
-        elif tool in ("pdf_layout", "colored", "vision", "html"):
+        elif tool in ("pdf_layout", "colored", "vision", "html", "layoutlm"):
             role = "tool"
         else:
             role = "assistant" if turn_idx % 2 else "user"

@@ -26,6 +26,7 @@ TOOL_STRATEGY_MAP: Dict[str, str] = {
     "pdf_layout": "a002",
     "colored": "a003",
     "vision": "a004",
+    "layoutlm": "a000",
     "html": "a002",
     "": "a002",
 }

@@ -358,12 +358,205 @@ class OracleExtractor:
             }
 
 
+class A000OracleExtractor:
+    """Transliteration of A000_layoutlm_extractor.py:59-293 over
+    serialized pages, with the same deterministic model stub as the
+    engine (fake layout model = per-block type heuristic)."""
+
+    def model_blocks(self, page: OPage):
+        out = []
+        for b in page.text_blocks:
+            if b.font_size >= 13.0:
+                btype = "Title"
+            elif b.text.startswith(("-", "*", "•")):
+                btype = "List"
+            else:
+                btype = "Text"
+            if btype in ["Text", "Title", "List"]:
+                out.append(OTextBlock(b.text, b.bbox, -1.0, "PDF_native"))
+        return out
+
+    # A000:110-126 (relative thresholds)
+    def detect_vertical_lines(self, page: OPage):
+        vertical_lines = []
+        page_height = page.height
+        for item in page.raw_lines:
+            x0, y0, x1, y1 = item
+            if (abs(x1 - x0) < page.width * 0.01
+                    and abs(y1 - y0) > page_height * 0.2):
+                vertical_lines.append((x0, y0, x1, y1))
+        return vertical_lines
+
+    # A000:128-181
+    def find_column_separator(self, page: OPage, text_blocks):
+        page_width = page.width
+        separator_x = page_width / 2
+        line_y0 = None
+        line_y1 = None
+        vertical_lines = self.detect_vertical_lines(page)
+        if vertical_lines:
+            center_x = page_width / 2
+            best_line = None
+            best_length = 0.0
+            for line in vertical_lines:
+                x0, y0, x1, y1 = line
+                length = abs(y1 - y0)
+                distance_from_center = abs((x0 + x1) / 2 - center_x)
+                if (distance_from_center < page_width * 0.25
+                        and length > best_length):
+                    best_line = line
+                    best_length = length
+            if best_line:
+                separator_x = (best_line[0] + best_line[2]) / 2
+                line_y0 = best_line[1]
+                line_y1 = best_line[3]
+                return separator_x, line_y0, line_y1
+        if not text_blocks:
+            return page_width / 2, None, None
+        for test_separator_x in range(int(page_width * 0.3),
+                                      int(page_width * 0.7) + 1, 5):
+            left_count = 0
+            right_count = 0
+            for block in text_blocks:
+                block_center_x = (block.bbox[0] + block.bbox[2]) / 2
+                if block_center_x < test_separator_x:
+                    left_count += 1
+                elif block_center_x > test_separator_x:
+                    right_count += 1
+            if (left_count > len(text_blocks) * 0.1
+                    and right_count > len(text_blocks) * 0.1):
+                separator_x = float(test_separator_x)
+                break
+        return separator_x, None, None
+
+    # A000:183-215
+    def classify_text_regions(self, text_blocks, page_height, separator_x,
+                              header_y_max, footer_y_min):
+        effective_header_y_max = (header_y_max + 10
+                                  if header_y_max is not None
+                                  else page_height * 0.15)
+        effective_footer_y_min = (footer_y_min - 10
+                                  if footer_y_min is not None
+                                  else page_height * 0.9)
+        regions = {"header": [], "footer": [],
+                   "left_column": [], "right_column": []}
+        for block in text_blocks:
+            x0, y0, x1, y1 = block.bbox
+            if y1 < effective_header_y_max:
+                regions["header"].append(block)
+            elif y0 > effective_footer_y_min:
+                regions["footer"].append(block)
+            else:
+                block_center_x = (x0 + x1) / 2
+                if block_center_x < separator_x:
+                    regions["left_column"].append(block)
+                else:
+                    regions["right_column"].append(block)
+        return regions
+
+    # A000:217-248
+    def blocks_to_text(self, blocks):
+        if not blocks:
+            return ""
+        sorted_blocks = sorted(blocks, key=lambda b: (b.bbox[1], b.bbox[0]))
+        lines = []
+        current_line_blocks = []
+        current_line_y_max = -1
+        for block in sorted_blocks:
+            if not current_line_blocks or (
+                    block.bbox[1] < current_line_y_max + 10):
+                current_line_blocks.append(block)
+                current_line_y_max = max(current_line_y_max, block.bbox[3])
+            else:
+                if current_line_blocks:
+                    lines.append(current_line_blocks)
+                current_line_blocks = [block]
+                current_line_y_max = block.bbox[3]
+        if current_line_blocks:
+            lines.append(current_line_blocks)
+        text_lines = []
+        for line_blocks in lines:
+            text_lines.append(" ".join(
+                b.text for b in sorted(line_blocks,
+                                       key=lambda b: b.bbox[0])))
+        return "\n".join(text_lines)
+
+    # A000:250-293 (+ normalization applied like the other oracles)
+    def extract_page_layout(self, text: str, turn_idx: int) -> Dict:
+        try:
+            page = parse_page(text)
+            text_blocks = self.model_blocks(page)
+            separator_x, header_y_max, footer_y_min = \
+                self.find_column_separator(page, text_blocks)
+            regions = self.classify_text_regions(
+                text_blocks, page.height, separator_x,
+                header_y_max, footer_y_min)
+            header_text = self.blocks_to_text(regions["header"])
+            footer_text = self.blocks_to_text(regions["footer"])
+            left_column_text = self.blocks_to_text(regions["left_column"])
+            right_column_text = self.blocks_to_text(regions["right_column"])
+            metadata = {
+                "total_text_blocks_layoutlm": len(text_blocks),
+                "header_blocks": len(regions["header"]),
+                "footer_blocks": len(regions["footer"]),
+                "left_column_blocks": len(regions["left_column"]),
+                "right_column_blocks": len(regions["right_column"]),
+                "vertical_lines_detected_count": len(
+                    self.detect_vertical_lines(page)),
+                "page_rect": [0.0, 0.0, page.width, page.height],
+                "header_y_boundary": header_y_max,
+                "footer_y_boundary": footer_y_min,
+            }
+
+            def norm(t):
+                if not t:
+                    return t
+                return "\n".join(line.strip()
+                                 for line in t.split("\n")).strip()
+
+            header_text = norm(header_text)
+            footer_text = norm(footer_text)
+            left_column_text = norm(left_column_text)
+            right_column_text = norm(right_column_text)
+            parts = [p for p in (header_text, left_column_text,
+                                 right_column_text, footer_text) if p]
+            return {
+                "page_number": turn_idx + 1,
+                "header": header_text,
+                "footer": footer_text,
+                "left_column": left_column_text,
+                "right_column": right_column_text,
+                "page_width": round(page.width, 2) if page.width else page.width,
+                "page_height": round(page.height, 2) if page.height else page.height,
+                "column_separator_position": round(separator_x, 2)
+                if separator_x else separator_x,
+                "extracted_text": "\n\n".join(parts),
+                "metadata_json": json.dumps(metadata, sort_keys=True,
+                                            ensure_ascii=False),
+            }
+        except Exception as e:
+            return {
+                "page_number": turn_idx + 1,
+                "header": "", "footer": "",
+                "left_column": "", "right_column": "",
+                "page_width": 0.0, "page_height": 0.0,
+                "column_separator_position": None,
+                "extracted_text": "",
+                "metadata_json": json.dumps({"error": str(e)},
+                                            sort_keys=True,
+                                            ensure_ascii=False),
+            }
+
+
 _TOOL_STRATEGY = {"pdf_layout": "a002", "colored": "a003",
-                  "vision": "a004", "html": "a002", "": "a002"}
+                  "vision": "a004", "layoutlm": "a000",
+                  "html": "a002", "": "a002"}
 
 
 def oracle_extract_turn(text: str, tool: str, turn_idx: int) -> Dict:
     strategy = _TOOL_STRATEGY.get(tool or "", "a002")
+    if strategy == "a000":
+        return A000OracleExtractor().extract_page_layout(text, turn_idx)
     return OracleExtractor(strategy).extract_page_layout(text, tool or "",
                                                          turn_idx)
 
