@@ -1,0 +1,89 @@
+"""CLI entry points — the E1/E2/E3 analogs (pdf_layout_tester.py:369-396,
+A003_colored_footer.py:363-430, A004_Vision_2025.py:446-500).
+
+    python -m pdf_parser_ray extract   --sf-dir DIR [--out DIR] [--pages 1-5]
+    python -m pdf_parser_ray questions --sf-dir DIR [--out DIR]
+    python -m pdf_parser_ray markdown  --sf-dir DIR [--out DIR] [--style c001|c002]
+
+Owns its Ray session (scripts init; the driver harness and library never
+do)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="pdf_parser_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("extract", "questions", "markdown"):
+        s = sub.add_parser(name)
+        s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+        s.add_argument("--out", default=None)
+        s.add_argument("--pages", default=None,
+                       help="page spec: '3', '1-5', ... (M15)")
+        if name == "markdown":
+            s.add_argument("--style", choices=("c001", "c002"),
+                           default="c002")
+        if name == "extract":
+            s.add_argument("--n-buckets", type=int, default=32)
+    args = p.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from .pipelines.extraction import extract_dataset, run_extraction
+    from .sources.transcripts import transcripts_dataset
+
+    try:
+        if args.cmd == "extract":
+            if args.pages is not None:
+                from .functions.pagespec import filter_turns
+                ts = filter_turns(transcripts_dataset(args.sf_dir),
+                                  args.pages)
+                ds = extract_dataset(ts)
+                if args.out:
+                    from .state.checkpoint import checkpointed_write
+                    metrics = checkpointed_write(ds, args.out,
+                                                 n_buckets=args.n_buckets)
+                    print(metrics.to_string(index=False))
+                else:
+                    print(f"extracted {ds.count()} turns")
+            elif args.out:
+                metrics = run_extraction(args.sf_dir, out_dir=args.out,
+                                         n_buckets=args.n_buckets)
+                print(metrics.to_string(index=False))
+            else:
+                print(f"extracted {run_extraction(args.sf_dir).count()} turns")
+        elif args.cmd == "questions":
+            from .stages.questions import questions_dataset
+            qs = questions_dataset(run_extraction(args.sf_dir))
+            if args.out:
+                qs.write_parquet(args.out)
+                print(f"wrote questions to {args.out}")
+            else:
+                print(f"extracted {qs.count()} questions")
+        elif args.cmd == "markdown":
+            ex = run_extraction(args.sf_dir)
+            if args.style == "c001":
+                from .stages.sinks import markdown_c001_dataset
+                md = markdown_c001_dataset(ex)
+            else:
+                from .stages.assemble import markdown_dataset
+                md = markdown_dataset(ex)
+            if args.out:
+                md.write_parquet(args.out)
+                print(f"wrote markdown to {args.out}")
+            else:
+                print(f"rendered {md.count()} conversations")
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
