@@ -396,6 +396,14 @@ def dedup_ngram_char(sf_dir: str) -> pd.DataFrame:
     return minhash_dedup_pairs(ds, shingle="char5", threshold=0.7)
 
 
+def dedup_minhash_keep(sf_dir: str) -> pd.DataFrame:
+    """Near-dup dedup as a FILTER: connected components over verified
+    pairs, min-id representative kept per component."""
+    from .stages.dedup import minhash_dedup_keep
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_keep(ds, threshold=0.7)
+
+
 def dedup_simhash(sf_dir: str) -> pd.DataFrame:
     from .stages.dedup import simhash_dedup_pairs
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -552,6 +560,7 @@ QUERIES = {
     "embeddings_knn_lsh": embeddings_knn_lsh,
     "embeddings_near_dup": embeddings_near_dup,
     "dedup_minhash_word": dedup_minhash_word,
+    "dedup_minhash_keep": dedup_minhash_keep,
     "dedup_ngram_char": dedup_ngram_char,
     "dedup_simhash": dedup_simhash,
     "docs_lang_id": docs_lang_id,

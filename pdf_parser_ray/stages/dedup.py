@@ -212,6 +212,51 @@ def minhash_dedup_pairs(ds, *, num_perm: int = 128, bands: int = 16,
             .astype({"id_a": "int64", "id_b": "int64"}))
 
 
+def components_from_pairs(pairs: pd.DataFrame) -> dict:
+    """Union-find over the near-dup pair list -> {id: representative
+    (min id of its component)}. Driver-side on purpose: the LSH contract
+    makes the verified pair set tiny relative to the corpus; were it
+    ever large, swap in iterative min-label propagation (a few
+    groupby-min rounds over the edge list)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def minhash_dedup_keep(ds, *, num_perm: int = 128, bands: int = 16,
+                       shingle: str = "word3", threshold: float = 0.7,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       batch_size: int = 4096) -> pd.DataFrame:
+    """The actual training-data dedup operator: drop near-duplicates,
+    keeping each component's min-id representative. Returns the kept id
+    set; filter the corpus with a broadcast of the DROPPED set (tiny),
+    not the kept one."""
+    pairs = minhash_dedup_pairs(
+        ds, num_perm=num_perm, bands=bands, shingle=shingle,
+        threshold=threshold, text_col=text_col, id_col=id_col,
+        batch_size=batch_size)
+    comp = components_from_pairs(pairs)
+    dropped = {x for x, rep in comp.items() if rep != x}
+    kept = ds.map_batches(
+        lambda b: b[~b[id_col].isin(dropped)][[id_col]],
+        batch_format="pandas", batch_size=batch_size).to_pandas()
+    return (kept.sort_values(id_col).reset_index(drop=True)
+            .astype({id_col: "int64"}))
+
+
 # ---------------------------------------------------------------- simhash
 
 class SimHashStage:
