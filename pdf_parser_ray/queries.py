@@ -376,6 +376,12 @@ def embeddings_knn_lsh(sf_dir: str) -> pd.DataFrame:
     return knn_lsh(ds, _query_vec(sf_dir), k=10, exclude_id=0)
 
 
+def embeddings_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    from .stages.similarity import knn_ivf
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf(ds, _query_vec(sf_dir), k=10, exclude_id=0)
+
+
 def embeddings_near_dup(sf_dir: str) -> pd.DataFrame:
     from .stages.dedup import embedding_dedup_pairs
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -558,6 +564,7 @@ QUERIES = {
     "docs_fingerprint": docs_fingerprint,
     "embeddings_knn_bruteforce": embeddings_knn_bruteforce,
     "embeddings_knn_lsh": embeddings_knn_lsh,
+    "embeddings_knn_ivf": embeddings_knn_ivf,
     "embeddings_near_dup": embeddings_near_dup,
     "dedup_minhash_word": dedup_minhash_word,
     "dedup_minhash_keep": dedup_minhash_keep,

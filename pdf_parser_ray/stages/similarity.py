@@ -50,6 +50,57 @@ def knn_bruteforce(ds, query_vec, k: int = 10, *,
             .head(k).reset_index(drop=True))
 
 
+def train_ivf_centroids(ds, *, n_clusters: int = 16, sample_size: int = 2048,
+                        n_iter: int = 10, seed: int = 99,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Train IVF coarse centroids: seeded sample of the corpus (driver
+    holds only sample_size vectors), Lloyd's k-means in numpy. At real
+    scale the sample is a `random_sample` read; centroids are tiny and
+    broadcast to every probe/assign task."""
+    sample = ds.random_sample(1.0, seed=seed).limit(sample_size).to_pandas()
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_clusters, len(X)),
+                         replace=False)]
+    for _ in range(n_iter):
+        sims = X @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def knn_ivf(ds, query_vec, k: int = 10, *, n_clusters: int = 16,
+            nprobe: int = 4, vec_col: str = "embedding",
+            id_col: str = "vec_id", exclude_id=None, seed: int = 99,
+            batch_size: int = 8192) -> pd.DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest coarse
+    centroid per batch (broadcast centroid matrix, one matmul), keep
+    only vectors whose centroid is among the query's ``nprobe`` nearest,
+    exact re-rank inside the probed subset. Scan fraction ~nprobe/n_clusters."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = train_ivf_centroids(ds, n_clusters=n_clusters, seed=seed,
+                                vec_col=vec_col)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = set(np.argsort(-(cents @ qn))[:nprobe].tolist())
+
+    def filter_probed(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                           1e-12)
+        assign = ((vecs / norms) @ cents.T).argmax(axis=1)
+        return batch[np.isin(assign, list(probe))]
+
+    probed = ds.map_batches(filter_probed, batch_format="pandas",
+                            batch_size=batch_size)
+    return knn_bruteforce(probed, q, k, vec_col=vec_col, id_col=id_col,
+                          exclude_id=exclude_id, batch_size=batch_size)
+
+
 def _bucket_keys(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
     proj = vecs @ planes.T > 0
     return (proj @ (1 << np.arange(planes.shape[0]))).astype(np.int64)

@@ -124,3 +124,24 @@ def test_knn_bruteforce_matches_numpy(ray_session):
     assert len(approx) <= 10
     assert set(approx["vec_id"]) <= set(range(1, 500))
     assert approx["cos_sim"].is_monotonic_decreasing
+
+
+def test_knn_ivf_recall(ray_session):
+    import ray.data as rd
+    from pdf_parser_ray.stages.similarity import knn_bruteforce, knn_ivf
+    rng = np.random.RandomState(1)
+    vecs = rng.standard_normal((600, 16))
+    df = pd.DataFrame({"vec_id": np.arange(600), "embedding": list(vecs)})
+    q = vecs[7]
+    exact = knn_bruteforce(rd.from_pandas(df).repartition(4), q, k=10,
+                           exclude_id=7)
+    approx = knn_ivf(rd.from_pandas(df).repartition(4), q, k=10,
+                     exclude_id=7, n_clusters=8, nprobe=4)
+    assert len(approx) == 10
+    # probing half the clusters should recover most true neighbors
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.5
+    # deterministic: same call twice -> identical frame
+    approx2 = knn_ivf(rd.from_pandas(df).repartition(4), q, k=10,
+                      exclude_id=7, n_clusters=8, nprobe=4)
+    pd.testing.assert_frame_equal(approx, approx2)
