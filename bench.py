@@ -43,6 +43,12 @@ def _ensure_transcripts() -> str:
     out = f"/tmp/graft_bench/transcripts_{tag}_m{BENCH_MULT}"
     if os.path.exists(f"{out}/_DONE"):
         return out
+    if os.path.exists(out):
+        # a previous run died mid-write: partial part files would be
+        # silently appended to (write_parquet names files per-run) and
+        # every later benchmark would read duplicated turns
+        import shutil
+        shutil.rmtree(out)
 
     docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
                            columns=["doc_id", "text"],

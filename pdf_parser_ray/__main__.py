@@ -40,36 +40,35 @@ def main(argv=None):
     from .pipelines.extraction import extract_dataset, run_extraction
     from .sources.transcripts import transcripts_dataset
 
+    def extracted_turns():
+        """Shared extraction front-end honoring --pages for EVERY
+        subcommand (a spec silently ignored is worse than an error)."""
+        if args.pages is not None:
+            from .functions.pagespec import filter_turns
+            ts = filter_turns(transcripts_dataset(args.sf_dir), args.pages)
+            return extract_dataset(ts)
+        return run_extraction(args.sf_dir)
+
     try:
         if args.cmd == "extract":
-            if args.pages is not None:
-                from .functions.pagespec import filter_turns
-                ts = filter_turns(transcripts_dataset(args.sf_dir),
-                                  args.pages)
-                ds = extract_dataset(ts)
-                if args.out:
-                    from .state.checkpoint import checkpointed_write
-                    metrics = checkpointed_write(ds, args.out,
-                                                 n_buckets=args.n_buckets)
-                    print(metrics.to_string(index=False))
-                else:
-                    print(f"extracted {ds.count()} turns")
-            elif args.out:
-                metrics = run_extraction(args.sf_dir, out_dir=args.out,
-                                         n_buckets=args.n_buckets)
+            ds = extracted_turns()
+            if args.out:
+                from .state.checkpoint import checkpointed_write
+                metrics = checkpointed_write(ds, args.out,
+                                             n_buckets=args.n_buckets)
                 print(metrics.to_string(index=False))
             else:
-                print(f"extracted {run_extraction(args.sf_dir).count()} turns")
+                print(f"extracted {ds.count()} turns")
         elif args.cmd == "questions":
             from .stages.questions import questions_dataset
-            qs = questions_dataset(run_extraction(args.sf_dir))
+            qs = questions_dataset(extracted_turns())
             if args.out:
                 qs.write_parquet(args.out)
                 print(f"wrote questions to {args.out}")
             else:
                 print(f"extracted {qs.count()} questions")
         elif args.cmd == "markdown":
-            ex = run_extraction(args.sf_dir)
+            ex = extracted_turns()
             if args.style == "c001":
                 from .stages.sinks import markdown_c001_dataset
                 md = markdown_c001_dataset(ex)

@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 
 from .relational import (broadcast_join, distinct, grouped_agg, hash_join,
-                         read_table, topk)
+                         read_table)
 
 # Money columns in the testdata are 2-decimal fixed point. Aggregating
 # doubles in parallel makes the result depend on summation order, and

@@ -62,6 +62,14 @@ def read_table(sf_dir: str, name: str, columns: Optional[List[str]] = None,
 
 # ------------------------------------------------- bucketed group-combine
 
+def stable_bucket_series(s: pd.Series, n_buckets: int) -> np.ndarray:
+    """Vectorized deterministic bucket ids for a key Series
+    (pd.util.hash_pandas_object: fixed-key siphash, identical across
+    processes/nodes for a given pandas version)."""
+    return (pd.util.hash_pandas_object(s, index=False)
+            .to_numpy() % n_buckets).astype(np.int32)
+
+
 def default_buckets() -> int:
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
@@ -209,8 +217,14 @@ class _BroadcastJoiner:
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner",
-                   batch_size: int = 65536, concurrency=(1, 2)):
+                   batch_size: int = 65536, concurrency=None):
     import ray
+    if concurrency is None:
+        # size the pool to the cluster (leaving shuffle headroom); a
+        # hard (1, 2) cap would throttle the big-side merge to 2 actors
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        concurrency = (1, max(1, cpus - 2))
     ref = ray.put(small_df)
     return ds.map_batches(_BroadcastJoiner, batch_format="pandas",
                           batch_size=batch_size, concurrency=concurrency,
@@ -226,8 +240,14 @@ def hash_join(left, right, on: str, how: str = "inner",
     groupby('bucket') shuffle co-locates matching keys; each bucket is
     merged with pandas. Bucket count ≫ nodes keeps skew bounded; salt
     hot keys by raising n_buckets.
+
+    NULL join keys follow SQL semantics: they never match. Null-key
+    rows are dropped from the probe/build sides up front (inner join);
+    for how='left' the left side's null-key rows are retained and emit
+    unmatched output rows.
     """
-    import pyarrow.compute as pc
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join supports inner/left, got {how!r}")
 
     l_schema, r_schema = left.schema(), right.schema()
     l_names = [n for n in l_schema.names]
@@ -251,17 +271,12 @@ def hash_join(left, right, on: str, how: str = "inner",
 
     def prep(side_names, side_tag):
         def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            if side_tag == "r" or how == "inner":
+                t = t.filter(pc.is_valid(t.column(on)))  # SQL: NULL never matches
             n = t.num_rows
-            key = t.column(on)
-            if pa.types.is_integer(key.type):
-                bucket = pa.array(
-                    (key.combine_chunks().to_numpy(zero_copy_only=False)
-                     % n_buckets).astype(np.int32))
-            else:
-                import zlib
-                bucket = pa.array(np.asarray(
-                    [zlib.crc32(str(v).encode()) % n_buckets
-                     for v in key.to_pylist()], dtype=np.int32))
+            key_s = t.column(on).to_pandas()
+            bucket = pa.array(stable_bucket_series(key_s, n_buckets))
             cols, names = [], []
             for name in all_names:
                 names.append(name)

@@ -261,8 +261,6 @@ def turns_for_doc(doc_id: int, text: str, *,
     for turn_idx in range(n_turns):
         fam = (doc_id + 7 * turn_idx) % len(_FAMILIES)
         tool, payload = _payload_for(rng, fam, words, turn_idx)
-        if tool == "edge":
-            tool = ""
         if turn_idx == 0:
             role = "user"
         elif tool in ("pdf_layout", "colored", "vision", "html", "layoutlm"):
@@ -338,9 +336,9 @@ def transcripts_table(sf_dir: str, *, limit_docs: int | None = None,
                       with_duplicates: bool = False) -> pa.Table:
     """Driver/test-side synthesis without Ray (small tiers only).
 
-    ``with_duplicates`` appends an exact copy of each mega-conv's rows
-    with turn_idx 1 and 2 (duplicate (conv_id, turn_idx) keys) for the
-    exact-dedup tests.
+    ``with_duplicates`` appends an exact copy of turns 1 and 2 of every
+    ``doc_id % 11 == 0`` conversation (duplicate (conv_id, turn_idx)
+    keys) for the exact-dedup tests.
     """
     import pyarrow.parquet as pq
 

@@ -78,8 +78,12 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 128, shingle: str = "word3"):
         rng = np.random.RandomState(12345)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        # coefficients and shingle hashes are kept < 2^31 so a*h+b stays
+        # below 2^62 and never wraps int64 — (a*h+b) mod p must be the
+        # real universal-hash value or the banding S-curve is
+        # miscalibrated and near-dup candidates get silently missed
+        self.a = rng.randint(1, 2**31, size=num_perm, dtype=np.int64)
+        self.b = rng.randint(0, 2**31, size=num_perm, dtype=np.int64)
         self.num_perm = num_perm
         self.shingle = shingle
 
@@ -94,7 +98,9 @@ class MinHasher:
             items = {text[i:i + n] for i in range(max(0, len(text) - n + 1))}
         if not items:
             items = {""}
-        return np.array([_stable_u64(s) & ((1 << 60) - 1) for s in items],
+        # 31-bit shingle ids: see __init__ overflow note (birthday
+        # collisions at typical per-doc shingle counts are ~1e-4)
+        return np.array([_stable_u64(s) & ((1 << 31) - 1) for s in items],
                         dtype=np.int64)
 
     def signature(self, text: str) -> np.ndarray:

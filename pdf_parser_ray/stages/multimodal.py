@@ -9,12 +9,12 @@ Everything Ray-side is real and tested: schema, actor-pool signature,
 small batch sizing for wide binary rows, Arrow-native list<float>
 feature output.
 
-Payload wire format for the deterministic fake codec (16-byte header):
-  bytes 0-4   magic b"FAKE0"
-  bytes 5-6   kind: b"im"/b"au"/b"vi"
-  bytes 6-10  width  (uint32 LE)  [audio: sample rate]
-  bytes 10-14 height (uint32 LE)  [audio: n_samples]
-  bytes 14-16 channels (uint16 LE)
+Payload wire format for the deterministic fake codec (17-byte header):
+  bytes 0-5   magic b"FAKE0"
+  bytes 5-7   kind: b"im"/b"au"/b"vi"
+  bytes 7-11  width  (uint32 LE)  [audio: sample rate]
+  bytes 11-15 height (uint32 LE)  [audio: n_samples]
+  bytes 15-17 channels (uint16 LE)
   rest        payload bytes
 """
 

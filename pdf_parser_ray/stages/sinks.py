@@ -21,6 +21,13 @@ import json
 import pandas as pd
 
 
+def _null_if_nan(v):
+    # error records carry separator None, which pandas stores as NaN;
+    # json.dumps would emit the literal NaN (invalid JSON) — the
+    # reference serializes None as null (A002:298 json.dump of asdict)
+    return None if v is None or (isinstance(v, float) and pd.isna(v)) else v
+
+
 def _conv_json(group: pd.DataFrame) -> pd.DataFrame:
     group = group.sort_values("turn_idx")
     pages = []
@@ -31,9 +38,10 @@ def _conv_json(group: pd.DataFrame) -> pd.DataFrame:
             "footer": row.footer,
             "left_column": row.left_column,
             "right_column": row.right_column,
-            "page_width": row.page_width,
-            "page_height": row.page_height,
-            "column_separator_position": row.column_separator_position,
+            "page_width": _null_if_nan(row.page_width),
+            "page_height": _null_if_nan(row.page_height),
+            "column_separator_position": _null_if_nan(
+                row.column_separator_position),
             "metadata": json.loads(row.metadata_json),
         })
     data = {  # A002:292-296 envelope, conv_id standing in for pdf_path

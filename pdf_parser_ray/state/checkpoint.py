@@ -16,9 +16,10 @@ from the input BEFORE the shuffle with a vectorized ``is_in`` filter, so
 finished work costs one pruned scan, not recomputation. Correct because
 the kernel is pure per-row (same input bucket -> same bytes).
 
-Bucketing is a stable content hash of the partition key
-(``crc32(conv_id)``), NOT Python ``hash()`` (which is salted per
-process) — so bucket membership is identical across runs and nodes.
+Bucketing is a stable content hash of the partition key (vectorized
+fixed-key siphash via relational.stable_bucket_series), NOT Python
+``hash()`` (which is salted per process) — so bucket membership is
+identical across runs and nodes.
 """
 
 from __future__ import annotations
@@ -26,7 +27,6 @@ from __future__ import annotations
 import json
 import os
 import time
-import zlib
 from typing import List, Optional
 
 import numpy as np
@@ -37,9 +37,12 @@ import pyarrow.parquet as pq
 
 
 def stable_bucket_array(keys: pa.Array, n_buckets: int) -> pa.Array:
-    crc = [zlib.crc32(k.encode("utf-8")) % n_buckets
-           for k in keys.to_pylist()]
-    return pa.array(np.asarray(crc, dtype=np.int32), pa.int32())
+    """Vectorized stable bucketing (shared scheme with
+    relational.stable_bucket_series — deterministic across processes
+    for a given pandas version, recorded in the manifest contract)."""
+    from ..relational import stable_bucket_series
+    return pa.array(stable_bucket_series(keys.to_pandas(), n_buckets),
+                    pa.int32())
 
 
 def add_bucket_column(batch: pa.Table, *, key: str, n_buckets: int) -> pa.Table:
