@@ -70,3 +70,49 @@ def markdown_dataset(extracted_ds):
     at conversation cardinality."""
     from ..relational import bucketed_map_groups
     return bucketed_map_groups(extracted_ds, ["conv_id"], _render_bucket)
+
+
+def markdown_dataset_salted(extracted_ds, *, salt_turns: int = 64):
+    """Two-phase assembly for MEGA conversations (SURVEY.md §7.3):
+    phase 1 salts each conversation into contiguous turn chunks
+    (salt = turn_idx // salt_turns) and renders each chunk's pages
+    independently — per-task memory is bounded by salt_turns regardless
+    of conversation length; phase 2 concatenates the chunk strings per
+    conversation in salt order. Page-section rendering is associative
+    over turn ranges, so the result equals the single-phase render."""
+    from ..relational import bucketed_map_groups
+
+    def render_chunks(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (conv_id, salt), g in df.groupby(["conv_id", "__salt"],
+                                             sort=False):
+            rendered = render_conversation_markdown(g)
+            out.append(pd.DataFrame({
+                "conv_id": [conv_id],
+                "__salt": [salt],
+                "chunk_pages": [int(rendered["total_pages"].iloc[0])],
+                "chunk_md": [rendered["markdown"].iloc[0]],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["__salt"] = (df["turn_idx"] // salt_turns).astype("int32")
+        return df
+
+    salted = extracted_ds.map_batches(add_salt, batch_format="pandas")
+    chunks = bucketed_map_groups(salted, ["conv_id", "__salt"],
+                                 render_chunks)
+
+    def merge_conv(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for conv_id, g in df.groupby("conv_id", sort=False):
+            g = g.sort_values("__salt")
+            out.append(pd.DataFrame({
+                "conv_id": [conv_id],
+                "total_pages": [int(g["chunk_pages"].sum())],
+                "markdown": ["\n".join(g["chunk_md"])],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_map_groups(chunks, ["conv_id"], merge_conv)

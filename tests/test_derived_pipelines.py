@@ -83,6 +83,21 @@ def test_markdown_assembly(extracted):
     assert md.loc[conv, "total_pages"] == len(rows)
 
 
+def test_salted_assembly_equals_single_phase(extracted):
+    """Two-phase salted render must be byte-identical to the direct
+    per-conversation render, incl. the 120-turn mega-conv."""
+    from pdf_parser_ray.stages.assemble import (markdown_dataset,
+                                                markdown_dataset_salted)
+    ds, _t = extracted
+    direct = (markdown_dataset(ds).to_pandas()
+              .sort_values("conv_id").reset_index(drop=True))
+    salted = (markdown_dataset_salted(ds, salt_turns=16).to_pandas()
+              .sort_values("conv_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(direct, salted)
+    mega = direct[direct["conv_id"] == "conv-00000000"]
+    assert int(mega["total_pages"].iloc[0]) == 120
+
+
 def test_checkpoint_resume(ray_session, tmp_path):
     import ray.data as rd
     from pdf_parser_ray.pipelines.extraction import extract_dataset
