@@ -292,6 +292,84 @@ def events_sessions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
+def events_running_sum(sf_dir: str) -> pd.DataFrame:
+    """Per-user running cumulative value (streaming-state analog):
+    bucketed per-user combine, vectorized sort + int64-cents cumsum.
+    Deterministic total order (ts, event_id) on both sides."""
+    from .relational import bucketed_map_groups
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v_c = _cents(df["value"])
+        csum = (pd.Series(v_c, index=df.index)
+                .groupby(df["user_id"], observed=True).cumsum())
+        return pd.DataFrame({
+            "event_id": df["event_id"].values,
+            "user_id": df["user_id"].values,
+            "ts": df["ts"].values,
+            "running_value": csum.astype("float64").values / 100.0,
+        })
+
+    out = bucketed_map_groups(ds, ["user_id"], running).to_pandas()
+    return out.sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+
+def events_top_per_user(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k (top 3 events by value per user), tie-broken by
+    event_id — a per-group window operator."""
+    from .relational import bucketed_map_groups
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.groupby("user_id", sort=False, observed=True).head(3)
+
+    out = bucketed_map_groups(ds, ["user_id"], topn).to_pandas()
+    return (out[["user_id", "event_id", "value"]]
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+
+
+def events_hourly_moving_avg(sf_dir: str) -> pd.DataFrame:
+    """3-hour trailing moving average over the hourly count series:
+    the heavy aggregation is distributed; the rolling window runs on
+    the already-tiny hour series."""
+    hourly = events_hourly_counts(sf_dir).sort_values("hour")
+    hourly["moving_avg"] = (hourly["n_events"]
+                            .rolling(3, min_periods=1).mean())
+    return hourly.reset_index(drop=True)
+
+
+def parts_anti_join(sf_dir: str) -> pd.DataFrame:
+    """Anti join via broadcast key set: parts never shipped in a
+    quantity > 49 lineitem."""
+    from .relational import anti_join
+    li = read_table(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    heavy = distinct(
+        li.map_batches(lambda b: b[b["l_quantity"] > 49][["l_partkey"]],
+                       batch_format="pandas"),
+        ["l_partkey"])
+    parts = read_table(sf_dir, "part", ["p_partkey", "p_name"])
+    out = anti_join(parts, set(heavy["l_partkey"]), on="p_partkey").to_pandas()
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def parts_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Semi join via broadcast key set: parts that DO appear in a
+    quantity > 49 lineitem."""
+    from .relational import semi_join
+    li = read_table(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    heavy = distinct(
+        li.map_batches(lambda b: b[b["l_quantity"] > 49][["l_partkey"]],
+                       batch_format="pandas"),
+        ["l_partkey"])
+    parts = read_table(sf_dir, "part", ["p_partkey", "p_name"])
+    out = semi_join(parts, set(heavy["l_partkey"]), on="p_partkey").to_pandas()
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
 def events_distinct_types(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "events", ["event_type"])
     return distinct(ds, ["event_type"]).sort_values(
@@ -554,6 +632,11 @@ QUERIES = {
     "events_user_topk": events_user_topk,
     "events_user_hourly": events_user_hourly,
     "events_sessions": events_sessions,
+    "events_running_sum": events_running_sum,
+    "events_top_per_user": events_top_per_user,
+    "events_hourly_moving_avg": events_hourly_moving_avg,
+    "parts_anti_join": parts_anti_join,
+    "parts_semi_join": parts_semi_join,
     "events_distinct_types": events_distinct_types,
     "events_dedup_user_type": events_dedup_user_type,
     "docs_token_counts": docs_token_counts,
@@ -701,6 +784,45 @@ ORACLES = {
                MIN(ts) AS session_start, MAX(ts) AS session_end
         FROM s GROUP BY user_id, session_id
         ORDER BY user_id, session_id
+    """,
+    "events_running_sum": """
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+                 AS running_value
+        FROM events ORDER BY user_id, ts
+    """,
+    "events_top_per_user": """
+        SELECT user_id, event_id, value
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) <= 3
+        ORDER BY user_id, event_id
+    """,
+    "events_hourly_moving_avg": """
+        WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+                          COUNT(*) AS n_events
+                   FROM events GROUP BY 1)
+        SELECT hour, n_events,
+               AVG(n_events) OVER (ORDER BY hour
+                                   ROWS BETWEEN 2 PRECEDING
+                                   AND CURRENT ROW) AS moving_avg
+        FROM h ORDER BY hour
+    """,
+    "parts_anti_join": """
+        SELECT p_partkey, p_name FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_partkey = p.p_partkey
+                            AND l.l_quantity > 49)
+        ORDER BY p_partkey
+    """,
+    "parts_semi_join": """
+        SELECT p_partkey, p_name FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey
+                        AND l.l_quantity > 49)
+        ORDER BY p_partkey
     """,
     "events_distinct_types": """
         SELECT DISTINCT event_type FROM events ORDER BY event_type

@@ -306,6 +306,30 @@ def hash_join(left, right, on: str, how: str = "inner",
                                              batch_format="pandas")
 
 
+def semi_join(ds, key_set, on: str, *, anti: bool = False,
+              batch_size: int = 65536):
+    """Semi / anti join against a broadcast key set (SURVEY guide
+    pattern: broadcast the key set — or a Bloom filter of it at real
+    scale — and filter inside map_batches; no shuffle)."""
+    import ray
+    ref = ray.put(frozenset(key_set))
+
+    class Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mask = batch[on].isin(self.keys)
+            return batch[~mask] if anti else batch[mask]
+
+    return ds.map_batches(Filter, batch_format="pandas",
+                          batch_size=batch_size, concurrency=(1, 2))
+
+
+def anti_join(ds, key_set, on: str, **kw):
+    return semi_join(ds, key_set, on, anti=True, **kw)
+
+
 # ----------------------------------------------------------------- distinct
 
 def distinct(ds, columns: List[str], batch_size: int = 65536) -> pd.DataFrame:
