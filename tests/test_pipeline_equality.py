@@ -75,6 +75,39 @@ def test_per_turn_equality_vs_oracle(ray_session, xs_table):
         pd.testing.assert_series_equal(got[col], want[col], check_names=False)
 
 
+def test_full_corpus_equality_vs_oracle(ray_session):
+    """All 500 documents' turns (every payload family + the mega-conv):
+    extracted_text equality row-for-row."""
+    import ray.data as rd
+    from pdf_parser_ray.pipelines.extraction import extract_dataset
+    full = transcripts_table(SF_DIR)
+    got = (extract_dataset(rd.from_arrow(full), batch_size=256)
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    want = _oracle_frame(full)
+    assert len(got) == len(want) and len(got) > 3000
+    mism = (got["extracted_text"] != want["extracted_text"])
+    assert not mism.any(), f"{int(mism.sum())} extracted_text mismatches"
+    assert (got["metadata_json"] == want["metadata_json"]).all()
+
+
+def test_golden_snapshot(ray_session):
+    """Pipeline output vs the stored ORACLE-generated golden parquet
+    (regenerated only by the oracle script — guards against kernel and
+    oracle drifting together; FIXTURES.md §2)."""
+    import ray.data as rd
+    golden = pd.read_parquet("tests/golden/extracted_xs.parquet")
+    from pdf_parser_ray.pipelines.extraction import extract_dataset
+    t = transcripts_table(SF_DIR, limit_docs=60)
+    got = (extract_dataset(rd.from_arrow(t), batch_size=128)
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    assert len(got) == len(golden) == 447
+    for col in ("extracted_text", "header", "footer", "left_column",
+                "right_column", "metadata_json"):
+        assert (got[col] == golden[col]).all(), col
+
+
 def test_mega_conversation_present(xs_table):
     counts = (xs_table.to_pandas().groupby("conv_id").size())
     assert counts.max() >= 100          # doc_id 0 is a mega-conv
