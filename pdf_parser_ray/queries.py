@@ -312,7 +312,8 @@ def events_running_sum(sf_dir: str) -> pd.DataFrame:
         })
 
     out = bucketed_map_groups(ds, ["user_id"], running).to_pandas()
-    return out.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    return (out.sort_values(["user_id", "ts", "event_id"])
+            .reset_index(drop=True))
 
 
 def events_top_per_user(sf_dir: str) -> pd.DataFrame:
@@ -342,17 +343,23 @@ def events_hourly_moving_avg(sf_dir: str) -> pd.DataFrame:
     return hourly.reset_index(drop=True)
 
 
-def parts_anti_join(sf_dir: str) -> pd.DataFrame:
-    """Anti join via broadcast key set: parts never shipped in a
-    quantity > 49 lineitem."""
-    from .relational import anti_join
+def _heavy_partkeys(sf_dir: str) -> set:
+    """Distinct partkeys appearing in a quantity > 49 lineitem (the
+    shared probe-key set for the semi/anti join pair)."""
     li = read_table(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
     heavy = distinct(
         li.map_batches(lambda b: b[b["l_quantity"] > 49][["l_partkey"]],
                        batch_format="pandas"),
         ["l_partkey"])
+    return set(heavy["l_partkey"])
+
+
+def parts_anti_join(sf_dir: str) -> pd.DataFrame:
+    """Anti join via broadcast key set: parts never shipped in a
+    quantity > 49 lineitem."""
+    from .relational import anti_join
     parts = read_table(sf_dir, "part", ["p_partkey", "p_name"])
-    out = anti_join(parts, set(heavy["l_partkey"]), on="p_partkey").to_pandas()
+    out = anti_join(parts, _heavy_partkeys(sf_dir), on="p_partkey").to_pandas()
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
@@ -360,13 +367,8 @@ def parts_semi_join(sf_dir: str) -> pd.DataFrame:
     """Semi join via broadcast key set: parts that DO appear in a
     quantity > 49 lineitem."""
     from .relational import semi_join
-    li = read_table(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
-    heavy = distinct(
-        li.map_batches(lambda b: b[b["l_quantity"] > 49][["l_partkey"]],
-                       batch_format="pandas"),
-        ["l_partkey"])
     parts = read_table(sf_dir, "part", ["p_partkey", "p_name"])
-    out = semi_join(parts, set(heavy["l_partkey"]), on="p_partkey").to_pandas()
+    out = semi_join(parts, _heavy_partkeys(sf_dir), on="p_partkey").to_pandas()
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 

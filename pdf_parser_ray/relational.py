@@ -313,6 +313,8 @@ def semi_join(ds, key_set, on: str, *, anti: bool = False,
     scale — and filter inside map_batches; no shuffle)."""
     import ray
     ref = ray.put(frozenset(key_set))
+    cpus = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
 
     class Filter:
         def __init__(self):
@@ -323,7 +325,8 @@ def semi_join(ds, key_set, on: str, *, anti: bool = False,
             return batch[~mask] if anti else batch[mask]
 
     return ds.map_batches(Filter, batch_format="pandas",
-                          batch_size=batch_size, concurrency=(1, 2))
+                          batch_size=batch_size,
+                          concurrency=(1, max(1, cpus - 2)))
 
 
 def anti_join(ds, key_set, on: str, **kw):

@@ -61,25 +61,32 @@ def _render_bucket(df: pd.DataFrame) -> pd.DataFrame:
                      ignore_index=True)
 
 
-def markdown_dataset(extracted_ds):
-    """extracted turns -> one markdown row per conversation.
-
-    Conversations are hash-bucketed and rendered per bucket
-    (relational.bucketed_map_groups): shuffling on ~2xCPU buckets
-    instead of per-conv groups avoids Ray's per-group reduce overhead
-    at conversation cardinality."""
+def markdown_dataset_direct(extracted_ds):
+    """Single-phase render (one conversation per group inside a hash
+    bucket). Used by tests as the equivalence baseline; production goes
+    through the salted two-phase path (markdown_dataset)."""
     from ..relational import bucketed_map_groups
     return bucketed_map_groups(extracted_ds, ["conv_id"], _render_bucket)
+
+
+def markdown_dataset(extracted_ds, *, salt_turns: int = 64):
+    """extracted turns -> one markdown row per conversation, via the
+    two-phase salted assembly (proven byte-identical to the direct
+    render; see markdown_dataset_salted)."""
+    return markdown_dataset_salted(extracted_ds, salt_turns=salt_turns)
 
 
 def markdown_dataset_salted(extracted_ds, *, salt_turns: int = 64):
     """Two-phase assembly for MEGA conversations (SURVEY.md §7.3):
     phase 1 salts each conversation into contiguous turn chunks
     (salt = turn_idx // salt_turns) and renders each chunk's pages
-    independently — per-task memory is bounded by salt_turns regardless
-    of conversation length; phase 2 concatenates the chunk strings per
-    conversation in salt order. Page-section rendering is associative
-    over turn ranges, so the result equals the single-phase render."""
+    independently — the RENDER task's working set is bounded by
+    salt_turns regardless of conversation length; phase 2 concatenates
+    the chunk strings per conversation in salt order (phase 2 still
+    materializes one conversation's full markdown, ~2x its rendered
+    bytes — the raw per-turn payloads, the heavy part, never co-reside).
+    Page-section rendering is associative over turn ranges, so the
+    result equals the single-phase render."""
     from ..relational import bucketed_map_groups
 
     def render_chunks(df: pd.DataFrame) -> pd.DataFrame:

@@ -86,10 +86,10 @@ def test_markdown_assembly(extracted):
 def test_salted_assembly_equals_single_phase(extracted):
     """Two-phase salted render must be byte-identical to the direct
     per-conversation render, incl. the 120-turn mega-conv."""
-    from pdf_parser_ray.stages.assemble import (markdown_dataset,
+    from pdf_parser_ray.stages.assemble import (markdown_dataset_direct,
                                                 markdown_dataset_salted)
     ds, _t = extracted
-    direct = (markdown_dataset(ds).to_pandas()
+    direct = (markdown_dataset_direct(ds).to_pandas()
               .sort_values("conv_id").reset_index(drop=True))
     salted = (markdown_dataset_salted(ds, salt_turns=16).to_pandas()
               .sort_values("conv_id").reset_index(drop=True))

@@ -95,8 +95,11 @@ def test_golden_snapshot(ray_session):
     """Pipeline output vs the stored ORACLE-generated golden parquet
     (regenerated only by the oracle script — guards against kernel and
     oracle drifting together; FIXTURES.md §2)."""
+    import pathlib
+
     import ray.data as rd
-    golden = pd.read_parquet("tests/golden/extracted_xs.parquet")
+    golden = pd.read_parquet(pathlib.Path(__file__).parent
+                             / "golden" / "extracted_xs.parquet")
     from pdf_parser_ray.pipelines.extraction import extract_dataset
     t = transcripts_table(SF_DIR, limit_docs=60)
     got = (extract_dataset(rd.from_arrow(t), batch_size=128)
