@@ -372,6 +372,37 @@ def parts_semi_join(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
+def events_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct-count sketch (p=12, ~1.6% stderr) —
+    per-batch registers max-merged; deterministic (fixed hash key), so
+    rows-only re-runs are stable."""
+    from .stages.sketches import approx_distinct
+    ds = read_table(sf_dir, "events", ["user_id"])
+    return pd.DataFrame({"approx_distinct_users":
+                         pd.array([approx_distinct(ds, "user_id")],
+                                  dtype="int64")})
+
+
+def parts_bloom_prefilter(sf_dir: str) -> pd.DataFrame:
+    """Bloom semi-join prefilter: lineitem rows probed against a Bloom
+    of heavy partkeys (superset of the exact semi join; fp-rate column
+    quantifies the overshoot)."""
+    from .stages.sketches import bloom_from_dataset, bloom_semi_join
+    import ray.data as rd
+    heavy = sorted(_heavy_partkeys(sf_dir))
+    bloom = bloom_from_dataset(
+        rd.from_pandas(pd.DataFrame({"k": pd.array(heavy, dtype="int64")})),
+        "k", n_bits=1 << 16)
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    kept = bloom_semi_join(li.rename_columns({"l_partkey": "k"}),
+                           bloom, on="k").to_pandas()
+    exact = kept[kept["k"].isin(set(heavy))]
+    return pd.DataFrame({
+        "bloom_rows": pd.array([len(kept)], dtype="int64"),
+        "exact_rows": pd.array([len(exact)], dtype="int64"),
+    })
+
+
 def events_distinct_types(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "events", ["event_type"])
     return distinct(ds, ["event_type"]).sort_values(
@@ -639,6 +670,8 @@ QUERIES = {
     "events_hourly_moving_avg": events_hourly_moving_avg,
     "parts_anti_join": parts_anti_join,
     "parts_semi_join": parts_semi_join,
+    "events_approx_distinct_users": events_approx_distinct_users,
+    "parts_bloom_prefilter": parts_bloom_prefilter,
     "events_distinct_types": events_distinct_types,
     "events_dedup_user_type": events_dedup_user_type,
     "docs_token_counts": docs_token_counts,

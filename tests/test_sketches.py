@@ -1,0 +1,71 @@
+"""Bloom / HyperLogLog sketch tests: no false negatives, bounded error,
+merge associativity, end-to-end prefilter semantics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_parser_ray.stages.sketches import (BloomFilter, approx_distinct,
+                                            bloom_from_dataset,
+                                            bloom_semi_join, hll_estimate,
+                                            hll_partial)
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    bf = BloomFilter(n_bits=1 << 16, k=5)
+    members = pd.Series([f"key-{i}" for i in range(2000)])
+    bf.add_many(members)
+    assert bf.contains_many(members).all()          # no false negatives
+    others = pd.Series([f"other-{i}" for i in range(5000)])
+    fp_rate = bf.contains_many(others).mean()
+    assert fp_rate < 0.05, fp_rate
+
+
+def test_bloom_merge_equals_single_build():
+    a = BloomFilter(n_bits=1 << 14, k=4).add_many(pd.Series(range(0, 500)))
+    b = BloomFilter(n_bits=1 << 14, k=4).add_many(pd.Series(range(500, 1000)))
+    merged = a.merge(b)
+    whole = BloomFilter(n_bits=1 << 14, k=4).add_many(pd.Series(range(1000)))
+    assert np.array_equal(merged.bits, whole.bits)
+
+
+def test_hll_accuracy_and_merge():
+    s = pd.Series([f"v{i}" for i in range(50_000)])
+    est = hll_estimate(hll_partial(s))
+    assert abs(est - 50_000) / 50_000 < 0.05
+    # element-wise max merge of halves == whole
+    r1 = hll_partial(s[:25_000])
+    r2 = hll_partial(s[25_000:])
+    assert hll_estimate(np.maximum(r1, r2)) == pytest.approx(est)
+
+
+def test_distributed_sketches(ray_session):
+    import ray.data as rd
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"k": rng.randint(0, 3000, 20_000)})
+    ds = rd.from_pandas(df).repartition(6)
+
+    est = approx_distinct(ds, "k")
+    exact = df["k"].nunique()
+    assert abs(est - exact) / exact < 0.05
+
+    # bloom built from one side filters the other with zero false negatives
+    keys = rd.from_pandas(pd.DataFrame({"k": np.arange(0, 1000)}))
+    bloom = bloom_from_dataset(keys, "k", n_bits=1 << 16)
+    kept = bloom_semi_join(ds, bloom, on="k").to_pandas()
+    true_members = df[df["k"] < 1000]
+    assert len(kept) >= len(true_members)                  # superset
+    assert set(true_members.index).issubset(set(kept.index))
+    extra = (kept["k"] >= 1000).mean()
+    assert extra < 0.05
+
+
+def test_events_approx_distinct_users(ray_session):
+    import pyarrow.parquet as pq
+    from pdf_parser_ray.relational import read_table
+    exact = (pq.read_table("/root/testdata/sf0.001/events.parquet",
+                           columns=["user_id"])
+             .to_pandas()["user_id"].nunique())
+    ds = read_table("/root/testdata/sf0.001", "events", ["user_id"])
+    est = approx_distinct(ds, "user_id")
+    assert abs(est - exact) / exact < 0.05
