@@ -372,6 +372,37 @@ def parts_semi_join(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
+def events_median_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed median per event_type WITHOUT a global sort:
+    the 2-decimal values collapse to an int-cents histogram
+    ((type, value_c) -> count, cardinality bounded by distinct values,
+    not rows) via partial-agg groupby; the order statistics come from
+    the tiny cumulative histogram. Integer arithmetic end-to-end, so
+    the result is bit-equal to the SQL window-function oracle."""
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"].values,
+                             "v_c": _cents(b["value"])})
+
+    hist = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                       ["event_type", "v_c"], {"cnt": ("count", None)})
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("v_c")
+        counts = g["cnt"].to_numpy()
+        values = g["v_c"].to_numpy()
+        n = int(counts.sum())
+        cum = counts.cumsum()
+        lo_rank = (n - 1) // 2          # floor((n-1)/2)
+        hi_rank = n // 2                # ceil((n-1)/2)
+        lo = int(values[np.searchsorted(cum, lo_rank + 1)])
+        hi = int(values[np.searchsorted(cum, hi_rank + 1)])
+        rows.append({"event_type": etype,
+                     "median_value": float(lo + hi) / 2.0 / 100.0})
+    return pd.DataFrame(rows).reset_index(drop=True)
+
+
 def events_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog distinct-count sketch (p=12, ~1.6% stderr) —
     per-batch registers max-merged; deterministic (fixed hash key), so
@@ -670,6 +701,7 @@ QUERIES = {
     "events_hourly_moving_avg": events_hourly_moving_avg,
     "parts_anti_join": parts_anti_join,
     "parts_semi_join": parts_semi_join,
+    "events_median_by_type": events_median_by_type,
     "events_approx_distinct_users": events_approx_distinct_users,
     "parts_bloom_prefilter": parts_bloom_prefilter,
     "events_distinct_types": events_distinct_types,
@@ -858,6 +890,21 @@ ORACLES = {
                       WHERE l.l_partkey = p.p_partkey
                         AND l.l_quantity > 49)
         ORDER BY p_partkey
+    """,
+    "events_median_by_type": """
+        WITH v AS (SELECT event_type,
+                          CAST(ROUND(value * 100) AS BIGINT) AS vc
+                   FROM events),
+        r AS (SELECT event_type, vc,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY vc) - 1 AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM v)
+        SELECT event_type,
+               CAST(SUM(CASE WHEN rn = (n - 1) // 2 THEN vc ELSE 0 END)
+                    + SUM(CASE WHEN rn = n // 2 THEN vc ELSE 0 END)
+                    AS DOUBLE) / 2.0 / 100.0 AS median_value
+        FROM r GROUP BY event_type ORDER BY event_type
     """,
     "events_distinct_types": """
         SELECT DISTINCT event_type FROM events ORDER BY event_type
