@@ -20,6 +20,9 @@ def main(argv=None):
     for name in ("extract", "questions", "markdown"):
         s = sub.add_parser(name)
         s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+        s.add_argument("--transcripts", default=None,
+                       help="existing transcript parquet file/dir "
+                            "(overrides --sf-dir synthesis)")
         s.add_argument("--out", default=None)
         s.add_argument("--pages", default=None,
                        help="page spec: '3', '1-5', ... (M15)")
@@ -41,13 +44,20 @@ def main(argv=None):
     from .sources.transcripts import transcripts_dataset
 
     def extracted_turns():
-        """Shared extraction front-end honoring --pages for EVERY
-        subcommand (a spec silently ignored is worse than an error)."""
+        """Shared extraction front-end honoring --transcripts and
+        --pages for EVERY subcommand (a spec silently ignored is worse
+        than an error)."""
+        if args.transcripts is not None:
+            import ray.data as rd
+            ts = rd.read_parquet(args.transcripts,
+                                 columns=["conv_id", "turn_idx",
+                                          "text", "tool"])
+        else:
+            ts = transcripts_dataset(args.sf_dir)
         if args.pages is not None:
             from .functions.pagespec import filter_turns
-            ts = filter_turns(transcripts_dataset(args.sf_dir), args.pages)
-            return extract_dataset(ts)
-        return run_extraction(args.sf_dir)
+            ts = filter_turns(ts, args.pages)
+        return extract_dataset(ts)
 
     try:
         if args.cmd == "extract":

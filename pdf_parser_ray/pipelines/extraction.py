@@ -105,15 +105,7 @@ def heavy_conversations(transcripts, *, threshold: int = 64):
     return dict(zip(heavy["conv_id"], heavy["count"]))
 
 
-def run_extraction(sf_dir: str, out_dir: Optional[str] = None, *,
-                   ordered: bool = False, batch_size: int = 512,
-                   concurrency=None, n_buckets: int = 32):
-    """The flagship run. Returns the (lazy) extracted Dataset; when
-    ``out_dir`` is given, executes the checkpointed write and returns the
-    lineage metrics DataFrame instead."""
-    ts = transcripts_dataset(sf_dir)
-    extracted = extract_dataset(ts, batch_size=batch_size,
-                                concurrency=concurrency)
+def _finish(extracted, out_dir, ordered, n_buckets):
     if ordered:
         extracted = extracted.sort(["conv_id", "turn_idx"])
     if out_dir is not None:
@@ -121,3 +113,33 @@ def run_extraction(sf_dir: str, out_dir: Optional[str] = None, *,
         return checkpointed_write(extracted, out_dir, key="conv_id",
                                   n_buckets=n_buckets)
     return extracted
+
+
+def run_extraction(sf_dir: str, out_dir: Optional[str] = None, *,
+                   ordered: bool = False, batch_size: int = 512,
+                   concurrency=None, n_buckets: int = 32):
+    """The flagship run over the SYNTHESIZED corpus (documents ->
+    transcripts -> extraction). Returns the (lazy) extracted Dataset;
+    when ``out_dir`` is given, executes the checkpointed write and
+    returns the lineage metrics DataFrame instead."""
+    ts = transcripts_dataset(sf_dir)
+    extracted = extract_dataset(ts, batch_size=batch_size,
+                                concurrency=concurrency)
+    return _finish(extracted, out_dir, ordered, n_buckets)
+
+
+def run_extraction_from_parquet(transcripts_path, out_dir: Optional[str] = None,
+                                *, ordered: bool = False,
+                                batch_size: int = 512, concurrency=None,
+                                n_buckets: int = 32, columns=None):
+    """The PRODUCTION entry: extract an existing transcript Parquet
+    table (file, directory of part files, or list of paths — at real
+    scale the file count drives read parallelism). Only the columns the
+    kernel needs are read unless ``columns`` overrides."""
+    import ray.data as rd
+    ts = rd.read_parquet(transcripts_path,
+                         columns=columns or ["conv_id", "turn_idx",
+                                             "text", "tool"])
+    extracted = extract_dataset(ts, batch_size=batch_size,
+                                concurrency=concurrency)
+    return _finish(extracted, out_dir, ordered, n_buckets)

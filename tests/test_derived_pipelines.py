@@ -131,6 +131,26 @@ def test_checkpoint_resume(ray_session, tmp_path):
     assert not readback.duplicated(["conv_id", "turn_idx"]).any()
 
 
+def test_run_extraction_from_parquet(ray_session, tmp_path):
+    """Production entry: extract an existing transcript parquet dir;
+    result must equal extracting the same rows in-memory."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from pdf_parser_ray.pipelines.extraction import (
+        extract_dataset, run_extraction_from_parquet)
+    t = transcripts_table(SF_DIR, limit_docs=25)
+    pdir = tmp_path / "transcripts"
+    pdir.mkdir()
+    pq.write_table(t.slice(0, 80), str(pdir / "part-0.parquet"))
+    pq.write_table(t.slice(80), str(pdir / "part-1.parquet"))
+
+    got = (run_extraction_from_parquet(str(pdir)).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    want = (extract_dataset(rd.from_arrow(t), batch_size=64).to_pandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_heavy_conversations_prepass(ray_session):
     import ray.data as rd
     from pdf_parser_ray.pipelines.extraction import heavy_conversations
