@@ -75,12 +75,16 @@ def _ensure_transcripts() -> str:
 
 
 def _flagship_dataset():
-    """transcripts parquet -> extraction (the timed engine pipeline)."""
+    """transcripts parquet -> extraction (the timed engine pipeline).
+    Column-pruned read: the kernel needs 4 of the 6 transcript columns
+    (role/ts never leave storage)."""
     import ray.data as rd
 
     from pdf_parser_ray.pipelines.extraction import extract_dataset
 
-    transcripts = rd.read_parquet(_ensure_transcripts())
+    transcripts = rd.read_parquet(_ensure_transcripts(),
+                                  columns=["conv_id", "turn_idx",
+                                           "text", "tool"])
     return extract_dataset(transcripts, batch_size=512)
 
 
@@ -101,7 +105,9 @@ def run_queries() -> dict:
     headline = ["q1_pricing_summary", "events_type_stats",
                 "orders_customer_join_stats", "docs_exact_dedup",
                 "docs_top_tokens", "embeddings_knn_bruteforce",
-                "dedup_minhash_word", "transcript_questions"]
+                "dedup_minhash_word", "transcript_questions",
+                "events_sessions", "events_median_by_type",
+                "embeddings_knn_ivf", "events_approx_distinct_users"]
     out = {}
     for name in headline:
         t0 = time.perf_counter()
