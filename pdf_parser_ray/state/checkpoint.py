@@ -45,8 +45,23 @@ def stable_bucket_array(keys: pa.Array, n_buckets: int) -> pa.Array:
                     pa.int32())
 
 
-def add_bucket_column(batch: pa.Table, *, key: str, n_buckets: int) -> pa.Table:
-    col = stable_bucket_array(batch.column(key).combine_chunks(), n_buckets)
+def add_bucket_column(batch: pa.Table, *, key: str, n_buckets: int,
+                      salt_turns: int = 0) -> pa.Table:
+    """Bucket by key — or, with ``salt_turns`` > 0, by
+    (key, turn_idx // salt_turns): a mega-conversation then spreads
+    across many buckets so no single writer task holds more than
+    ~salt_turns of its rows (SURVEY.md §4 skew salting). Bucket remains
+    a pure row function, so resume semantics are unchanged."""
+    if salt_turns:
+        from ..relational import stable_bucket_series
+        keys = batch.column(key).to_pandas()
+        chunk = (batch.column("turn_idx").to_pandas() // salt_turns)
+        col = pa.array(stable_bucket_series(
+            keys.astype(str) + "#" + chunk.astype(str), n_buckets),
+            pa.int32())
+    else:
+        col = stable_bucket_array(batch.column(key).combine_chunks(),
+                                  n_buckets)
     return batch.append_column("bucket", col)
 
 
@@ -96,7 +111,8 @@ def _write_bucket(group: pd.DataFrame, out_dir: str) -> pd.DataFrame:
 
 
 def checkpointed_write(ds, out_dir: str, *, key: str = "conv_id",
-                       n_buckets: int = 32) -> pd.DataFrame:
+                       n_buckets: int = 32,
+                       salt_turns: int = 0) -> pd.DataFrame:
     """Write ``ds`` as resumable bucketed parquet; returns the per-bucket
     lineage metrics (small — one row per bucket).
 
@@ -110,18 +126,22 @@ def checkpointed_write(ds, out_dir: str, *, key: str = "conv_id",
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = json.load(f)
-        if manifest["n_buckets"] != n_buckets or manifest["key"] != key:
+        if (manifest["n_buckets"] != n_buckets or manifest["key"] != key
+                or manifest.get("salt_turns", 0) != salt_turns):
             raise ValueError(
                 f"resume mismatch: manifest has n_buckets="
-                f"{manifest['n_buckets']} key={manifest['key']!r}")
+                f"{manifest['n_buckets']} key={manifest['key']!r} "
+                f"salt_turns={manifest.get('salt_turns', 0)}")
     else:
         with open(manifest_path, "w") as f:
-            json.dump({"n_buckets": n_buckets, "key": key}, f)
+            json.dump({"n_buckets": n_buckets, "key": key,
+                       "salt_turns": salt_turns}, f)
 
     done = completed_buckets(out_dir)
 
     bucketed = ds.map_batches(add_bucket_column, batch_format="pyarrow",
-                              fn_kwargs={"key": key, "n_buckets": n_buckets})
+                              fn_kwargs={"key": key, "n_buckets": n_buckets,
+                                         "salt_turns": salt_turns})
     if done:
         done_arr = pa.array(done, pa.int32())
         bucketed = bucketed.map_batches(

@@ -131,6 +131,35 @@ def test_checkpoint_resume(ray_session, tmp_path):
     assert not readback.duplicated(["conv_id", "turn_idx"]).any()
 
 
+def test_checkpoint_salted_buckets(ray_session, tmp_path):
+    """With salt_turns, a mega-conversation spreads across buckets and
+    the readback is still complete and duplicate-free."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+    from pdf_parser_ray.pipelines.extraction import extract_dataset
+    from pdf_parser_ray.state.checkpoint import checkpointed_write
+    out = str(tmp_path / "salted")
+    t = transcripts_table(SF_DIR, limit_docs=30)
+    ds = extract_dataset(rd.from_arrow(t), batch_size=128)
+    m = checkpointed_write(ds, out, n_buckets=8, salt_turns=16)
+    # mega conv (120 turns / 16-turn chunks) must span several buckets
+    spread = sum("conv-00000000" in (row.conv_id_min, row.conv_id_max)
+                 or (row.conv_id_min <= "conv-00000000" <= row.conv_id_max)
+                 for row in m.itertuples())
+    readback = pds.dataset(out, format="parquet").to_table().to_pandas()
+    mega = readback[readback["conv_id"] == "conv-00000000"]
+    assert len(mega) == 120 and not mega.duplicated("turn_idx").any()
+    per_bucket = [len(pds.dataset(f"{out}/bucket={int(b):05d}",
+                                  format="parquet").to_table()
+                      .to_pandas().query("conv_id == 'conv-00000000'"))
+                  for b in m["bucket"]]
+    assert max(p for p in per_bucket if p) <= 48   # no bucket holds it all
+    assert sum(per_bucket) == 120
+    # salted resume refuses an unsalted re-run
+    with pytest.raises(ValueError, match="resume mismatch"):
+        checkpointed_write(ds, out, n_buckets=8)
+
+
 def test_run_extraction_from_parquet(ray_session, tmp_path):
     """Production entry: extract an existing transcript parquet dir;
     result must equal extracting the same rows in-memory."""
