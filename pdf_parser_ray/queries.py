@@ -372,6 +372,29 @@ def parts_semi_join(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
+def events_props_stats(sf_dir: str) -> pd.DataFrame:
+    """JSON scalar extraction (F8 analog) at dataset level: parse the
+    open-schema props column per batch (orjson-less stdlib json is the
+    per-row cost; the groupby is the usual partial+final)."""
+    import json as _json
+    ds = read_table(sf_dir, "events", ["event_type", "props"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        ks = [int(_json.loads(p)["k"]) for p in b["props"]]
+        return pd.DataFrame({"event_type": b["event_type"].values,
+                             "k": pd.array(ks, dtype="int64")})
+
+    g = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                    ["event_type"], {"n": ("count", None),
+                                     "sum_k": ("sum", "k"),
+                                     "max_k": ("max", "k")})
+    out = g[["event_type", "n"]].copy()
+    out["sum_k"] = g["sum_k"].astype("int64")
+    out["max_k"] = g["max_k"].astype("int64")
+    out["avg_k"] = _d(g["sum_k"]) / g["n"]
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def events_median_by_type(sf_dir: str) -> pd.DataFrame:
     """Exact distributed median per event_type WITHOUT a global sort:
     the 2-decimal values collapse to an int-cents histogram
@@ -701,6 +724,7 @@ QUERIES = {
     "events_hourly_moving_avg": events_hourly_moving_avg,
     "parts_anti_join": parts_anti_join,
     "parts_semi_join": parts_semi_join,
+    "events_props_stats": events_props_stats,
     "events_median_by_type": events_median_by_type,
     "events_approx_distinct_users": events_approx_distinct_users,
     "parts_bloom_prefilter": parts_bloom_prefilter,
@@ -890,6 +914,14 @@ ORACLES = {
                       WHERE l.l_partkey = p.p_partkey
                         AND l.l_quantity > 49)
         ORDER BY p_partkey
+    """,
+    "events_props_stats": """
+        WITH k AS (SELECT event_type,
+                          CAST(props->>'k' AS BIGINT) AS k
+                   FROM events)
+        SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k, MAX(k) AS max_k,
+               CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+        FROM k GROUP BY event_type ORDER BY event_type
     """,
     "events_median_by_type": """
         WITH v AS (SELECT event_type,
