@@ -322,6 +322,10 @@ def transcripts_dataset(sf_dir: str, *, mega_every: int = 97,
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"],
                            override_num_blocks=override_num_blocks)
+    # strip the parquet writer's pandas-metadata dict from the schema:
+    # Ray's schema-dedup tries to hash it and logs a warning per task
+    docs = docs.map_batches(lambda t: t.replace_schema_metadata(None),
+                            batch_format="pyarrow")
     if mega_every == 97 and mega_turns == 120:
         return docs.map_batches(synth_batch, batch_format="pyarrow",
                                 batch_size=256)
