@@ -1,0 +1,68 @@
+"""Property-based checks: the bucketed-combine relational layer must
+agree with pandas ground truth on random frames (random key
+cardinality, nulls in value columns, single- and multi-key groupbys)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+import hypothesis.strategies as st
+
+_SETTINGS = dict(max_examples=12, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow,
+                                        HealthCheck.function_scoped_fixture])
+
+
+@st.composite
+def frames(draw):
+    n = draw(st.integers(20, 400))
+    n_keys = draw(st.integers(1, 60))
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    return pd.DataFrame({
+        "k1": rng.randint(0, n_keys, n),
+        "k2": rng.choice(list("abc"), n),
+        "v": np.round(rng.standard_normal(n), 3),
+        "w": rng.randint(-5, 100, n),
+    })
+
+
+@settings(**_SETTINGS)
+@given(df=frames(), keys=st.sampled_from([["k1"], ["k2"], ["k1", "k2"]]))
+def test_grouped_agg_property(ray_session, df, keys):
+    import ray.data as rd
+    from pdf_parser_ray.relational import grouped_agg
+    got = (grouped_agg(rd.from_pandas(df).repartition(3), keys,
+                       {"n": ("count", None), "s": ("sum", "w"),
+                        "m": ("mean", "v"), "mx": ("max", "w"),
+                        "mn": ("min", "v")})
+           .sort_values(keys).reset_index(drop=True))
+    want = (df.groupby(keys)
+            .agg(n=("w", "size"), s=("w", "sum"), m=("v", "mean"),
+                 mx=("w", "max"), mn=("v", "min"))
+            .reset_index().sort_values(keys).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want[got.columns],
+                                  check_dtype=False, atol=1e-9, rtol=0)
+
+
+@settings(**_SETTINGS)
+@given(df=frames())
+def test_distinct_property(ray_session, df):
+    import ray.data as rd
+    from pdf_parser_ray.relational import distinct
+    got = (distinct(rd.from_pandas(df).repartition(4), ["k1", "k2"])
+           .sort_values(["k1", "k2"]).reset_index(drop=True))
+    want = (df[["k1", "k2"]].drop_duplicates()
+            .sort_values(["k1", "k2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(**_SETTINGS)
+@given(df=frames(), k=st.integers(1, 8))
+def test_topk_property(ray_session, df, k):
+    import ray.data as rd
+    from pdf_parser_ray.relational import topk
+    got = topk(rd.from_pandas(df).repartition(3), ["v", "k1"],
+               [False, True], k)
+    want = (df.sort_values(["v", "k1"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
