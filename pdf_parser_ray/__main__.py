@@ -40,7 +40,7 @@ def main(argv=None):
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
-    from .pipelines.extraction import extract_dataset, run_extraction
+    from .pipelines.extraction import extract_dataset
     from .sources.transcripts import transcripts_dataset
 
     def extracted_turns():

@@ -142,10 +142,6 @@ def test_checkpoint_salted_buckets(ray_session, tmp_path):
     t = transcripts_table(SF_DIR, limit_docs=30)
     ds = extract_dataset(rd.from_arrow(t), batch_size=128)
     m = checkpointed_write(ds, out, n_buckets=8, salt_turns=16)
-    # mega conv (120 turns / 16-turn chunks) must span several buckets
-    spread = sum("conv-00000000" in (row.conv_id_min, row.conv_id_max)
-                 or (row.conv_id_min <= "conv-00000000" <= row.conv_id_max)
-                 for row in m.itertuples())
     readback = pds.dataset(out, format="parquet").to_table().to_pandas()
     mega = readback[readback["conv_id"] == "conv-00000000"]
     assert len(mega) == 120 and not mega.duplicated("turn_idx").any()
@@ -153,6 +149,7 @@ def test_checkpoint_salted_buckets(ray_session, tmp_path):
                                   format="parquet").to_table()
                       .to_pandas().query("conv_id == 'conv-00000000'"))
                   for b in m["bucket"]]
+    assert sum(1 for p in per_bucket if p) >= 2    # genuinely spread
     assert max(p for p in per_bucket if p) <= 48   # no bucket holds it all
     assert sum(per_bucket) == 120
     # salted resume refuses an unsalted re-run

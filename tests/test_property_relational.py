@@ -18,10 +18,14 @@ def frames(draw):
     n = draw(st.integers(20, 400))
     n_keys = draw(st.integers(1, 60))
     rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    v = np.round(rng.standard_normal(n), 3)
+    # inject NaNs into the value column (partial+final null semantics:
+    # all-NaN group slices per batch must still combine like pandas)
+    v[rng.random(n) < draw(st.sampled_from([0.0, 0.2]))] = np.nan
     return pd.DataFrame({
         "k1": rng.randint(0, n_keys, n),
         "k2": rng.choice(list("abc"), n),
-        "v": np.round(rng.standard_normal(n), 3),
+        "v": v,
         "w": rng.randint(-5, 100, n),
     })
 
