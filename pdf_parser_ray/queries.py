@@ -426,6 +426,39 @@ def events_median_by_type(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).reset_index(drop=True)
 
 
+def events_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles (p25/p50/p75/p95) per event_type
+    from the same int-cents histogram as the median — the interpolation
+    fraction for q=k/100 is the exact rational ((n-1)*k % 100)/100, so
+    the whole computation stays in int64 until two final /100.0 double
+    divisions mirrored verbatim in the SQL oracle."""
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"].values,
+                             "v_c": _cents(b["value"])})
+
+    hist = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                       ["event_type", "v_c"], {"cnt": ("count", None)})
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("v_c")
+        counts = g["cnt"].to_numpy()
+        values = g["v_c"].to_numpy()
+        n = int(counts.sum())
+        cum = counts.cumsum()
+        rec = {"event_type": etype}
+        for k in (25, 50, 75, 95):
+            pos = (n - 1) * k
+            rank_lo, f100 = pos // 100, pos % 100
+            rank_hi = rank_lo if f100 == 0 else rank_lo + 1
+            lo = int(values[np.searchsorted(cum, rank_lo + 1)])
+            hi = int(values[np.searchsorted(cum, rank_hi + 1)])
+            rec[f"p{k}"] = float(lo * (100 - f100) + hi * f100) / 100.0 / 100.0
+        rows.append(rec)
+    return pd.DataFrame(rows).reset_index(drop=True)
+
+
 def events_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog distinct-count sketch (p=12, ~1.6% stderr) —
     per-batch registers max-merged; deterministic (fixed hash key), so
@@ -726,6 +759,7 @@ QUERIES = {
     "parts_semi_join": parts_semi_join,
     "events_props_stats": events_props_stats,
     "events_median_by_type": events_median_by_type,
+    "events_quantiles_by_type": events_quantiles_by_type,
     "events_approx_distinct_users": events_approx_distinct_users,
     "parts_bloom_prefilter": parts_bloom_prefilter,
     "events_distinct_types": events_distinct_types,
@@ -922,6 +956,30 @@ ORACLES = {
         SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k, MAX(k) AS max_k,
                CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
         FROM k GROUP BY event_type ORDER BY event_type
+    """,
+    "events_quantiles_by_type": """
+        WITH v AS (SELECT event_type,
+                          CAST(ROUND(value * 100) AS BIGINT) AS vc
+                   FROM events),
+        r AS (SELECT event_type, vc,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY vc) - 1 AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM v)
+        SELECT event_type,
+               CAST(SUM(CASE WHEN rn = ((n - 1) * 25) // 100 THEN vc * (100 - (((n - 1) * 25) % 100)) ELSE 0 END)
+                    + SUM(CASE WHEN rn = CASE WHEN ((n - 1) * 25) % 100 = 0 THEN ((n - 1) * 25) // 100 ELSE ((n - 1) * 25) // 100 + 1 END THEN vc * (((n - 1) * 25) % 100) ELSE 0 END)
+                    AS DOUBLE) / 100.0 / 100.0 AS p25,
+               CAST(SUM(CASE WHEN rn = ((n - 1) * 50) // 100 THEN vc * (100 - (((n - 1) * 50) % 100)) ELSE 0 END)
+                    + SUM(CASE WHEN rn = CASE WHEN ((n - 1) * 50) % 100 = 0 THEN ((n - 1) * 50) // 100 ELSE ((n - 1) * 50) // 100 + 1 END THEN vc * (((n - 1) * 50) % 100) ELSE 0 END)
+                    AS DOUBLE) / 100.0 / 100.0 AS p50,
+               CAST(SUM(CASE WHEN rn = ((n - 1) * 75) // 100 THEN vc * (100 - (((n - 1) * 75) % 100)) ELSE 0 END)
+                    + SUM(CASE WHEN rn = CASE WHEN ((n - 1) * 75) % 100 = 0 THEN ((n - 1) * 75) // 100 ELSE ((n - 1) * 75) // 100 + 1 END THEN vc * (((n - 1) * 75) % 100) ELSE 0 END)
+                    AS DOUBLE) / 100.0 / 100.0 AS p75,
+               CAST(SUM(CASE WHEN rn = ((n - 1) * 95) // 100 THEN vc * (100 - (((n - 1) * 95) % 100)) ELSE 0 END)
+                    + SUM(CASE WHEN rn = CASE WHEN ((n - 1) * 95) % 100 = 0 THEN ((n - 1) * 95) // 100 ELSE ((n - 1) * 95) // 100 + 1 END THEN vc * (((n - 1) * 95) % 100) ELSE 0 END)
+                    AS DOUBLE) / 100.0 / 100.0 AS p95
+        FROM r GROUP BY event_type ORDER BY event_type
     """,
     "events_median_by_type": """
         WITH v AS (SELECT event_type,
