@@ -539,6 +539,22 @@ def docs_lang_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def docs_clean_text(sf_dir: str) -> pd.DataFrame:
+    """NFC normalization + email/URL redaction (training-data cleaning;
+    DuckDB nfc_normalize + regexp_replace oracle)."""
+    from .stages.text_analysis import clean_text_batch
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.map_batches(clean_text_batch, batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def docs_repetition_ratio(sf_dir: str) -> pd.DataFrame:
+    from .stages.text_analysis import repetition_ratio_batch
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.map_batches(repetition_ratio_batch, batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
 def docs_exact_dedup(sf_dir: str) -> pd.DataFrame:
     from .stages.dedup import exact_dedup_keep
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -768,6 +784,8 @@ QUERIES = {
     "docs_quality_scores": docs_quality_scores,
     "docs_top_tokens": docs_top_tokens,
     "docs_lang_counts": docs_lang_counts,
+    "docs_clean_text": docs_clean_text,
+    "docs_repetition_ratio": docs_repetition_ratio,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_fingerprint": docs_fingerprint,
     "embeddings_knn_bruteforce": embeddings_knn_bruteforce,
@@ -1031,6 +1049,20 @@ ORACLES = {
     "docs_lang_counts": """
         SELECT lang, COUNT(*) AS n_docs FROM documents
         GROUP BY lang ORDER BY lang
+    """,
+    "docs_clean_text": """
+        WITH c AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(nfc_normalize(text),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                   'https?://[A-Za-z0-9./_%+~#?&=-]+', '<URL>', 'g')
+                   AS clean_text,
+                 text
+          FROM documents)
+        SELECT doc_id, clean_text, length(clean_text) AS clean_len,
+               CASE WHEN clean_text <> text THEN 1 ELSE 0 END AS changed
+        FROM c ORDER BY doc_id
     """,
     "docs_exact_dedup": """
         SELECT MIN(doc_id) AS doc_id FROM documents

@@ -90,6 +90,44 @@ class LangId:
         })
 
 
+# redaction patterns: ASCII-explicit (identical semantics in Python re
+# and DuckDB's RE2)
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+URL_PATTERN = r"https?://[A-Za-z0-9./_%+~#?&=-]+"
+
+
+def clean_text_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Training-data text cleaning: unicode NFC normalization + PII-ish
+    redaction (emails, URLs) — vectorized pandas .str, deterministic."""
+    import unicodedata
+    nfc = batch["text"].map(lambda t: unicodedata.normalize("NFC", t))
+    cleaned = (nfc.str.replace(EMAIL_PATTERN, "<EMAIL>", regex=True)
+               .str.replace(URL_PATTERN, "<URL>", regex=True))
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "clean_text": cleaned,
+        "clean_len": cleaned.str.len().astype("int64"),
+        "changed": (cleaned != batch["text"]).astype("int64"),
+    })
+
+
+def repetition_ratio_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Quality metric: fraction of tokens taken by the single most
+    frequent token (high -> degenerate/repetitive text)."""
+    ratios = []
+    for t in batch["text"]:
+        toks = t.split()
+        if not toks:
+            ratios.append(0.0)
+            continue
+        vc = pd.Series(toks).value_counts()
+        ratios.append(int(vc.iloc[0]) / len(toks))
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "top_token_ratio": pd.array(ratios, dtype="float64"),
+    })
+
+
 def md5_fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({
         "doc_id": batch["doc_id"],
