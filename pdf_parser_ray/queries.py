@@ -743,6 +743,26 @@ def transcript_turnspec_filter(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def multimodal_frames(sf_dir: str) -> pd.DataFrame:
+    """Video frame sampling (flat map) + image resize plumbing over the
+    synthetic media table; features rounded for stable hashing."""
+    import ray.data as rd
+    from .stages.multimodal import (ResizeImages, decode_media_dataset,
+                                    sample_frames_dataset,
+                                    synth_media_table)
+    media = rd.from_arrow(synth_media_table(60))
+    frames = sample_frames_dataset(media, n_frames=3).to_pandas()
+    frames["features"] = frames["features"].map(
+        lambda a: np.round(np.asarray(a, dtype=np.float64), 4).tolist())
+    resized = decode_media_dataset(
+        media.map_batches(ResizeImages, batch_format="pyarrow",
+                          batch_size=16, concurrency=(1, 2),
+                          fn_constructor_kwargs={"width": 64, "height": 48})
+    ).to_pandas()
+    assert (resized["width"] == 64).all() and (resized["height"] == 48).all()
+    return frames.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def multimodal_decode(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
     from .stages.multimodal import synth_media_table, decode_media_dataset
@@ -808,6 +828,7 @@ QUERIES = {
     "extract_compare_strategies": extract_compare_strategies,
     "transcript_turnspec_filter": transcript_turnspec_filter,
     "multimodal_decode": multimodal_decode,
+    "multimodal_frames": multimodal_frames,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"

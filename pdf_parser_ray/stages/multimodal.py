@@ -136,3 +136,73 @@ def decode_media_dataset(media_ds, *, decoder: str = "fake",
         DecodeMedia, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
         fn_constructor_kwargs={"decoder": decoder})
+
+
+FRAMES_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("frame_idx", pa.int32()),
+    ("ts_ms", pa.int32()),
+    ("features", pa.list_(pa.float32(), 16)),
+])
+
+
+class SampleFrames:
+    """Video frame sampling (flat map: one 'vi' row -> n_frames rows).
+    The real codec would seek+decode; the fake codec derives each
+    frame's features deterministically from (payload, frame_idx). Small
+    batches: one video row fans out n_frames-fold."""
+
+    def __init__(self, n_frames: int = 4, decoder: str = "fake"):
+        self.n_frames = n_frames
+        self.decoder = DecodeMedia(decoder)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, ts, feats = [], [], [], []
+        kinds = batch.column("kind").to_pylist()
+        mids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        for mid, kind, p in zip(mids, kinds, payloads):
+            if kind != "vi":
+                continue
+            for i in range(self.n_frames):
+                ids.append(mid)
+                fidx.append(i)
+                ts.append(i * 1000)
+                feats.append(self.decoder._features(
+                    p + struct.pack("<I", i)))
+        feat_arr = (pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(feats) if feats else
+                     np.empty(0, np.float32), pa.float32()), 16))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(fidx, pa.int32()),
+             pa.array(ts, pa.int32()), feat_arr],
+            schema=FRAMES_SCHEMA)
+
+
+class ResizeImages:
+    """Resize stage: with the fake codec this rewrites the header dims
+    and re-derives features (the real path would be PIL resize —
+    stubbed like DecodeMedia)."""
+
+    def __init__(self, width: int = 64, height: int = 64,
+                 decoder: str = "fake"):
+        self.w, self.h = width, height
+        self.decoder = DecodeMedia(decoder)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column("payload").to_pylist():
+            self.decoder._decode(p)  # validates magic/header
+            out.append(p[:7] + struct.pack("<IIH", self.w, self.h, 3)
+                       + p[17:])
+        return batch.set_column(
+            batch.schema.get_field_index("payload"), "payload",
+            pa.array(out, pa.large_binary()))
+
+
+def sample_frames_dataset(media_ds, *, n_frames: int = 4,
+                          batch_size: int = 16, concurrency=(1, 2)):
+    return media_ds.map_batches(
+        SampleFrames, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"n_frames": n_frames})
