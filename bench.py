@@ -24,8 +24,11 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # replicate the documents table this many times (distinct doc_id ranges)
-# so the flagship job is long enough to measure scaling honestly
-BENCH_MULT = int(os.environ.get("GRAFT_BENCH_MULT", "2"))
+# so the flagship job is long enough to measure scaling honestly.
+# Default 16: at mult=2 the ~3 s job is fixed-overhead-dominated and
+# underreports engine throughput 4-5x (round-1 verdict); mult=16
+# (~534k turns at sf0.1) amortizes session+read startup honestly.
+BENCH_MULT = int(os.environ.get("GRAFT_BENCH_MULT", "16"))
 
 
 def _ensure_transcripts() -> str:

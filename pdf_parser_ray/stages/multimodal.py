@@ -129,12 +129,13 @@ class DecodeMedia:
 
 
 def decode_media_dataset(media_ds, *, decoder: str = "fake",
-                         batch_size: int = 32, concurrency=(1, 2)):
-    """media table -> decoded features (actor pool, small batches for
-    wide binary rows)."""
+                         batch_size: int = 32, concurrency=None):
+    """media table -> decoded features (actor pool sized to the cluster
+    with shuffle headroom; small batches for wide binary rows)."""
+    from ..pipelines.extraction import pool_size
     return media_ds.map_batches(
         DecodeMedia, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else pool_size(),
         fn_constructor_kwargs={"decoder": decoder})
 
 
@@ -191,7 +192,13 @@ class ResizeImages:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
-        for p in batch.column("payload").to_pylist():
+        for kind, p in zip(batch.column("kind").to_pylist(),
+                           batch.column("payload").to_pylist()):
+            if kind != "im":
+                # pass audio/video through untouched: their header words
+                # are sample-rate/n-samples, not pixel dims
+                out.append(p)
+                continue
             self.decoder._decode(p)  # validates magic/header
             out.append(p[:7] + struct.pack("<IIH", self.w, self.h, 3)
                        + p[17:])
@@ -201,8 +208,9 @@ class ResizeImages:
 
 
 def sample_frames_dataset(media_ds, *, n_frames: int = 4,
-                          batch_size: int = 16, concurrency=(1, 2)):
+                          batch_size: int = 16, concurrency=None):
+    from ..pipelines.extraction import pool_size
     return media_ds.map_batches(
         SampleFrames, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else pool_size(),
         fn_constructor_kwargs={"n_frames": n_frames})

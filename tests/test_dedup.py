@@ -94,3 +94,53 @@ def test_exact_dedup_rows_transcripts(ray_session):
     out = exact_dedup_rows(ds, ["conv_id", "turn_idx"]).to_pandas()
     assert len(out) == base.num_rows
     assert not out.duplicated(["conv_id", "turn_idx"]).any()
+
+def test_components_min_label_matches_union_find(ray_session):
+    """Distributed min-label propagation == driver union-find, on a
+    graph with multi-hop chains (forces >1 propagation round)."""
+    from pdf_parser_ray.stages.dedup import (components_from_pairs,
+                                             components_min_label)
+    # chain 10-11-12-13-14, clique {20,21,22}, pair (30,31), singleton-free
+    pairs = pd.DataFrame({
+        "id_a": [10, 11, 12, 13, 20, 20, 21, 30],
+        "id_b": [11, 12, 13, 14, 21, 22, 22, 31],
+    })
+    dist = components_min_label(pairs)
+    uf = components_from_pairs(pairs)
+    expect = {n: uf.get(n, n) for n in dist["node"]}
+    got = dict(zip(dist["node"], dist["rep"]))
+    assert got == expect
+    assert got[14] == 10 and got[22] == 20 and got[31] == 30
+
+
+def test_minhash_keep_high_duplication(ray_session):
+    """High-duplication corpus (the web-crawl normal case): 40% of docs
+    are near-copies of a handful of templates. The distributed keep-set
+    must equal the union-find answer and keep exactly one doc per
+    component."""
+    import ray.data as rd
+    from pdf_parser_ray.stages.dedup import (components_from_pairs,
+                                             minhash_dedup_keep,
+                                             minhash_dedup_pairs)
+    rows = []
+    n_templates, copies = 8, 10
+    for t in range(n_templates):
+        for c in range(copies):
+            # each copy mutates 1 word -> high pairwise jaccard
+            rows.append({"doc_id": t * 100 + c,
+                         "text": _doc(t * 1000 + c, mutate=1)})
+    for i in range(80):   # distinct background docs
+        rng = np.random.RandomState(10_000 + i)
+        rows.append({"doc_id": 5000 + i,
+                     "text": " ".join(f"w{rng.randint(100000)}"
+                                      for _ in range(80))})
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df)
+    pairs = minhash_dedup_pairs(ds, threshold=0.7)
+    comp = components_from_pairs(pairs)
+    dropped = {x for x, r in comp.items() if r != x}
+    expect_kept = sorted(set(df["doc_id"]) - dropped)
+    kept = minhash_dedup_keep(ds, threshold=0.7)
+    assert kept["doc_id"].tolist() == expect_kept
+    # sanity: the duplication actually happened (most copies collapse)
+    assert len(dropped) > n_templates * (copies - 1) * 0.8
