@@ -265,11 +265,12 @@ def events_user_hourly(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "hour"]).reset_index(drop=True)
 
 
-def events_sessions(sf_dir: str) -> pd.DataFrame:
-    """Session windows (30-min inactivity gap) per user: bucketed
-    per-user combine, vectorized diff+cumsum inside the bucket. Ordering
-    ties on equal ts are gap-safe (diff 0 < gap -> same session), so the
-    result is deterministic under any stable tie order."""
+def _sessions_ds(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user as a DATASET:
+    bucketed per-user combine, vectorized diff+cumsum inside the
+    bucket. Ordering ties on equal ts are gap-safe (diff 0 < gap ->
+    same session), so the result is deterministic under any stable tie
+    order."""
     from .relational import bucketed_map_groups
     ds = read_table(sf_dir, "events", ["user_id", "ts"])
     gap = pd.Timedelta(minutes=30)
@@ -282,12 +283,16 @@ def events_sessions(sf_dir: str) -> pd.DataFrame:
             df["user_id"], observed=True).cumsum().astype("int64"))
         g = df.groupby(["user_id", "session_id"], sort=False)
         return pd.DataFrame({
-            "n_events": g.size(),
+            "n_events": g.size().astype("int64"),
             "session_start": g["ts"].min(),
             "session_end": g["ts"].max(),
         }).reset_index()
 
-    out = bucketed_map_groups(ds, ["user_id"], sessions).to_pandas()
+    return bucketed_map_groups(ds, ["user_id"], sessions)
+
+
+def events_sessions(sf_dir: str) -> pd.DataFrame:
+    out = _sessions_ds(sf_dir).to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
@@ -341,6 +346,156 @@ def events_hourly_moving_avg(sf_dir: str) -> pd.DataFrame:
     hourly["moving_avg"] = (hourly["n_events"]
                             .rolling(3, min_periods=1).mean())
     return hourly.reset_index(drop=True)
+
+
+def events_asof_join(sf_dir: str) -> pd.DataFrame:
+    """AS-OF join (relational.asof_join): each purchase event attached
+    to the user's most recent prior-or-equal view event; lag in exact
+    integer microseconds. Inner semantics (purchases with no prior view
+    drop out) so no null column ever float-coerces."""
+    from .relational import asof_join
+    ds = read_table(sf_dir, "events",
+                    ["event_id", "user_id", "event_type", "ts"])
+    left = ds.map_batches(
+        lambda b: b[b["event_type"] == "purchase"]
+        [["event_id", "user_id", "ts"]], batch_format="pandas")
+    right = ds.map_batches(
+        lambda b: b[b["event_type"] == "view"][["user_id", "ts"]]
+        .rename(columns={"ts": "view_ts"}), batch_format="pandas")
+    out = asof_join(left, right, by="user_id",
+                    left_ts="ts", right_ts="view_ts").to_pandas()
+    out["lag_us"] = ((out["ts"] - out["view_ts"])
+                     // pd.Timedelta(microseconds=1)).astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_session_attrib(sf_dir: str) -> pd.DataFrame:
+    """Interval/range join (relational.interval_join): purchase events
+    matched into their containing session window, then per-session
+    purchase count + exact-cents revenue. Exercises the containment
+    join against intervals derived by the engine itself; the oracle
+    recomputes the same sessions CTE in SQL."""
+    from .relational import interval_join
+    probe = read_table(sf_dir, "events",
+                       ["event_id", "user_id", "event_type", "ts", "value"]) \
+        .map_batches(
+            lambda b: pd.DataFrame({
+                "user_id": b.loc[b["event_type"] == "purchase", "user_id"],
+                "p_ts": b.loc[b["event_type"] == "purchase", "ts"],
+                "v_c": _cents(b.loc[b["event_type"] == "purchase", "value"]),
+            }), batch_format="pandas")
+    joined = interval_join(probe, _sessions_ds(sf_dir), by="user_id",
+                           ts_col="p_ts", start_col="session_start",
+                           end_col="session_end")
+    g = grouped_agg(joined, ["user_id", "session_id"],
+                    {"n_purchases": ("count", None), "s": ("sum", "v_c")})
+    out = g[["user_id", "session_id", "n_purchases"]].copy()
+    out["purchase_value"] = _d(g["s"]) / 100.0
+    return (out.sort_values(["user_id", "session_id"])
+            .reset_index(drop=True))
+
+
+def docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sampling: exactly ceil(10%) of each
+    language stratum, chosen by a Knuth-hash order on doc_id so the
+    sample is reproducible and SQL-expressible. Two passes: tiny
+    per-stratum counts, then per-batch partial top-k (each batch ships
+    at most k rows per stratum into the shuffle) + per-stratum final
+    top-k — the full table never enters the shuffle."""
+    import math
+
+    from .relational import bucketed_map_groups
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+    counts = grouped_agg(ds, ["lang"], {"n": ("count", None)})
+    k_by_lang = {l: math.ceil(0.1 * n)
+                 for l, n in zip(counts["lang"], counts["n"])}
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(h=(b["doc_id"].to_numpy(dtype=np.int64)
+                        * 2654435761) % (1 << 32))
+        b = b.sort_values(["h", "doc_id"], kind="mergesort")
+        return b.groupby("lang", sort=False, observed=True).head(
+            max(k_by_lang.values()))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        return pd.concat([gg.head(k_by_lang[l]) for l, gg in
+                          g.groupby("lang", sort=False, observed=True)])
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = bucketed_map_groups(partials, ["lang"], final).to_pandas()
+    return (out[["doc_id", "lang"]].sort_values("doc_id")
+            .reset_index(drop=True))
+
+
+def embeddings_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed k-means (k=8, 5 fixed iterations, deterministic
+    seed = the k lowest vec_ids): per-batch vectorized assign +
+    per-cluster partial sums inside map_batches; the driver only ever
+    combines k x n_blocks tiny partials per iteration (the classic
+    broadcast-centroids / partial-sufficient-statistics layout).
+    Iterative, so rows-only (no SQL oracle); determinism makes re-runs
+    stable."""
+    import ray
+    k, iters = 8, 5
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # iterative re-scan: cache the (projected) working set in the
+    # object store rather than re-reading parquet every iteration
+    ds = ds.materialize()
+    seed = (ds.map_batches(
+        lambda b: b[b["vec_id"] < k], batch_format="pandas").to_pandas()
+        .sort_values("vec_id"))
+    centroids = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in seed["embedding"]])
+
+    def partials_for(ref):
+        def assign(b: pd.DataFrame):
+            import pyarrow as pa
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in b["embedding"]])
+            C = ray.get(ref)
+            d2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T)
+                  + (C * C).sum(1)[None, :])
+            a = d2.argmin(1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            inert = np.zeros(k)
+            np.add.at(inert, a, d2[np.arange(len(a)), a])
+            # blk: stable per-batch key so the driver combines float
+            # partials in a deterministic order regardless of task
+            # completion order
+            blk = int(b["vec_id"].min())
+            return pa.table({
+                "cluster": np.arange(k, dtype=np.int64),
+                "n": counts,
+                "s": sums.tolist(),
+                "inertia": inert,
+                "blk": np.full(k, blk, dtype=np.int64),
+            })
+        return assign
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+        part = (ds.map_batches(partials_for(ref), batch_format="pandas")
+                .to_pandas().sort_values(["cluster", "blk"],
+                                         kind="mergesort"))
+        counts = part.groupby("cluster")["n"].sum()
+        sums = {c: np.sum(np.stack([np.asarray(s) for s in g["s"]]), axis=0)
+                for c, g in part.groupby("cluster")}
+        centroids = np.stack([
+            sums[c] / counts[c] if counts[c] > 0 else centroids[c]
+            for c in range(k)])
+
+    ref = ray.put(centroids)
+    part = (ds.map_batches(partials_for(ref), batch_format="pandas")
+            .to_pandas().sort_values(["cluster", "blk"], kind="mergesort"))
+    g = part.groupby("cluster", as_index=False).agg(
+        size=("n", "sum"), inertia=("inertia", "sum"))
+    g["inertia"] = np.round(g["inertia"], 4)
+    return (g.rename(columns={"cluster": "cluster_id"})
+            .astype({"cluster_id": "int64", "size": "int64"})
+            .sort_values("cluster_id").reset_index(drop=True))
 
 
 def _heavy_partkeys(sf_dir: str) -> set:
@@ -832,6 +987,10 @@ QUERIES = {
     "events_running_sum": events_running_sum,
     "events_top_per_user": events_top_per_user,
     "events_hourly_moving_avg": events_hourly_moving_avg,
+    "events_asof_join": events_asof_join,
+    "events_session_attrib": events_session_attrib,
+    "docs_stratified_sample": docs_stratified_sample,
+    "embeddings_kmeans": embeddings_kmeans,
     "parts_anti_join": parts_anti_join,
     "parts_semi_join": parts_semi_join,
     "events_props_stats": events_props_stats,
@@ -1023,6 +1182,59 @@ ORACLES = {
         QUALIFY row_number() OVER (PARTITION BY user_id
                                    ORDER BY value DESC, event_id) <= 3
         ORDER BY user_id, event_id
+    """,
+    "events_asof_join": """
+        SELECT a.event_id, a.user_id, a.ts, b.view_ts,
+               date_diff('microsecond', b.view_ts, a.ts) AS lag_us
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') a
+        ASOF JOIN (SELECT user_id, ts AS view_ts FROM events
+                   WHERE event_type = 'view') b
+          ON a.user_id = b.user_id AND a.ts >= b.view_ts
+        ORDER BY a.event_id
+    """,
+    "events_session_attrib": """
+        WITH d AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT user_id, ts,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_id
+          FROM d),
+        sess AS (
+          SELECT user_id, session_id,
+                 MIN(ts) AS session_start, MAX(ts) AS session_end
+          FROM s GROUP BY user_id, session_id),
+        p AS (
+          SELECT user_id, ts,
+                 CAST(ROUND(value * 100) AS BIGINT) AS v_c
+          FROM events WHERE event_type = 'purchase')
+        SELECT sess.user_id, sess.session_id,
+               COUNT(*) AS n_purchases,
+               CAST(SUM(p.v_c) AS DOUBLE) / 100.0 AS purchase_value
+        FROM sess JOIN p
+          ON p.user_id = sess.user_id
+         AND p.ts BETWEEN sess.session_start AND sess.session_end
+        GROUP BY sess.user_id, sess.session_id
+        ORDER BY sess.user_id, sess.session_id
+    """,
+    "docs_stratified_sample": """
+        WITH d AS (SELECT doc_id, lang,
+                          (doc_id * 2654435761) % 4294967296 AS h
+                   FROM documents),
+             c AS (SELECT lang, CAST(CEIL(0.1 * COUNT(*)) AS BIGINT) AS k
+                   FROM documents GROUP BY lang),
+             r AS (SELECT d.doc_id, d.lang, c.k,
+                          row_number() OVER (PARTITION BY d.lang
+                                             ORDER BY d.h, d.doc_id) AS rn
+                   FROM d JOIN c USING (lang))
+        SELECT doc_id, lang FROM r WHERE rn <= k ORDER BY doc_id
     """,
     "events_hourly_moving_avg": """
         WITH h AS (SELECT date_trunc('hour', ts) AS hour,

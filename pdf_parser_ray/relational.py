@@ -202,6 +202,16 @@ def topk(ds, sort_cols: List[str], ascending: List[bool], k: int,
             .head(k).reset_index(drop=True))
 
 
+def _as_arrow(t):
+    """Ray Schema types are Arrow DataTypes for Arrow blocks but numpy
+    dtypes / the Python ``object`` class for pandas-backed datasets."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t is object:
+        return pa.string()
+    return pa.from_numpy_dtype(np.dtype(t))
+
+
 # -------------------------------------------------------------------- joins
 
 class _BroadcastJoiner:
@@ -258,14 +268,6 @@ def hash_join(left, right, on: str, how: str = "inner",
     overlap = (set(l_names) & set(r_names)) - {on}
     if overlap:
         raise ValueError(f"column overlap besides key: {overlap}")
-    def _as_arrow(t):
-        # from_pandas datasets report object-dtype (string) columns as
-        # the Python `object` class rather than an Arrow DataType
-        if isinstance(t, pa.DataType):
-            return t
-        if t is object:
-            return pa.string()
-        return pa.from_numpy_dtype(np.dtype(t))
 
     types = {n: _as_arrow(t) for n, t in zip(l_schema.names, l_schema.types)}
     types.update((n, _as_arrow(t))
@@ -349,3 +351,126 @@ def distinct(ds, columns: List[str], batch_size: int = 65536) -> pd.DataFrame:
     return (bucketed_map_groups(partials, columns,
                                 lambda g: g.drop_duplicates())
             .to_pandas().reset_index(drop=True))
+
+
+# --------------------------------------------- co-partitioned non-equi joins
+
+def _cogroup(left, right, keys: List[str], fn, *, n_buckets: int = 32):
+    """Shared plumbing for the non-equi joins: tag both sides, union
+    into one superset schema (Arrow-null filled, so types survive until
+    the per-bucket pandas conversion), shuffle once on the stable key
+    hash, and run ``fn`` per bucket with both sides present (rows
+    carry ``__side`` = 'l'/'r'). Key columns may be shared between the
+    two sides; all other column names must be disjoint."""
+    l_schema, r_schema = left.schema(), right.schema()
+    l_names = list(l_schema.names)
+    r_names = list(r_schema.names)
+    overlap = (set(l_names) & set(r_names)) - set(keys)
+    if overlap:
+        raise ValueError(f"column overlap besides keys: {overlap}")
+    types = {n: _as_arrow(t) for n, t in zip(l_names, l_schema.types)}
+    types.update((n, _as_arrow(t))
+                 for n, t in zip(r_names, r_schema.types))
+    all_names = l_names + [n for n in r_names if n not in l_names]
+
+    def prep(side_names, side_tag):
+        def prep_fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            key_df = pd.DataFrame(
+                {k: t.column(k).to_pandas() for k in keys})
+            bucket = pa.array(stable_bucket_series(key_df, n_buckets))
+            cols, names = [], []
+            for name in all_names:
+                names.append(name)
+                cols.append(t.column(name) if name in side_names
+                            else pa.nulls(n, types[name]))
+            names += ["__side", "bucket"]
+            cols += [pa.array([side_tag] * n, pa.string()), bucket]
+            return pa.Table.from_arrays(cols, names=names)
+        return prep_fn
+
+    lp = left.map_batches(prep(set(l_names), "l"), batch_format="pyarrow")
+    rp = right.map_batches(prep(set(r_names), "r"), batch_format="pyarrow")
+    both = lp.union(rp).repartition(n_buckets)
+    return (both.groupby("bucket")
+            .map_groups(lambda g: fn(g.drop(columns="bucket")),
+                        batch_format="pandas")), types
+
+
+def _restore_int_dtypes(df: pd.DataFrame, types: Dict) -> pd.DataFrame:
+    """The per-bucket pandas conversion float-coerces integer/bool
+    columns that were Arrow-null-filled on the other side; cast them
+    back (valid after an inner join: no nulls survive)."""
+    for c in df.columns:
+        t = types.get(c)
+        if t is not None and pa.types.is_integer(t):
+            df[c] = df[c].astype("int64")
+        elif t is not None and pa.types.is_boolean(t):
+            df[c] = df[c].astype(bool)
+    return df
+
+
+def asof_join(left, right, *, by: str, left_ts: str, right_ts: str,
+              n_buckets: int = 32):
+    """Distributed AS-OF join: for each left row, attach the right row
+    with the greatest ``right_ts`` <= ``left_ts`` for the same ``by``
+    key (inner semantics: left rows with no prior right row drop out).
+
+    Ray Data has no as-of join; this is the documented composition —
+    co-partition both sides on hash(by) (one shuffle), then a
+    vectorized ``pandas.merge_asof`` per bucket. Partitioning
+    assumption: all rows of one key land in one bucket, so per-key
+    history must fit a worker (true for per-user event streams; salt
+    by time range if a key's history outgrows a block)."""
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct names")
+
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+    r_names = list(right.schema().names)
+    r_cols = [by, right_ts] + [n for n in r_names
+                               if n not in (by, right_ts)]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"][l_names].sort_values(
+            left_ts, kind="mergesort")
+        r = g[g["__side"] == "r"][r_cols].sort_values(
+            right_ts, kind="mergesort")
+        m = pd.merge_asof(l, r, left_on=left_ts, right_on=right_ts,
+                          by=by, direction="backward")
+        m = m.dropna(subset=[right_ts])
+        return m
+
+    joined, types = _cogroup(left, right, [by], join_bucket,
+                             n_buckets=n_buckets)
+    return joined.map_batches(
+        lambda df: _restore_int_dtypes(df, types), batch_format="pandas")
+
+
+def interval_join(probe, intervals, *, by: str, ts_col: str,
+                  start_col: str, end_col: str, n_buckets: int = 32):
+    """Distributed interval-containment (range) join: each probe row is
+    matched to the interval with ``start <= ts <= end`` for its ``by``
+    key. Intervals must be non-overlapping per key (the session-window
+    contract), making the match unique. Same co-partitioning shape and
+    assumption as asof_join: one shuffle, merge_asof on the interval
+    start per bucket, then the end-bound containment filter."""
+    i_names = list(intervals.schema().names)
+    p_names = list(probe.schema().names)
+    i_cols = [by, start_col, end_col] + [
+        n for n in i_names if n not in (by, start_col, end_col)]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["__side"] == "l"][p_names].sort_values(
+            ts_col, kind="mergesort")
+        iv = g[g["__side"] == "r"][i_cols].sort_values(
+            start_col, kind="mergesort")
+        m = pd.merge_asof(p, iv, left_on=ts_col, right_on=start_col,
+                          by=by, direction="backward")
+        m = m[m[end_col].notna() & (m[ts_col] <= m[end_col])]
+        return m
+
+    joined, types = _cogroup(probe, intervals, [by], join_bucket,
+                             n_buckets=n_buckets)
+    return joined.map_batches(
+        lambda df: _restore_int_dtypes(df, types), batch_format="pandas")

@@ -199,21 +199,43 @@ def _pairwise_verify(cand: pd.DataFrame, payload_ds, score_fn,
     cand: (id_a, id_b) candidate pairs. payload_ds: Ray dataset
     (doc_id, pl) holding one verification payload per CANDIDATE doc
     (already filtered; small by the LSH contract but distributed — the
-    driver never materializes payloads). Explodes pairs to
-    (pair_idx, doc_id), attaches payloads with ONE partitioned hash
-    join, and scores each pair inside the bucketed per-pair combine.
+    driver never materializes payloads). Two bucketed shuffles total:
+    (1) bucket by doc_id to attach each doc's payload to its pair
+    halves, (2) bucket by pair_idx to score where both halves meet.
     score_fn(payload_a, payload_b) must be symmetric and picklable.
+    Side-tagging uses an int sentinel (pair_idx = -1 for payload rows)
+    so id columns never pass through a null-fill float coercion.
     """
+    import pyarrow as pa
     import ray.data as rd
 
-    from ..relational import bucketed_map_groups, hash_join
+    from ..relational import bucketed_map_groups
 
-    exploded = pd.DataFrame({
-        "pair_idx": np.repeat(np.arange(len(cand), dtype=np.int64), 2),
+    s = payload_ds.schema()
+    pl_type = dict(zip(s.names, s.types))["pl"]
+    exploded = pa.table({
         "doc_id": np.column_stack([cand["id_a"].to_numpy(),
                                    cand["id_b"].to_numpy()]).ravel(),
-    })
-    joined = hash_join(rd.from_pandas(exploded), payload_ds, on="doc_id")
+        "pair_idx": np.repeat(np.arange(len(cand), dtype=np.int64), 2),
+    }).append_column("pl", pa.array([[]] * (2 * len(cand)), pl_type))
+    tagged_payloads = payload_ds.map_batches(
+        lambda t: t.append_column(
+            "pair_idx", pa.array(np.full(t.num_rows, -1, dtype=np.int64))
+        ).select(["doc_id", "pair_idx", "pl"]),
+        batch_format="pyarrow")
+
+    def attach(g: pd.DataFrame) -> pa.Table:
+        halves = g[g["pair_idx"] >= 0][["doc_id", "pair_idx"]]
+        pls = g[g["pair_idx"] < 0][["doc_id", "pl"]]
+        m = halves.merge(pls, on="doc_id", how="inner")
+        return pa.table({
+            "pair_idx": m["pair_idx"].to_numpy(dtype=np.int64),
+            "pl": pa.array([np.asarray(x).tolist() for x in m["pl"]],
+                           pl_type),
+        })
+
+    attached = bucketed_map_groups(
+        rd.from_arrow(exploded).union(tagged_payloads), ["doc_id"], attach)
 
     def score_groups(g: pd.DataFrame) -> pd.DataFrame:
         idxs, scores = [], []
@@ -225,7 +247,7 @@ def _pairwise_verify(cand: pd.DataFrame, payload_ds, score_fn,
         return pd.DataFrame({"pair_idx": pd.array(idxs, dtype="int64"),
                              out_col: pd.array(scores, dtype="float64")})
 
-    scored = (bucketed_map_groups(joined, ["pair_idx"], score_groups)
+    scored = (bucketed_map_groups(attached, ["pair_idx"], score_groups)
               .to_pandas())
     out = cand.copy()
     out["pair_idx"] = np.arange(len(cand), dtype=np.int64)

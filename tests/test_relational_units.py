@@ -145,3 +145,72 @@ def test_knn_ivf_recall(ray_session):
     approx2 = knn_ivf(rd.from_pandas(df).repartition(4), q, k=10,
                       exclude_id=7, n_clusters=8, nprobe=4)
     pd.testing.assert_frame_equal(approx, approx2)
+
+
+# ------------------------------------------- co-partitioned non-equi joins
+
+def test_asof_join_matches_pandas(ray_session):
+    """Distributed asof_join == global pandas merge_asof, including
+    exact-ts ties and keys that only exist on one side."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import asof_join
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 20, 300),
+        "lt": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**6, 300), unit="s"),
+        "lv": np.arange(300, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.randint(0, 25, 200),   # some keys absent on the left
+        "rt": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**6, 200), unit="s"),
+        "rv": np.arange(200, dtype=np.int64) * 10,
+    })
+    # exact-tie probe: one left row exactly at a right ts
+    left.loc[0, ["k", "lt"]] = [right.loc[0, "k"], right.loc[0, "rt"]]
+    got = (asof_join(rd.from_pandas(left).repartition(5),
+                     rd.from_pandas(right).repartition(3),
+                     by="k", left_ts="lt", right_ts="rt")
+           .to_pandas().sort_values(["lv"]).reset_index(drop=True))
+    want = (pd.merge_asof(left.sort_values("lt"), right.sort_values("rt"),
+                          left_on="lt", right_on="rt", by="k")
+            .dropna(subset=["rt"]).sort_values("lv")
+            .reset_index(drop=True).astype({"rv": "int64"}))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert got["rv"].dtype == np.dtype("int64")   # no float coercion
+
+
+def test_interval_join_containment(ray_session):
+    """interval_join assigns each probe to its containing interval,
+    boundary-inclusive on both ends; probes outside any interval drop."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import interval_join
+    iv = pd.DataFrame({
+        "k": [1, 1, 2],
+        "s": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 02:00",
+                             "2024-01-01 00:30"]),
+        "e": pd.to_datetime(["2024-01-01 01:00", "2024-01-01 03:00",
+                             "2024-01-01 00:45"]),
+        "ivid": np.array([10, 11, 20], dtype=np.int64),
+    })
+    probe = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2, 3],
+        "t": pd.to_datetime([
+            "2024-01-01 00:00",    # start boundary -> ivid 10
+            "2024-01-01 01:00",    # end boundary -> ivid 10
+            "2024-01-01 01:30",    # gap -> dropped
+            "2024-01-01 02:30",    # -> ivid 11
+            "2024-01-01 00:40",    # -> ivid 20
+            "2024-01-01 00:50",    # after end -> dropped
+            "2024-01-01 00:40",    # key absent in intervals -> dropped
+        ]),
+        "pid": np.arange(7, dtype=np.int64),
+    })
+    got = (interval_join(rd.from_pandas(probe).repartition(3),
+                         rd.from_pandas(iv), by="k", ts_col="t",
+                         start_col="s", end_col="e")
+           .to_pandas().sort_values("pid").reset_index(drop=True))
+    assert got["pid"].tolist() == [0, 1, 3, 4]
+    assert got["ivid"].tolist() == [10, 10, 11, 20]
+    assert got["ivid"].dtype == np.dtype("int64")
