@@ -498,6 +498,35 @@ def embeddings_kmeans(sf_dir: str) -> pd.DataFrame:
             .sort_values("cluster_id").reset_index(drop=True))
 
 
+def docs_training_mix(sf_dir: str) -> pd.DataFrame:
+    """End-to-end training-data curation pipeline COMPOSED from the
+    engine's own operators, fully SQL-oracled: language filter ->
+    vectorized quality scoring -> quality gate (n_tokens >= 50,
+    alpha_ratio >= 0.8) -> exact content dedup (min-id representative)
+    -> kept-id semi-join. The gated working set is pinned once in the
+    (spillable) object store for its two consumers rather than
+    re-scanned; the only driver state is the kept-id set (at real
+    scale that broadcast becomes the Bloom-filter semi join exercised
+    by parts_bloom_prefilter)."""
+    from .relational import semi_join
+    from .stages.dedup import exact_dedup_keep
+    from .stages.text_analysis import quality_batch
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["lang"] == "en"]
+        q = quality_batch(b)
+        keep = (q["n_tokens"] >= 50) & (q["alpha_ratio"] >= 0.8)
+        out = q.loc[keep, ["doc_id", "n_tokens", "alpha_ratio"]]
+        return out.assign(text=b.loc[keep.to_numpy(), "text"].to_numpy())
+
+    gated = ds.map_batches(gate, batch_format="pandas").materialize()
+    kept = exact_dedup_keep(gated)
+    out = semi_join(gated, set(kept["doc_id"]), on="doc_id").to_pandas()
+    return (out[["doc_id", "n_tokens", "alpha_ratio"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _heavy_partkeys(sf_dir: str) -> set:
     """Distinct partkeys appearing in a quantity > 49 lineitem (the
     shared probe-key set for the semi/anti join pair)."""
@@ -938,7 +967,8 @@ def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     from .stages.multimodal import (ResizeImages, decode_media_dataset,
                                     sample_frames_dataset,
                                     synth_media_table)
-    media = rd.from_arrow(synth_media_table(60))
+    # split the synthetic table so the actor pool has >1 input block
+    media = rd.from_arrow(synth_media_table(60)).repartition(8)
     frames = sample_frames_dataset(media, n_frames=3).to_pandas()
     frames["features"] = frames["features"].map(
         lambda a: np.round(np.asarray(a, dtype=np.float64), 4).tolist())
@@ -962,7 +992,7 @@ def multimodal_frames(sf_dir: str) -> pd.DataFrame:
 def multimodal_decode(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
     from .stages.multimodal import synth_media_table, decode_media_dataset
-    media = rd.from_arrow(synth_media_table(96))
+    media = rd.from_arrow(synth_media_table(96)).repartition(8)
     df = decode_media_dataset(media).to_pandas()
     df["features"] = df["features"].map(
         lambda a: np.round(np.asarray(a, dtype=np.float64), 4).tolist())
@@ -991,6 +1021,7 @@ QUERIES = {
     "events_session_attrib": events_session_attrib,
     "docs_stratified_sample": docs_stratified_sample,
     "embeddings_kmeans": embeddings_kmeans,
+    "docs_training_mix": docs_training_mix,
     "parts_anti_join": parts_anti_join,
     "parts_semi_join": parts_semi_join,
     "events_props_stats": events_props_stats,
@@ -1223,6 +1254,20 @@ ORACLES = {
          AND p.ts BETWEEN sess.session_start AND sess.session_end
         GROUP BY sess.user_id, sess.session_id
         ORDER BY sess.user_id, sess.session_id
+    """,
+    "docs_training_mix": """
+        WITH q AS (
+          SELECT doc_id, text,
+                 len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                 CASE WHEN length(text) > 0
+                      THEN len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                           / length(text) ELSE 0 END AS alpha_ratio
+          FROM documents WHERE lang = 'en'),
+        f AS (SELECT * FROM q
+              WHERE n_tokens >= 50 AND alpha_ratio >= 0.8),
+        k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text)
+        SELECT f.doc_id, f.n_tokens, f.alpha_ratio
+        FROM f JOIN k USING (doc_id) ORDER BY f.doc_id
     """,
     "docs_stratified_sample": """
         WITH d AS (SELECT doc_id, lang,

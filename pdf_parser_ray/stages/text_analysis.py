@@ -113,18 +113,18 @@ def clean_text_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 def repetition_ratio_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Quality metric: fraction of tokens taken by the single most
-    frequent token (high -> degenerate/repetitive text)."""
-    ratios = []
-    for t in batch["text"]:
-        toks = t.split()
-        if not toks:
-            ratios.append(0.0)
-            continue
-        vc = pd.Series(toks).value_counts()
-        ratios.append(int(vc.iloc[0]) / len(toks))
+    frequent token (high -> degenerate/repetitive text). One exploded
+    groupby across the whole batch instead of a per-doc value_counts
+    Series build."""
+    toks = batch["text"].str.split()
+    ex = toks.explode()
+    per_doc_tok = ex.groupby([ex.index, ex]).size()
+    top = per_doc_tok.groupby(level=0).max()
+    n = toks.str.len()
+    ratio = (top / n).reindex(batch.index).fillna(0.0)
     return pd.DataFrame({
         "doc_id": batch["doc_id"],
-        "top_token_ratio": pd.array(ratios, dtype="float64"),
+        "top_token_ratio": ratio.astype("float64").to_numpy(),
     })
 
 
