@@ -110,7 +110,9 @@ def run_queries() -> dict:
                 "docs_top_tokens", "embeddings_knn_bruteforce",
                 "dedup_minhash_word", "transcript_questions",
                 "events_sessions", "events_median_by_type",
-                "embeddings_knn_ivf", "events_approx_distinct_users"]
+                "embeddings_knn_ivf", "events_approx_distinct_users",
+                "events_asof_join", "docs_training_mix",
+                "embeddings_kmeans"]
     out = {}
     for name in headline:
         t0 = time.perf_counter()
