@@ -33,10 +33,16 @@ def main(argv=None):
             s.add_argument("--n-buckets", type=int, default=32)
     args = p.parse_args(argv)
 
+    import os
+
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        # honor RAY_ADDRESS so the same entry point serves both the
+        # sandbox (RAY_ADDRESS=local -> own single-node instance) and a
+        # `ray job submit` run, where the job runtime points it at the
+        # running multi-node cluster
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
