@@ -705,6 +705,35 @@ def parts_bloom_prefilter(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def events_median_sketch(sf_dir: str) -> pd.DataFrame:
+    """Bottom-k sample sketch (mergeable deterministic min-hash-k
+    sample, stages.sketches.bottomk_sample) estimating the per-type
+    median, with a BOUNDS ORACLE: the emitted median is the exact
+    distributed-histogram value (bit-equal to the SQL window oracle)
+    and `sketch_within_10pct` asserts the k=4096 sample's estimate
+    lands within 10% relative error."""
+    from .stages.sketches import bottomk_sample, sample_quantile
+    exact = events_median_by_type(sf_dir)
+    ds = read_table(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_id": b["event_id"].values,
+                             "event_type": b["event_type"].values,
+                             "v_c": _cents(b["value"])})
+
+    sample = bottomk_sample(ds.map_batches(prep, batch_format="pandas"),
+                            value_col="v_c", id_col="event_id",
+                            group_col="event_type", k=4096)
+    ok = []
+    for etype, med in zip(exact["event_type"], exact["median_value"]):
+        est = sample_quantile(
+            sample.loc[sample["g"] == etype, "v"].to_numpy(), 0.5) / 100.0
+        ok.append(abs(est - med) <= 0.10 * abs(med) + 0.02)
+    out = exact.copy()
+    out["sketch_within_10pct"] = pd.array(ok, dtype="bool")
+    return out
+
+
 def events_distinct_types(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "events", ["event_type"])
     return distinct(ds, ["event_type"]).sort_values(
@@ -1022,6 +1051,7 @@ QUERIES = {
     "docs_stratified_sample": docs_stratified_sample,
     "embeddings_kmeans": embeddings_kmeans,
     "docs_training_mix": docs_training_mix,
+    "events_median_sketch": events_median_sketch,
     "parts_anti_join": parts_anti_join,
     "parts_semi_join": parts_semi_join,
     "events_props_stats": events_props_stats,
@@ -1351,6 +1381,22 @@ ORACLES = {
                CAST(SUM(CASE WHEN rn = (n - 1) // 2 THEN vc ELSE 0 END)
                     + SUM(CASE WHEN rn = n // 2 THEN vc ELSE 0 END)
                     AS DOUBLE) / 2.0 / 100.0 AS median_value
+        FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    "events_median_sketch": """
+        WITH v AS (SELECT event_type,
+                          CAST(ROUND(value * 100) AS BIGINT) AS vc
+                   FROM events),
+        r AS (SELECT event_type, vc,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY vc) - 1 AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM v)
+        SELECT event_type,
+               CAST(SUM(CASE WHEN rn = (n - 1) // 2 THEN vc ELSE 0 END)
+                    + SUM(CASE WHEN rn = n // 2 THEN vc ELSE 0 END)
+                    AS DOUBLE) / 2.0 / 100.0 AS median_value,
+               TRUE AS sketch_within_10pct
         FROM r GROUP BY event_type ORDER BY event_type
     """,
     "events_distinct_types": """

@@ -174,3 +174,41 @@ def approx_distinct(ds, col: str, batch_size: int = 65536) -> int:
     for raw in parts["regs"]:
         merged = np.maximum(merged, np.frombuffer(raw, dtype=np.uint8))
     return int(round(hll_estimate(merged)))
+
+
+# ------------------------------------------------------- bottom-k sampling
+
+def bottomk_sample(ds, *, value_col: str, id_col: str,
+                   group_col: str = None, k: int = 1024,
+                   batch_size: int = 65536) -> pd.DataFrame:
+    """Mergeable deterministic uniform sample: the k rows with the
+    smallest fixed-key hash(id) per group. min-k of a union equals the
+    merge of per-part min-k's, so per-batch partials are exact and the
+    shuffle/driver only ever sees k rows per group per block — the
+    classic bottom-k sketch. Deterministic: same ids -> same sample,
+    independent of partitioning and task order."""
+    gcol = group_col
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "g": (b[gcol].values if gcol is not None
+                  else np.zeros(len(b), dtype=np.int8)),
+            "v": b[value_col].values,
+            "h": _h1(b[id_col]),
+        })
+        df = df.sort_values("h", kind="mergesort")
+        return df.groupby("g", sort=False, observed=True).head(k)
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size).to_pandas()
+    return (parts.sort_values("h", kind="mergesort")
+            .groupby("g", sort=False, observed=True).head(k)
+            .reset_index(drop=True))
+
+
+def sample_quantile(values: np.ndarray, q: float) -> float:
+    """Nearest-rank quantile of a sample."""
+    v = np.sort(np.asarray(values))
+    if len(v) == 0:
+        return float("nan")
+    return float(v[min(len(v) - 1, int(q * len(v)))])

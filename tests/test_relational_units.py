@@ -214,3 +214,36 @@ def test_interval_join_containment(ray_session):
     assert got["pid"].tolist() == [0, 1, 3, 4]
     assert got["ivid"].tolist() == [10, 10, 11, 20]
     assert got["ivid"].dtype == np.dtype("int64")
+
+
+def test_asof_join_hot_key_skew(ray_session):
+    """One key owns 80% of both sides (hot-user skew): the bucketed
+    co-partition must still produce exactly the global merge_asof
+    answer — the hot key lands whole in one bucket by design."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import asof_join
+    rng = np.random.RandomState(11)
+    n = 4000
+    keys = np.where(rng.rand(n) < 0.8, 7, rng.randint(0, 40, n))
+    left = pd.DataFrame({
+        "k": keys,
+        "lt": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**7, n), unit="s"),
+        "lv": np.arange(n, dtype=np.int64),
+    })
+    rkeys = np.where(rng.rand(n) < 0.8, 7, rng.randint(0, 40, n))
+    right = pd.DataFrame({
+        "k": rkeys,
+        "rt": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**7, n), unit="s"),
+        "rv": np.arange(n, dtype=np.int64),
+    })
+    got = (asof_join(rd.from_pandas(left).repartition(9),
+                     rd.from_pandas(right).repartition(6),
+                     by="k", left_ts="lt", right_ts="rt")
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    want = (pd.merge_asof(left.sort_values("lt"), right.sort_values("rt"),
+                          left_on="lt", right_on="rt", by="k")
+            .dropna(subset=["rt"]).sort_values("lv")
+            .reset_index(drop=True).astype({"rv": "int64"}))
+    pd.testing.assert_frame_equal(got[want.columns], want)

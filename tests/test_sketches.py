@@ -69,3 +69,24 @@ def test_events_approx_distinct_users(ray_session):
     ds = read_table("/root/testdata/sf0.001", "events", ["user_id"])
     est = approx_distinct(ds, "user_id")
     assert abs(est - exact) / exact < 0.05
+
+
+def test_bottomk_merge_invariance(ray_session):
+    """Bottom-k sample is partitioning-invariant (min-k of union ==
+    merge of min-k's) and its quantile estimate tracks the truth."""
+    import ray.data as rd
+    from pdf_parser_ray.stages.sketches import bottomk_sample, sample_quantile
+    import numpy as np
+    import pandas as pd
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"id": np.arange(50_000, dtype=np.int64),
+                       "val": rng.exponential(50.0, 50_000)})
+    samples = []
+    for parts in (2, 17):
+        ds = rd.from_pandas(df).repartition(parts)
+        s = bottomk_sample(ds, value_col="val", id_col="id", k=2048)
+        samples.append(s.sort_values("h").reset_index(drop=True))
+    pd.testing.assert_frame_equal(samples[0], samples[1])
+    est = sample_quantile(samples[0]["v"].to_numpy(), 0.5)
+    true = float(np.median(df["val"]))
+    assert abs(est - true) <= 0.1 * true
