@@ -527,6 +527,54 @@ def docs_training_mix(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_chunk_dedup(sf_dir: str) -> pd.DataFrame:
+    """Chunk-level (paragraph-analog) exact dedup: split each doc into
+    25-word chunks, keep only the FIRST global occurrence of each
+    distinct chunk (ordered by (doc_id, chunk_idx)), and reassemble
+    each doc from its surviving chunks — the repeated-boilerplate
+    removal step of web-corpus curation. Two bucketed shuffles: chunks
+    grouped by content (winner = min occurrence per group, chosen
+    inside the bucket — no global winner set is ever broadcast), then
+    survivors regrouped by doc for ordered reassembly. Docs whose every
+    chunk was seen earlier disappear (SQL inner-join semantics)."""
+    from .relational import bucketed_map_groups
+    CH = 25
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(b: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, chs = [], [], []
+        for did, t in zip(b["doc_id"], b["text"]):
+            words = t.split(" ")       # matches SQL string_split exactly
+            for i in range((len(words) + CH - 1) // CH):
+                ids.append(did)
+                idxs.append(i)
+                chs.append(" ".join(words[i * CH:(i + 1) * CH]))
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "chunk_idx": pd.array(idxs, dtype="int64"),
+            "chunk": chs,
+        })
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["chunk", "doc_id", "chunk_idx"],
+                          kind="mergesort")
+        return g.drop_duplicates("chunk", keep="first")
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("chunk_idx", kind="mergesort")
+        gg = g.groupby("doc_id", sort=False)
+        return pd.DataFrame({
+            "dedup_text": gg["chunk"].agg(" ".join),
+            "n_kept": gg.size().astype("int64"),
+        }).reset_index()
+
+    chunk_ds = ds.map_batches(chunks, batch_format="pandas")
+    kept = bucketed_map_groups(chunk_ds, ["chunk"], keep_first)
+    out = bucketed_map_groups(kept, ["doc_id"], reassemble).to_pandas()
+    return (out[["doc_id", "dedup_text", "n_kept"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _heavy_partkeys(sf_dir: str) -> set:
     """Distinct partkeys appearing in a quantity > 49 lineitem (the
     shared probe-key set for the semi/anti join pair)."""
@@ -1052,6 +1100,7 @@ QUERIES = {
     "embeddings_kmeans": embeddings_kmeans,
     "docs_training_mix": docs_training_mix,
     "events_median_sketch": events_median_sketch,
+    "docs_chunk_dedup": docs_chunk_dedup,
     "parts_anti_join": parts_anti_join,
     "parts_semi_join": parts_semi_join,
     "events_props_stats": events_props_stats,
@@ -1284,6 +1333,27 @@ ORACLES = {
          AND p.ts BETWEEN sess.session_start AND sess.session_end
         GROUP BY sess.user_id, sess.session_id
         ORDER BY sess.user_id, sess.session_id
+    """,
+    "docs_chunk_dedup": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM documents),
+        i AS (SELECT doc_id, words,
+                     unnest(range(0, CAST(CEIL(len(words) / 25.0)
+                                          AS BIGINT))) AS chunk_idx
+              FROM w),
+        c AS (SELECT doc_id, chunk_idx,
+                     array_to_string(list_slice(words, chunk_idx * 25 + 1,
+                                                chunk_idx * 25 + 25),
+                                     ' ') AS chunk
+              FROM i),
+        k AS (SELECT chunk, MIN(doc_id * 100000 + chunk_idx) AS first_key
+              FROM c GROUP BY chunk),
+        kept AS (SELECT c.* FROM c JOIN k ON c.chunk = k.chunk
+                 AND c.doc_id * 100000 + c.chunk_idx = k.first_key)
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id ORDER BY doc_id
     """,
     "docs_training_mix": """
         WITH q AS (

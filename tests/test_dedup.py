@@ -144,3 +144,25 @@ def test_minhash_keep_high_duplication(ray_session):
     assert kept["doc_id"].tolist() == expect_kept
     # sanity: the duplication actually happened (most copies collapse)
     assert len(dropped) > n_templates * (copies - 1) * 0.8
+
+
+def test_chunk_dedup_removes_repeated_boilerplate(ray_session, tmp_path):
+    """Docs sharing a 25-word boilerplate chunk keep it only in its
+    first occurrence; a doc made entirely of seen chunks disappears."""
+    from pdf_parser_ray.queries import docs_chunk_dedup
+    boiler = " ".join(f"b{i}" for i in range(25))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(25))
+    df = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2], dtype="int64"),
+        "text": [
+            boiler + " " + uniq("x"),      # first occurrence keeps boiler
+            boiler + " " + uniq("y"),      # later: boiler stripped
+            boiler,                        # all chunks seen -> dropped
+        ],
+    })
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = docs_chunk_dedup(str(tmp_path))
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out.loc[0, "dedup_text"] == boiler + " " + uniq("x")
+    assert out.loc[1, "dedup_text"] == uniq("y")
+    assert out["n_kept"].tolist() == [2, 1]
