@@ -77,7 +77,7 @@ def train_ivf_centroids(ds, *, n_clusters: int = 16, sample_size: int = 2048,
 def knn_ivf(ds, query_vec, k: int = 10, *, n_clusters: int = 16,
             nprobe: int = 4, vec_col: str = "embedding",
             id_col: str = "vec_id", exclude_id=None, seed: int = 99,
-            batch_size: int = 8192) -> pd.DataFrame:
+            batch_size: int = 8192, with_stats: bool = False):
     """IVF approximate top-k: assign every vector to its nearest coarse
     centroid per batch (broadcast centroid matrix, one matmul), keep
     only vectors whose centroid is among the query's ``nprobe`` nearest,
@@ -97,6 +97,12 @@ def knn_ivf(ds, query_vec, k: int = 10, *, n_clusters: int = 16,
 
     probed = ds.map_batches(filter_probed, batch_format="pandas",
                             batch_size=batch_size)
+    if with_stats:
+        probed = probed.materialize()
+        return (knn_bruteforce(probed, q, k, vec_col=vec_col,
+                               id_col=id_col, exclude_id=exclude_id,
+                               batch_size=batch_size),
+                probed.count())
     return knn_bruteforce(probed, q, k, vec_col=vec_col, id_col=id_col,
                           exclude_id=exclude_id, batch_size=batch_size)
 
@@ -109,7 +115,7 @@ def _bucket_keys(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
 def knn_lsh(ds, query_vec, k: int = 10, *, n_planes: int = 10,
             vec_col: str = "embedding", id_col: str = "vec_id",
             exclude_id=None, seed: int = 777,
-            batch_size: int = 8192) -> pd.DataFrame:
+            batch_size: int = 8192, with_stats: bool = False):
     """Approximate top-k: probe the query's hyperplane bucket plus all
     Hamming-1 neighbor buckets, exact re-rank inside the probed set."""
     q = np.asarray(query_vec, dtype=np.float64)
@@ -125,5 +131,11 @@ def knn_lsh(ds, query_vec, k: int = 10, *, n_planes: int = 10,
 
     probed = ds.map_batches(filter_probed, batch_format="pandas",
                             batch_size=batch_size)
+    if with_stats:
+        probed = probed.materialize()
+        return (knn_bruteforce(probed, q, k, vec_col=vec_col,
+                               id_col=id_col, exclude_id=exclude_id,
+                               batch_size=batch_size),
+                probed.count())
     return knn_bruteforce(probed, q, k, vec_col=vec_col, id_col=id_col,
                           exclude_id=exclude_id, batch_size=batch_size)
