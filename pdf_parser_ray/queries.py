@@ -782,6 +782,19 @@ def events_median_sketch(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def events_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Value-weighted sample of 100 events without replacement
+    (stages.sketches.weighted_sample): higher-value events
+    proportionally more likely, yet fully deterministic and
+    SQL-reproducible — the oracle computes the identical
+    -ln(hash-u)/weight keys and takes the same bottom-k."""
+    from .stages.sketches import weighted_sample
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = weighted_sample(ds, weight_col="value", id_col="event_id", k=100)
+    return (out[["event_id", "user_id", "value"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 def events_distinct_types(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "events", ["event_type"])
     return distinct(ds, ["event_type"]).sort_values(
@@ -1137,6 +1150,7 @@ QUERIES = {
     "events_median_sketch": events_median_sketch,
     "docs_chunk_dedup": docs_chunk_dedup,
     "embeddings_ann_recall": embeddings_ann_recall,
+    "events_weighted_sample": events_weighted_sample,
     "parts_anti_join": parts_anti_join,
     "parts_semi_join": parts_semi_join,
     "events_props_stats": events_props_stats,
@@ -1488,6 +1502,15 @@ ORACLES = {
                     + SUM(CASE WHEN rn = n // 2 THEN vc ELSE 0 END)
                     AS DOUBLE) / 2.0 / 100.0 AS median_value
         FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    "events_weighted_sample": """
+        WITH h AS (SELECT event_id, user_id, value,
+                          ((event_id * 2654435761) % 4294967296 + 0.5)
+                            / 4294967296.0 AS u
+                   FROM events WHERE value > 0),
+        s AS (SELECT event_id, user_id, value
+              FROM h ORDER BY -ln(u) / value, event_id LIMIT 100)
+        SELECT event_id, user_id, value FROM s ORDER BY event_id
     """,
     "events_median_sketch": """
         WITH v AS (SELECT event_type,

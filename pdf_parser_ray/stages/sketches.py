@@ -212,3 +212,30 @@ def sample_quantile(values: np.ndarray, q: float) -> float:
     if len(v) == 0:
         return float("nan")
     return float(v[min(len(v) - 1, int(q * len(v)))])
+
+
+def weighted_sample(ds, *, weight_col: str, id_col: str, k: int = 100,
+                    batch_size: int = 65536) -> pd.DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis) as a
+    deterministic mergeable bottom-k: each row gets key -ln(u)/w where
+    u is a fixed multiplicative hash of its id (so the key — unlike a
+    PRNG draw — is reproducible in SQL), and the k smallest keys win.
+    min-k partials per batch are exact under any partitioning, like
+    bottomk_sample; the streaming-sampling-over-joins literature uses
+    the same key construction to push sampling below a join. Rows with
+    weight <= 0 are excluded (zero inclusion probability)."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = b[weight_col].to_numpy(dtype=np.float64)
+        keep = w > 0
+        ids = b[id_col].to_numpy(dtype=np.int64)[keep]
+        w = w[keep]
+        u = ((ids * 2654435761) % (1 << 32) + 0.5) / float(1 << 32)
+        key = -np.log(u) / w
+        out = b.loc[keep].assign(__wk=key)
+        return out.sort_values(["__wk", id_col],
+                               kind="mergesort").head(k)
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size).to_pandas()
+    return (parts.sort_values(["__wk", id_col], kind="mergesort").head(k)
+            .drop(columns="__wk").reset_index(drop=True))

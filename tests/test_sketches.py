@@ -90,3 +90,22 @@ def test_bottomk_merge_invariance(ray_session):
     est = sample_quantile(samples[0]["v"].to_numpy(), 0.5)
     true = float(np.median(df["val"]))
     assert abs(est - true) <= 0.1 * true
+
+
+def test_weighted_sample_bias_and_invariance(ray_session):
+    """Weighted sample is partitioning-invariant and actually biased
+    toward heavy rows (sample mean weight >> population mean)."""
+    import ray.data as rd
+    from pdf_parser_ray.stages.sketches import weighted_sample
+    import numpy as np
+    import pandas as pd
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({"id": np.arange(20_000, dtype=np.int64),
+                       "w": rng.exponential(10.0, 20_000)})
+    outs = []
+    for parts in (3, 11):
+        s = weighted_sample(rd.from_pandas(df).repartition(parts),
+                            weight_col="w", id_col="id", k=500)
+        outs.append(s.sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert outs[0]["w"].mean() > 1.5 * df["w"].mean()
