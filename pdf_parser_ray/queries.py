@@ -575,6 +575,49 @@ def docs_chunk_dedup(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_commonness(sf_dir: str) -> pd.DataFrame:
+    """Corpus-statistic document scoring (the unigram-LM quality-filter
+    analog, kept in exact integer arithmetic so it is bit-oracle-able):
+    pass 1 computes global token counts distributed (partial counts per
+    batch, bucketed combine); pass 2 broadcasts the frequency table and
+    scores each doc as the average global count of its tokens —
+    boilerplate-/stopword-heavy docs score high, rare-vocab docs low.
+    At web scale the broadcast table is the top-V vocabulary with a
+    default count for the long tail."""
+    import ray
+
+    from .relational import bucketed_map_groups
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b["text"].str.split(" ").explode()
+        vc = ex.value_counts()
+        return pd.DataFrame({"token": vc.index, "c": vc.to_numpy()})
+
+    counts = bucketed_map_groups(
+        ds.map_batches(tok_partial, batch_format="pandas"), ["token"],
+        lambda g: g.groupby("token", as_index=False, sort=False)["c"].sum()
+    ).to_pandas()
+    freq_ref = ray.put(dict(zip(counts["token"], counts["c"].astype(int))))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        fmap = ray.get(freq_ref)
+        toks = b["text"].str.split(" ")
+        ex = toks.explode()
+        f = ex.map(fmap).astype("int64")
+        sums = f.groupby(level=0).sum()
+        n = toks.str.len()
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_tokens": n.astype("int64"),
+            "sum_freq": sums.reindex(b.index).astype("int64"),
+            "avg_token_freq": (sums.reindex(b.index) / n).astype("float64"),
+        })
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _heavy_partkeys(sf_dir: str) -> set:
     """Distinct partkeys appearing in a quantity > 49 lineitem (the
     shared probe-key set for the semi/anti join pair)."""
@@ -1151,6 +1194,7 @@ QUERIES = {
     "docs_chunk_dedup": docs_chunk_dedup,
     "embeddings_ann_recall": embeddings_ann_recall,
     "events_weighted_sample": events_weighted_sample,
+    "docs_commonness": docs_commonness,
     "parts_anti_join": parts_anti_join,
     "parts_semi_join": parts_semi_join,
     "events_props_stats": events_props_stats,
@@ -1383,6 +1427,18 @@ ORACLES = {
          AND p.ts BETWEEN sess.session_start AND sess.session_end
         GROUP BY sess.user_id, sess.session_id
         ORDER BY sess.user_id, sess.session_id
+    """,
+    "docs_commonness": """
+        WITH toks AS (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS token
+                      FROM documents),
+        cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+        s AS (SELECT t.doc_id, CAST(SUM(c.c) AS BIGINT) AS sum_freq,
+                     COUNT(*) AS n_tokens
+              FROM toks t JOIN cnt c USING (token) GROUP BY t.doc_id)
+        SELECT doc_id, n_tokens, sum_freq,
+               CAST(sum_freq AS DOUBLE) / n_tokens AS avg_token_freq
+        FROM s ORDER BY doc_id
     """,
     "docs_chunk_dedup": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
