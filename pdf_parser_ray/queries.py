@@ -575,6 +575,45 @@ def docs_chunk_dedup(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def lineitem_join_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted sampling pushed BELOW a join (the streaming
+    sampling-over-joins optimization): a price-weighted sample of the
+    orders x lineitem join is taken by sampling ONLY the lineitem side
+    (the weight lives there and the FK join is key-preserving: every
+    lineitem matches exactly one order), then joining just the k
+    winners to orders via broadcast — the full join is never computed.
+    The oracle samples the materialized join with the identical
+    deterministic keys, proving the pushdown is exact."""
+    from .relational import broadcast_join
+    from .stages.sketches import weighted_sample
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        # composite id: (orderkey, linenumber) packed into one int64,
+        # mirrored exactly in the oracle SQL
+        b = b.copy(deep=False)
+        b["li_id"] = (b["l_orderkey"].to_numpy(dtype=np.int64) * 10
+                      + b["l_linenumber"].to_numpy(dtype=np.int64))
+        return b
+
+    sample = weighted_sample(li.map_batches(add_key, batch_format="pandas"),
+                             weight_col="l_extendedprice", id_col="li_id",
+                             k=50)
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                           "o_totalprice"])
+    import ray.data as rd
+    joined = broadcast_join(
+        orders.map_batches(
+            lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+            batch_format="pandas"),
+        sample.drop(columns="li_id"), on="l_orderkey").to_pandas()
+    return (joined[["l_orderkey", "l_linenumber", "l_extendedprice",
+                    "o_orderdate", "o_totalprice"]]
+            .sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True))
+
+
 def docs_commonness(sf_dir: str) -> pd.DataFrame:
     """Corpus-statistic document scoring (the unigram-LM quality-filter
     analog, kept in exact integer arithmetic so it is bit-oracle-able):
@@ -1195,6 +1234,7 @@ QUERIES = {
     "embeddings_ann_recall": embeddings_ann_recall,
     "events_weighted_sample": events_weighted_sample,
     "docs_commonness": docs_commonness,
+    "lineitem_join_sample": lineitem_join_sample,
     "parts_anti_join": parts_anti_join,
     "parts_semi_join": parts_semi_join,
     "events_props_stats": events_props_stats,
@@ -1427,6 +1467,20 @@ ORACLES = {
          AND p.ts BETWEEN sess.session_start AND sess.session_end
         GROUP BY sess.user_id, sess.session_id
         ORDER BY sess.user_id, sess.session_id
+    """,
+    "lineitem_join_sample": """
+        WITH j AS (SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+                          o.o_orderdate, o.o_totalprice,
+                          l.l_orderkey * 10 + l.l_linenumber AS li_id
+                   FROM lineitem l JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey),
+        h AS (SELECT *, ((li_id * 2654435761) % 4294967296 + 0.5)
+                        / 4294967296.0 AS u
+              FROM j WHERE l_extendedprice > 0),
+        s AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                     o_orderdate, o_totalprice
+              FROM h ORDER BY -ln(u) / l_extendedprice, li_id LIMIT 50)
+        SELECT * FROM s ORDER BY l_orderkey, l_linenumber
     """,
     "docs_commonness": """
         WITH toks AS (SELECT doc_id,
