@@ -192,24 +192,67 @@ def _cosine_arrays(va: np.ndarray, vb: np.ndarray) -> float:
     return float(va @ vb / (na * nb))
 
 
+_BROADCAST_VERIFY_BYTES = 64 << 20
+
+
 def _pairwise_verify(cand: pd.DataFrame, payload_ds, score_fn,
                      out_col: str) -> pd.DataFrame:
-    """Distributed pairwise verification.
+    """Distributed pairwise verification with an adaptive join
+    strategy (the broadcast-small-sides rule applied to dedup).
 
     cand: (id_a, id_b) candidate pairs. payload_ds: Ray dataset
     (doc_id, pl) holding one verification payload per CANDIDATE doc
-    (already filtered; small by the LSH contract but distributed — the
-    driver never materializes payloads). Two bucketed shuffles total:
-    (1) bucket by doc_id to attach each doc's payload to its pair
-    halves, (2) bucket by pair_idx to score where both halves meet.
-    score_fn(payload_a, payload_b) must be symmetric and picklable.
+    (already filtered down from the corpus).
+
+    Fast path — payloads fit the 64 MiB broadcast budget (the normal
+    LSH-contract case): ship the payload map to the object store ONCE
+    and score pairs in stateless map tasks; zero shuffles.
+
+    Scale path — a high-duplication corpus blows the budget: two
+    bucketed shuffles, (1) bucket by doc_id to attach each doc's
+    payload to its pair halves, (2) bucket by pair_idx to score where
+    both halves meet; the driver never materializes payloads.
     Side-tagging uses an int sentinel (pair_idx = -1 for payload rows)
     so id columns never pass through a null-fill float coercion.
+
+    Both paths return identical results; score_fn(payload_a,
+    payload_b) must be symmetric and picklable.
     """
     import pyarrow as pa
+    import ray
     import ray.data as rd
 
     from ..relational import bucketed_map_groups
+
+    payload_ds = payload_ds.materialize()
+    if payload_ds.size_bytes() <= _BROADCAST_VERIFY_BYTES:
+        pdf = payload_ds.to_pandas()
+        pmap_ref = ray.put(dict(zip(pdf["doc_id"], pdf["pl"])))
+
+        def score_batch(b: pd.DataFrame) -> pd.DataFrame:
+            pmap = ray.get(pmap_ref)
+            return pd.DataFrame({
+                "pair_idx": b["pair_idx"].to_numpy(dtype=np.int64),
+                out_col: pd.array(
+                    [score_fn(pmap[a], pmap[b_]) if a in pmap
+                     and b_ in pmap else np.nan
+                     for a, b_ in zip(b["id_a"], b["id_b"])],
+                    dtype="float64"),
+            })
+
+        idx = pd.DataFrame({
+            "pair_idx": np.arange(len(cand), dtype=np.int64),
+            "id_a": cand["id_a"].to_numpy(),
+            "id_b": cand["id_b"].to_numpy(),
+        })
+        scored = (rd.from_pandas(idx)
+                  .map_batches(score_batch, batch_format="pandas",
+                               batch_size=8192)
+                  .to_pandas().dropna(subset=[out_col]))
+        out = cand.copy()
+        out["pair_idx"] = np.arange(len(cand), dtype=np.int64)
+        out = out.merge(scored, on="pair_idx", how="inner")
+        return out.drop(columns="pair_idx")
 
     s = payload_ds.schema()
     pl_type = dict(zip(s.names, s.types))["pl"]

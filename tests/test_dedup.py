@@ -166,3 +166,19 @@ def test_chunk_dedup_removes_repeated_boilerplate(ray_session, tmp_path):
     assert out.loc[0, "dedup_text"] == boiler + " " + uniq("x")
     assert out.loc[1, "dedup_text"] == uniq("y")
     assert out["n_kept"].tolist() == [2, 1]
+
+
+def test_pairwise_verify_paths_agree(ray_session, monkeypatch):
+    """The broadcast fast path and the shuffle scale path of pairwise
+    verification return identical pairs."""
+    import ray.data as rd
+    import pdf_parser_ray.stages.dedup as dd
+    rows = [{"doc_id": 0, "text": _doc(0)},
+            {"doc_id": 1, "text": _doc(0)},
+            {"doc_id": 2, "text": _doc(2, mutate=2)},
+            {"doc_id": 3, "text": _doc(3, mutate=40)}]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    fast = dd.minhash_dedup_pairs(ds, threshold=0.5)
+    monkeypatch.setattr(dd, "_BROADCAST_VERIFY_BYTES", 0)
+    slow = dd.minhash_dedup_pairs(ds, threshold=0.5)
+    pd.testing.assert_frame_equal(fast, slow)
