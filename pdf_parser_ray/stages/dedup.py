@@ -159,17 +159,42 @@ def minhash_band_rows(batch: pd.DataFrame, *, num_perm: int, bands: int,
 
 def _grouped_pairs(df: pd.DataFrame, group_cols: List[str],
                    id_col: str = "doc_id") -> pd.DataFrame:
-    """All within-group id pairs. Vectorized pre-filter: only rows whose
-    group key is duplicated can pair, so the Python loop touches the
-    (rare) collision groups only."""
+    """All within-group id pairs. Vectorized: only rows whose group key
+    is duplicated can pair, and each collision group emits its pairs
+    via one triu-index expansion (a template-heavy corpus can put
+    hundreds of docs in one bucket — a per-pair Python loop is the
+    bottleneck there)."""
     dup = df[df.duplicated(group_cols, keep=False)]
-    a, b = [], []
+    out_a, out_b = [], []
     for _, g in dup.groupby(group_cols, sort=False):
-        ids = sorted(set(g[id_col]))
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i]); b.append(ids[j])
-    return pd.DataFrame({"id_a": a, "id_b": b})
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) < 2:
+            continue
+        i, j = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[i]); out_b.append(ids[j])
+    if not out_a:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    return pd.DataFrame({"id_a": np.concatenate(out_a),
+                         "id_b": np.concatenate(out_b)})
+
+
+def _dedup_pairs_fast(cand: pd.DataFrame) -> pd.DataFrame:
+    """drop_duplicates(['id_a','id_b']) via packed-uint64 np.unique
+    when ids fit 32 bits (cross-band duplicates on a template-heavy
+    corpus reach millions of rows, where pandas hashing is the slow
+    part); falls back to pandas otherwise. Keeps first occurrence."""
+    if cand.empty:
+        return cand
+    a = cand["id_a"].to_numpy()
+    b = cand["id_b"].to_numpy()
+    if (np.issubdtype(a.dtype, np.integer)
+            and np.issubdtype(b.dtype, np.integer)
+            and a.min() >= 0 and b.min() >= 0
+            and max(a.max(), b.max()) < (1 << 32)):
+        key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        _, idx = np.unique(key, return_index=True)
+        return cand.iloc[np.sort(idx)]
+    return cand.drop_duplicates(["id_a", "id_b"])
 
 
 def _jaccard_arrays(sa, sb) -> float:
@@ -335,10 +360,10 @@ def minhash_dedup_pairs(ds, *, num_perm: int = 128, bands: int = 16,
                           shingle=shingle, text_col=text_col, id_col=id_col),
         batch_format="pandas", batch_size=batch_size)
     from ..relational import bucketed_map_groups
-    cand = (bucketed_map_groups(
+    cand = _dedup_pairs_fast(bucketed_map_groups(
         band_rows, ["band", "band_hash"],
         lambda g: _grouped_pairs(g, ["band", "band_hash"]))
-        .to_pandas().drop_duplicates().reset_index(drop=True))
+        .to_pandas()).reset_index(drop=True)
     if cand.empty:
         return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
                              "id_b": pd.array([], dtype="int64"),
@@ -503,6 +528,9 @@ def minhash_dedup_keep(ds, *, num_perm: int = 128, bands: int = 16,
 
 # ---------------------------------------------------------------- simhash
 
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                  dtype=np.uint8)
+
 def _simhash64(text: str) -> int:
     """64-bit SimHash over unique whitespace tokens, vectorized across
     tokens (token-hash bit matrix -> signed column sums)."""
@@ -546,30 +574,44 @@ def simhash_dedup_pairs(ds, *, max_hamming: int = 3,
         batch_format="pandas", batch_size=batch_size)
 
     def pairs_with_sig(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized within-bucket pair expansion carrying both
+        signatures (each doc appears at most once per (band, band_key)
+        group, so sorting by doc_id reproduces tuple order)."""
         dup = df[df.duplicated(["band", "band_key"], keep=False)]
         a, b, sa, sb = [], [], [], []
         for _, g in dup.groupby(["band", "band_key"], sort=False):
-            recs = sorted(set(zip(g["doc_id"], g["simhash"])))
-            for i in range(len(recs)):
-                for j in range(i + 1, len(recs)):
-                    a.append(recs[i][0]); b.append(recs[j][0])
-                    sa.append(recs[i][1]); sb.append(recs[j][1])
-        return pd.DataFrame({"id_a": a, "id_b": b, "sig_a": sa, "sig_b": sb})
+            g = g.sort_values("doc_id", kind="mergesort")
+            ids = g["doc_id"].to_numpy()
+            sigs = g["simhash"].to_numpy()
+            if len(ids) < 2:
+                continue
+            i, j = np.triu_indices(len(ids), k=1)
+            a.append(ids[i]); b.append(ids[j])
+            sa.append(sigs[i]); sb.append(sigs[j])
+        if not a:
+            return pd.DataFrame({"id_a": [], "id_b": [],
+                                 "sig_a": [], "sig_b": []})
+        return pd.DataFrame({"id_a": np.concatenate(a),
+                             "id_b": np.concatenate(b),
+                             "sig_a": np.concatenate(sa),
+                             "sig_b": np.concatenate(sb)})
 
     from ..relational import bucketed_map_groups
-    cand = (bucketed_map_groups(rows, ["band", "band_key"], pairs_with_sig)
-            .to_pandas().drop_duplicates(["id_a", "id_b"])
-            .reset_index(drop=True))
+    cand = bucketed_map_groups(rows, ["band", "band_key"],
+                               pairs_with_sig).to_pandas()
+    cand = _dedup_pairs_fast(cand).reset_index(drop=True)
     if cand.empty:
         return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
                              "id_b": pd.array([], dtype="int64"),
                              "hamming": pd.array([], dtype="int64")})
     x = (cand["sig_a"].to_numpy(dtype="int64")
          ^ cand["sig_b"].to_numpy(dtype="int64")).astype(np.uint64)
-    ham = np.zeros(len(x), dtype=np.int64)
-    for _ in range(64):
-        ham += (x & 1).astype(np.int64)
-        x >>= 1
+    # 16-bit table popcount: 4 gathers instead of 64 shift/mask passes
+    # (millions of candidate pairs on a template-heavy corpus)
+    m = np.uint64(0xFFFF)
+    ham = (_POP16[x & m] + _POP16[(x >> np.uint64(16)) & m]
+           + _POP16[(x >> np.uint64(32)) & m]
+           + _POP16[x >> np.uint64(48)]).astype(np.int64)
     cand["hamming"] = ham
     out = cand[cand["hamming"] <= max_hamming][["id_a", "id_b", "hamming"]]
     return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -628,11 +670,11 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 12,
                           vec_col=vec_col, id_col=id_col),
         batch_format="pandas", batch_size=batch_size)
     from ..relational import bucketed_map_groups
-    cand = (bucketed_map_groups(
+    cand = _dedup_pairs_fast(bucketed_map_groups(
         buckets, ["bucket"],
         lambda g: _grouped_pairs(g.rename(columns={id_col: "doc_id"}),
                                  ["bucket"]))
-        .to_pandas().drop_duplicates().reset_index(drop=True))
+        .to_pandas()).reset_index(drop=True)
     if cand.empty:
         return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
                              "id_b": pd.array([], dtype="int64"),
