@@ -442,9 +442,13 @@ def embeddings_kmeans(sf_dir: str) -> pd.DataFrame:
     # iterative re-scan: cache the (projected) working set in the
     # object store rather than re-reading parquet every iteration
     ds = ds.materialize()
+    # seed = the k lowest vec_ids, found by a mergeable per-batch
+    # bottom-k (ids need not start at 0 or be dense)
     seed = (ds.map_batches(
-        lambda b: b[b["vec_id"] < k], batch_format="pandas").to_pandas()
-        .sort_values("vec_id"))
+        lambda b: b.sort_values("vec_id").head(k), batch_format="pandas")
+        .to_pandas().sort_values("vec_id").head(k))
+    if len(seed) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(seed)}")
     centroids = np.stack([np.asarray(v, dtype=np.float64)
                           for v in seed["embedding"]])
 
@@ -1506,10 +1510,10 @@ ORACLES = {
                                                 chunk_idx * 25 + 25),
                                      ' ') AS chunk
               FROM i),
-        k AS (SELECT chunk, MIN(doc_id * 100000 + chunk_idx) AS first_key
+        k AS (SELECT chunk, MIN(ROW(doc_id, chunk_idx)) AS fk
               FROM c GROUP BY chunk),
         kept AS (SELECT c.* FROM c JOIN k ON c.chunk = k.chunk
-                 AND c.doc_id * 100000 + c.chunk_idx = k.first_key)
+                 AND ROW(c.doc_id, c.chunk_idx) = k.fk)
         SELECT doc_id,
                string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text,
                COUNT(*) AS n_kept

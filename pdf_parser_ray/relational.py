@@ -357,11 +357,15 @@ def distinct(ds, columns: List[str], batch_size: int = 65536) -> pd.DataFrame:
 
 def _cogroup(left, right, keys: List[str], fn, *, n_buckets: int = 32):
     """Shared plumbing for the non-equi joins: tag both sides, union
-    into one superset schema (Arrow-null filled, so types survive until
-    the per-bucket pandas conversion), shuffle once on the stable key
-    hash, and run ``fn`` per bucket with both sides present (rows
-    carry ``__side`` = 'l'/'r'). Key columns may be shared between the
-    two sides; all other column names must be disjoint."""
+    into one superset schema (Arrow-null filled), shuffle once on the
+    stable key hash, and run ``fn`` per bucket on the ARROW table with
+    both sides present (rows carry ``__side`` = 'l'/'r'). fn splits the
+    sides and converts each to pandas separately, so the other side's
+    null-filled columns never force a lossy int->float coercion on
+    real values. Rows with a NULL key are dropped up front on both
+    sides (SQL semantics: NULL never matches). Key columns may be
+    shared between the two sides; all other column names must be
+    disjoint."""
     l_schema, r_schema = left.schema(), right.schema()
     l_names = list(l_schema.names)
     r_names = list(r_schema.names)
@@ -375,6 +379,9 @@ def _cogroup(left, right, keys: List[str], fn, *, n_buckets: int = 32):
 
     def prep(side_names, side_tag):
         def prep_fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            for k in keys:          # SQL: NULL keys never match
+                t = t.filter(pc.is_valid(t.column(k)))
             n = t.num_rows
             key_df = pd.DataFrame(
                 {k: t.column(k).to_pandas() for k in keys})
@@ -392,85 +399,94 @@ def _cogroup(left, right, keys: List[str], fn, *, n_buckets: int = 32):
     lp = left.map_batches(prep(set(l_names), "l"), batch_format="pyarrow")
     rp = right.map_batches(prep(set(r_names), "r"), batch_format="pyarrow")
     both = lp.union(rp).repartition(n_buckets)
-    return (both.groupby("bucket")
-            .map_groups(lambda g: fn(g.drop(columns="bucket")),
-                        batch_format="pandas")), types
+    return both.groupby("bucket").map_groups(fn, batch_format="pyarrow")
 
 
-def _restore_int_dtypes(df: pd.DataFrame, types: Dict) -> pd.DataFrame:
-    """The per-bucket pandas conversion float-coerces integer/bool
-    columns that were Arrow-null-filled on the other side; cast them
-    back (valid after an inner join: no nulls survive)."""
-    for c in df.columns:
-        t = types.get(c)
-        if t is not None and pa.types.is_integer(t):
-            df[c] = df[c].astype("int64")
-        elif t is not None and pa.types.is_boolean(t):
-            df[c] = df[c].astype(bool)
-    return df
+def _split_sides(t: pa.Table, l_names: List[str],
+                 r_names: List[str]) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    """Bucket table -> (left_df, right_df), each converted to pandas
+    SEPARATELY so null-filled other-side columns are never part of the
+    conversion (keeps int64 exact above 2^53; genuine source nulls
+    pass through with ordinary pandas semantics)."""
+    import pyarrow.compute as pc
+    side = t.column("__side")
+    l = t.filter(pc.equal(side, "l")).select(l_names).to_pandas()
+    r = t.filter(pc.equal(side, "r")).select(r_names).to_pandas()
+    return l, r
+
+
+def _gather_asof(l: pd.DataFrame, r: pd.DataFrame, *, by: str,
+                 left_on: str, right_on: str) -> pd.DataFrame:
+    """merge_asof that attaches right columns by GATHER instead of
+    merge: the asof match only carries a right row-number, and payload
+    columns are taken with iloc afterwards — so their dtypes (and
+    int64 values beyond float precision) survive untouched. Rows with
+    a NULL timestamp on either side are dropped first (SQL: a
+    comparison with NULL is never true). Deterministic under ties:
+    the right side is fully sorted, so the winner among equal
+    (by, right_on) rows is the lexicographically greatest payload."""
+    l = l.dropna(subset=[left_on]).sort_values(left_on, kind="mergesort")
+    r = (r.dropna(subset=[right_on])
+         .sort_values([right_on] + [c for c in r.columns if c != right_on],
+                      kind="mergesort").reset_index(drop=True))
+    probe = pd.merge_asof(
+        l, r[[by, right_on]].assign(__ri=np.arange(len(r), dtype=np.int64)),
+        left_on=left_on, right_on=right_on, by=by, direction="backward",
+        suffixes=("", "__r"))
+    matched = probe["__ri"].notna().to_numpy()
+    ri = probe.loc[matched, "__ri"].to_numpy(dtype=np.int64)
+    out_l = l[matched].reset_index(drop=True)
+    payload_cols = [c for c in r.columns if c != by]
+    out_r = r.iloc[ri][payload_cols].reset_index(drop=True)
+    return pd.concat([out_l, out_r], axis=1)
 
 
 def asof_join(left, right, *, by: str, left_ts: str, right_ts: str,
               n_buckets: int = 32):
     """Distributed AS-OF join: for each left row, attach the right row
     with the greatest ``right_ts`` <= ``left_ts`` for the same ``by``
-    key (inner semantics: left rows with no prior right row drop out).
+    key (inner semantics: left rows with no prior right row drop out;
+    NULL keys and NULL timestamps never match, like SQL).
 
     Ray Data has no as-of join; this is the documented composition —
     co-partition both sides on hash(by) (one shuffle), then a
-    vectorized ``pandas.merge_asof`` per bucket. Partitioning
+    vectorized ``pandas.merge_asof`` per bucket with gather-based
+    payload attachment (dtype- and precision-exact). Partitioning
     assumption: all rows of one key land in one bucket, so per-key
     history must fit a worker (true for per-user event streams; salt
     by time range if a key's history outgrows a block)."""
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct names")
 
-    l_schema = left.schema()
-    l_names = list(l_schema.names)
+    l_names = list(left.schema().names)
     r_names = list(right.schema().names)
-    r_cols = [by, right_ts] + [n for n in r_names
-                               if n not in (by, right_ts)]
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "l"][l_names].sort_values(
-            left_ts, kind="mergesort")
-        r = g[g["__side"] == "r"][r_cols].sort_values(
-            right_ts, kind="mergesort")
-        m = pd.merge_asof(l, r, left_on=left_ts, right_on=right_ts,
-                          by=by, direction="backward")
-        m = m.dropna(subset=[right_ts])
-        return m
+    def join_bucket(t: pa.Table) -> pd.DataFrame:
+        l, r = _split_sides(t, l_names, r_names)
+        return _gather_asof(l, r, by=by, left_on=left_ts,
+                            right_on=right_ts)
 
-    joined, types = _cogroup(left, right, [by], join_bucket,
-                             n_buckets=n_buckets)
-    return joined.map_batches(
-        lambda df: _restore_int_dtypes(df, types), batch_format="pandas")
+    return _cogroup(left, right, [by], join_bucket, n_buckets=n_buckets)
 
 
 def interval_join(probe, intervals, *, by: str, ts_col: str,
                   start_col: str, end_col: str, n_buckets: int = 32):
     """Distributed interval-containment (range) join: each probe row is
     matched to the interval with ``start <= ts <= end`` for its ``by``
-    key. Intervals must be non-overlapping per key (the session-window
-    contract), making the match unique. Same co-partitioning shape and
-    assumption as asof_join: one shuffle, merge_asof on the interval
-    start per bucket, then the end-bound containment filter."""
-    i_names = list(intervals.schema().names)
+    key (NULL keys/timestamps never match). Intervals must be
+    non-overlapping per key (the session-window contract), making the
+    match unique. Same co-partitioning shape and assumption as
+    asof_join: one shuffle, merge_asof on the interval start per
+    bucket with gather-based payload attachment, then the end-bound
+    containment filter."""
     p_names = list(probe.schema().names)
-    i_cols = [by, start_col, end_col] + [
-        n for n in i_names if n not in (by, start_col, end_col)]
+    i_names = list(intervals.schema().names)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["__side"] == "l"][p_names].sort_values(
-            ts_col, kind="mergesort")
-        iv = g[g["__side"] == "r"][i_cols].sort_values(
-            start_col, kind="mergesort")
-        m = pd.merge_asof(p, iv, left_on=ts_col, right_on=start_col,
-                          by=by, direction="backward")
-        m = m[m[end_col].notna() & (m[ts_col] <= m[end_col])]
-        return m
+    def join_bucket(t: pa.Table) -> pd.DataFrame:
+        p, iv = _split_sides(t, p_names, i_names)
+        m = _gather_asof(p, iv, by=by, left_on=ts_col,
+                         right_on=start_col)
+        return m[m[end_col].notna() & (m[ts_col] <= m[end_col])]
 
-    joined, types = _cogroup(probe, intervals, [by], join_bucket,
-                             n_buckets=n_buckets)
-    return joined.map_batches(
-        lambda df: _restore_int_dtypes(df, types), batch_format="pandas")
+    return _cogroup(probe, intervals, [by], join_bucket,
+                    n_buckets=n_buckets)

@@ -270,7 +270,10 @@ def _pairwise_verify(cand: pd.DataFrame, payload_ds, score_fn,
             "id_a": cand["id_a"].to_numpy(),
             "id_b": cand["id_b"].to_numpy(),
         })
-        scored = (rd.from_pandas(idx)
+        # from_pandas yields ONE block; split it or the scoring loop
+        # runs on a single core no matter the batch_size
+        n_blocks = max(1, min(len(idx) // 2048 + 1, 64))
+        scored = (rd.from_pandas(idx).repartition(n_blocks)
                   .map_batches(score_batch, batch_format="pandas",
                                batch_size=8192)
                   .to_pandas().dropna(subset=[out_col]))
@@ -472,6 +475,7 @@ def components_min_label(pairs: pd.DataFrame, *,
         return label_table(out["node"].to_numpy(dtype=np.int64),
                            out["label"].to_numpy(dtype=np.int64)).to_pandas()
 
+    converged = False
     for _ in range(max_iter):
         msgs = (bucketed_map_groups(edges_ds.union(labels), ["key"],
                                     round_fn)
@@ -487,8 +491,15 @@ def components_min_label(pairs: pd.DataFrame, *,
         new_sum = int(new_labels.sum("label"))
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # returning silently would leak near-duplicates into the kept
+        # set (a >max_iter-diameter chain component); refuse instead
+        raise RuntimeError(
+            f"components_min_label did not converge in {max_iter} "
+            "rounds; raise max_iter (component diameter exceeds it)")
     out = (labels.map_batches(lambda t: t.select(["node", "label"]),
                               batch_format="pyarrow")
            .to_pandas().rename(columns={"label": "rep"}))
@@ -580,7 +591,11 @@ def simhash_dedup_pairs(ds, *, max_hamming: int = 3,
         dup = df[df.duplicated(["band", "band_key"], keep=False)]
         a, b, sa, sb = [], [], [], []
         for _, g in dup.groupby(["band", "band_key"], sort=False):
-            g = g.sort_values("doc_id", kind="mergesort")
+            # drop_duplicates: a doc_id duplicated in the CORPUS (e.g.
+            # a union of overlapping shards) appears twice in a group
+            # and a bare triu expansion would emit an (x, x) self-pair
+            g = (g.sort_values("doc_id", kind="mergesort")
+                 .drop_duplicates("doc_id"))
             ids = g["doc_id"].to_numpy()
             sigs = g["simhash"].to_numpy()
             if len(ids) < 2:

@@ -247,3 +247,37 @@ def test_asof_join_hot_key_skew(ray_session):
             .dropna(subset=["rt"]).sort_values("lv")
             .reset_index(drop=True).astype({"rv": "int64"}))
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_asof_join_nulls_and_big_ids(ray_session):
+    """SQL semantics for nulls (never match, never crash) and exact
+    int64 payloads beyond float53 precision."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import asof_join
+    big = (1 << 53) + 7
+    left = pd.DataFrame({
+        "k": pd.array([1, 1, None, 2], dtype="Int64"),
+        "lt": pd.to_datetime(["2024-01-02", None,
+                              "2024-01-02", "2024-01-02"]),
+        "lv": np.array([10, 11, 12, 13], dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": pd.array([1, None, 2], dtype="Int64"),
+        "rt": pd.to_datetime(["2024-01-01", "2024-01-01", None]),
+        "rv": np.array([big, 5, 6], dtype=np.int64),
+    })
+    out = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                     by="k", left_ts="lt", right_ts="rt")
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    # only the (k=1, valid ts) pair matches; null keys/ts never do
+    assert out["lv"].tolist() == [10]
+    assert out["rv"].tolist() == [big]          # exact, not float-rounded
+    assert out["rv"].dtype == np.dtype("int64")
+
+
+def test_components_min_label_raises_on_non_convergence(ray_session):
+    from pdf_parser_ray.stages.dedup import components_min_label
+    chain = pd.DataFrame({"id_a": np.arange(0, 6, dtype=np.int64),
+                          "id_b": np.arange(1, 7, dtype=np.int64)})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        components_min_label(chain, max_iter=2)
