@@ -355,6 +355,18 @@ def distinct(ds, columns: List[str], batch_size: int = 65536) -> pd.DataFrame:
 
 # --------------------------------------------- co-partitioned non-equi joins
 
+def _require_schema(ds, side: str):
+    """Joins need column names up front. An empty dataset that went
+    through repartition() reports schema None (Ray drops it); surface
+    that clearly instead of an AttributeError deep inside the join."""
+    s = ds.schema()
+    if s is None:
+        raise ValueError(
+            f"{side} dataset has no schema (an empty dataset loses its "
+            "schema through repartition(); construct empty inputs from "
+            "a typed Arrow table instead)")
+    return s
+
 def _cogroup(left, right, keys: List[str], fn, *, n_buckets: int = 32):
     """Shared plumbing for the non-equi joins: tag both sides, union
     into one superset schema (Arrow-null filled), shuffle once on the
@@ -458,8 +470,8 @@ def asof_join(left, right, *, by: str, left_ts: str, right_ts: str,
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct names")
 
-    l_names = list(left.schema().names)
-    r_names = list(right.schema().names)
+    l_names = list(_require_schema(left, "left").names)
+    r_names = list(_require_schema(right, "right").names)
 
     def join_bucket(t: pa.Table) -> pd.DataFrame:
         l, r = _split_sides(t, l_names, r_names)
@@ -479,8 +491,8 @@ def interval_join(probe, intervals, *, by: str, ts_col: str,
     asof_join: one shuffle, merge_asof on the interval start per
     bucket with gather-based payload attachment, then the end-bound
     containment filter."""
-    p_names = list(probe.schema().names)
-    i_names = list(intervals.schema().names)
+    p_names = list(_require_schema(probe, "probe").names)
+    i_names = list(_require_schema(intervals, "intervals").names)
 
     def join_bucket(t: pa.Table) -> pd.DataFrame:
         p, iv = _split_sides(t, p_names, i_names)

@@ -70,3 +70,47 @@ def test_topk_property(ray_session, df, k):
     want = (df.sort_values(["v", "k1"], ascending=[False, True])
             .head(k).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@st.composite
+def asof_frames(draw):
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    nl = draw(st.integers(5, 120))
+    nr = draw(st.integers(1, 120))
+    base = pd.Timestamp("2024-01-01")
+    # coarse second grid so exact-ts ties actually occur
+    lts = base + pd.to_timedelta(rng.randint(0, 50, nl), unit="s")
+    rts = base + pd.to_timedelta(rng.randint(0, 50, nr), unit="s")
+    left = pd.DataFrame({"k": rng.randint(0, 6, nl), "lt": lts,
+                         "lv": np.arange(nl, dtype=np.int64)})
+    right = pd.DataFrame({"k": rng.randint(0, 8, nr), "rt": rts,
+                          "rv": rng.randint(0, 10**9, nr)})
+    # dedupe (k, rt) on the right so the asof winner is unique and the
+    # pandas ground truth is order-independent
+    right = right.drop_duplicates(["k", "rt"]).reset_index(drop=True)
+    return left, right
+
+
+@settings(**_SETTINGS)
+@given(fr=asof_frames(), parts=st.sampled_from([1, 4, 9]))
+def test_asof_join_property(ray_session, fr, parts):
+    import ray.data as rd
+    from pdf_parser_ray.relational import asof_join
+    left, right = fr
+    right_ds = rd.from_pandas(right)
+    if len(right) > 1:          # repartition of an empty/1-row frame
+        right_ds = right_ds.repartition(max(1, parts - 1))
+    got = asof_join(rd.from_pandas(left).repartition(parts), right_ds,
+                    by="k", left_ts="lt", right_ts="rt").to_pandas()
+    want = (pd.merge_asof(left.sort_values("lt", kind="mergesort"),
+                          right.sort_values("rt", kind="mergesort"),
+                          left_on="lt", right_on="rt", by="k")
+            .dropna(subset=["rt"]).sort_values("lv")
+            .reset_index(drop=True))
+    want["rv"] = want["rv"].astype("int64")
+    if len(want) == 0:
+        # Ray drops column metadata from an all-empty result dataset
+        assert len(got) == 0
+        return
+    got = got.sort_values("lv").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)
