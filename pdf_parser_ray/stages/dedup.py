@@ -251,18 +251,42 @@ def _pairwise_verify(cand: pd.DataFrame, payload_ds, score_fn,
 
     payload_ds = payload_ds.materialize()
     if payload_ds.size_bytes() <= _BROADCAST_VERIFY_BYTES:
+        # CSR-style broadcast (sorted ids + offsets + one flat value
+        # array): ray.get of plain numpy arrays is zero-copy from the
+        # object store, where a python dict would re-unpickle its 10^5
+        # entries in every scoring task
         pdf = payload_ds.to_pandas()
-        pmap_ref = ray.put(dict(zip(pdf["doc_id"], pdf["pl"])))
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        pls = pdf["pl"].to_numpy()[order] if len(pdf) else np.array([])
+        lens = np.fromiter((len(x) for x in pls), dtype=np.int64,
+                           count=len(pls))
+        offs = np.zeros(len(pls) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        flat = (np.concatenate([np.asarray(x) for x in pls])
+                if len(pls) else np.array([]))
+        csr_ref = ray.put((ids, offs, flat))
 
         def score_batch(b: pd.DataFrame) -> pd.DataFrame:
-            pmap = ray.get(pmap_ref)
+            p_ids, p_offs, p_flat = ray.get(csr_ref)
+            a = b["id_a"].to_numpy(dtype=np.int64)
+            c = b["id_b"].to_numpy(dtype=np.int64)
+            ia = np.searchsorted(p_ids, a)
+            ic = np.searchsorted(p_ids, c)
+            ok = ((ia < len(p_ids)) & (ic < len(p_ids)))
+            ok &= np.where(ok, p_ids[np.minimum(ia, len(p_ids) - 1)] == a,
+                           False)
+            ok &= np.where(ok, p_ids[np.minimum(ic, len(p_ids) - 1)] == c,
+                           False)
+            scores = np.full(len(b), np.nan)
+            for i in np.flatnonzero(ok):
+                scores[i] = score_fn(
+                    p_flat[p_offs[ia[i]]:p_offs[ia[i] + 1]],
+                    p_flat[p_offs[ic[i]]:p_offs[ic[i] + 1]])
             return pd.DataFrame({
                 "pair_idx": b["pair_idx"].to_numpy(dtype=np.int64),
-                out_col: pd.array(
-                    [score_fn(pmap[a], pmap[b_]) if a in pmap
-                     and b_ in pmap else np.nan
-                     for a, b_ in zip(b["id_a"], b["id_b"])],
-                    dtype="float64"),
+                out_col: pd.array(scores, dtype="float64"),
             })
 
         idx = pd.DataFrame({
