@@ -952,6 +952,23 @@ def docs_exact_dedup(sf_dir: str) -> pd.DataFrame:
     return exact_dedup_keep(ds)
 
 
+def docs_exact_dedup_indexed(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup through the SHARED MUTABLE INDEX actor service
+    (state.shared_index) — the raw-actor pattern for state a Dataset
+    transform can't hold. Commutative min-claims make the result
+    deterministic under any parallelism; identical output (and oracle)
+    to the shuffle-based docs_exact_dedup, but the index stays resident
+    for incremental ingest waves."""
+    from .state.shared_index import DedupIndex
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    idx = DedupIndex(n_shards=8)
+    try:
+        idx.ingest(ds)
+        return idx.kept_ids()
+    finally:
+        idx.shutdown()
+
+
 def docs_fingerprint(sf_dir: str) -> pd.DataFrame:
     from .stages.text_analysis import md5_fingerprint_batch
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -1239,6 +1256,7 @@ QUERIES = {
     "events_weighted_sample": events_weighted_sample,
     "docs_commonness": docs_commonness,
     "lineitem_join_sample": lineitem_join_sample,
+    "docs_exact_dedup_indexed": docs_exact_dedup_indexed,
     "parts_anti_join": parts_anti_join,
     "parts_semi_join": parts_semi_join,
     "events_props_stats": events_props_stats,
@@ -1694,6 +1712,10 @@ ORACLES = {
         FROM c ORDER BY doc_id
     """,
     "docs_exact_dedup": """
+        SELECT MIN(doc_id) AS doc_id FROM documents
+        GROUP BY md5(text) ORDER BY doc_id
+    """,
+    "docs_exact_dedup_indexed": """
         SELECT MIN(doc_id) AS doc_id FROM documents
         GROUP BY md5(text) ORDER BY doc_id
     """,
