@@ -438,9 +438,16 @@ def _gather_asof(l: pd.DataFrame, r: pd.DataFrame, *, by: str,
     the right side is fully sorted, so the winner among equal
     (by, right_on) rows is the lexicographically greatest payload."""
     l = l.dropna(subset=[left_on]).sort_values(left_on, kind="mergesort")
+    # tiebreak sort for deterministic winners among equal (by, ts) rows
+    # — but only on plain numpy scalar dtypes: object columns and
+    # extension dtypes (e.g. Ray's tensor arrays holding embeddings)
+    # are not orderable and must never become sort keys
+    tiebreak = [c for c in r.columns
+                if c != right_on and isinstance(r[c].dtype, np.dtype)
+                and r[c].dtype.kind in "biufcmM"]
     r = (r.dropna(subset=[right_on])
-         .sort_values([right_on] + [c for c in r.columns if c != right_on],
-                      kind="mergesort").reset_index(drop=True))
+         .sort_values([right_on] + tiebreak, kind="mergesort")
+         .reset_index(drop=True))
     probe = pd.merge_asof(
         l, r[[by, right_on]].assign(__ri=np.arange(len(r), dtype=np.int64)),
         left_on=left_on, right_on=right_on, by=by, direction="backward",

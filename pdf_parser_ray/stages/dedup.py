@@ -270,6 +270,11 @@ def _pairwise_verify(cand: pd.DataFrame, payload_ds, score_fn,
 
         def score_batch(b: pd.DataFrame) -> pd.DataFrame:
             p_ids, p_offs, p_flat = ray.get(csr_ref)
+            if len(p_ids) == 0:
+                return pd.DataFrame({
+                    "pair_idx": b["pair_idx"].to_numpy(dtype=np.int64),
+                    out_col: pd.array([np.nan] * len(b),
+                                      dtype="float64")})
             a = b["id_a"].to_numpy(dtype=np.int64)
             c = b["id_b"].to_numpy(dtype=np.int64)
             ia = np.searchsorted(p_ids, a)
@@ -295,11 +300,13 @@ def _pairwise_verify(cand: pd.DataFrame, payload_ds, score_fn,
             "id_b": cand["id_b"].to_numpy(),
         })
         # from_pandas yields ONE block; split it or the scoring loop
-        # runs on a single core no matter the batch_size
+        # runs on a single core no matter the batch_size (and keep
+        # batch_size at the split granularity — a larger one would
+        # re-coalesce the blocks into fewer tasks)
         n_blocks = max(1, min(len(idx) // 2048 + 1, 64))
         scored = (rd.from_pandas(idx).repartition(n_blocks)
                   .map_batches(score_batch, batch_format="pandas",
-                               batch_size=8192)
+                               batch_size=2048)
                   .to_pandas().dropna(subset=[out_col]))
         out = cand.copy()
         out["pair_idx"] = np.arange(len(cand), dtype=np.int64)

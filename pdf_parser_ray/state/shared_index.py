@@ -73,7 +73,13 @@ class DedupIndex:
     def __init__(self, n_shards: int = 8):
         import ray
         self.n_shards = n_shards
-        shard_cls = ray.remote(num_cpus=0.25)(_IndexShard)
+        # num_cpus=0: shards are lightweight dict holders that must
+        # NEVER compete with (or starve) the ingest map tasks — a
+        # CPU-reserving shard pool could deadlock the job in either
+        # direction (actors hold every slot and map tasks starve, or
+        # map tasks hold every slot blocked on pending actors): the
+        # same pool-reserves-all-CPUs class measured in BASELINE.md
+        shard_cls = ray.remote(num_cpus=0)(_IndexShard)
         self.shards = [shard_cls.remote() for _ in range(n_shards)]
 
     def ingest(self, ds, *, text_col: str = "text", id_col: str = "doc_id",
@@ -104,6 +110,8 @@ class DedupIndex:
 
         counts = ds.map_batches(update, batch_format="pandas",
                                 batch_size=batch_size).to_pandas()
+        if counts.empty or "n" not in counts.columns:
+            return 0            # empty ingest wave: no batch ever ran
         return int(counts["n"].sum())
 
     def kept_ids(self) -> pd.DataFrame:

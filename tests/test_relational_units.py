@@ -281,3 +281,22 @@ def test_components_min_label_raises_on_non_convergence(ray_session):
                           "id_b": np.arange(1, 7, dtype=np.int64)})
     with pytest.raises(RuntimeError, match="did not converge"):
         components_min_label(chain, max_iter=2)
+
+
+def test_asof_join_vector_payload(ray_session):
+    """Right-side payloads may be non-orderable objects (embeddings):
+    they must ride through the gather untouched, never become a sort
+    key."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import asof_join
+    left = pd.DataFrame({"k": [1, 1], "lt": pd.to_datetime(
+        ["2024-01-02", "2024-01-03"]),
+        "lv": np.array([0, 1], dtype=np.int64)})
+    right = pd.DataFrame({"k": [1], "rt": pd.to_datetime(["2024-01-01"]),
+                          "emb": [np.arange(4.0)]})
+    out = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                     by="k", left_ts="lt", right_ts="rt")
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    assert len(out) == 2
+    assert all(np.array_equal(np.asarray(e), np.arange(4.0))
+               for e in out["emb"])

@@ -52,3 +52,17 @@ def test_indexed_dedup_incremental_waves(ray_session):
     # wave2's copies all lose to wave1's lower ids: kept set unchanged
     pd.testing.assert_frame_equal(kept1, kept2)
     assert (kept2["doc_id"] < 10_000).all()
+
+
+def test_indexed_dedup_empty_wave(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from pdf_parser_ray.state.shared_index import DedupIndex
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    idx = DedupIndex(n_shards=2)
+    try:
+        assert idx.ingest(rd.from_arrow(empty)) == 0
+        assert idx.size() == 0
+    finally:
+        idx.shutdown()
