@@ -114,3 +114,57 @@ def test_asof_join_property(ray_session, fr, parts):
         return
     got = got.sort_values("lv").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+@st.composite
+def interval_frames(draw):
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    base = pd.Timestamp("2024-01-01")
+    iv_rows = []
+    ivid = 0
+    for k in range(draw(st.integers(1, 5))):
+        t = 0
+        for _ in range(rng.randint(1, 6)):
+            start = t + rng.randint(0, 20)
+            end = start + rng.randint(0, 30)
+            iv_rows.append({"k": k,
+                            "s": base + pd.Timedelta(seconds=int(start)),
+                            "e": base + pd.Timedelta(seconds=int(end)),
+                            "ivid": np.int64(ivid)})
+            ivid += 1
+            t = end + 1          # non-overlapping per key
+    iv = pd.DataFrame(iv_rows)
+    np_ = draw(st.integers(5, 150))
+    probe = pd.DataFrame({
+        "k": rng.randint(0, 7, np_),
+        "t": base + pd.to_timedelta(rng.randint(0, 200, np_), unit="s"),
+        "pid": np.arange(np_, dtype=np.int64),
+    })
+    return probe, iv
+
+
+@settings(**_SETTINGS)
+@given(fr=interval_frames(), parts=st.sampled_from([1, 5]))
+def test_interval_join_property(ray_session, fr, parts):
+    """interval_join == brute-force containment scan on random
+    non-overlapping interval sets."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import interval_join
+    probe, iv = fr
+    got = interval_join(rd.from_pandas(probe).repartition(parts),
+                        rd.from_pandas(iv), by="k", ts_col="t",
+                        start_col="s", end_col="e").to_pandas()
+    want_rows = []
+    for _, p in probe.iterrows():
+        hit = iv[(iv["k"] == p["k"]) & (iv["s"] <= p["t"])
+                 & (p["t"] <= iv["e"])]
+        for _, h in hit.iterrows():
+            want_rows.append({**p.to_dict(), "s": h["s"], "e": h["e"],
+                              "ivid": h["ivid"]})
+    if not want_rows:
+        assert len(got) == 0
+        return
+    want = (pd.DataFrame(want_rows).sort_values("pid")
+            .reset_index(drop=True).astype({"ivid": "int64"}))
+    got = got.sort_values("pid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)
