@@ -112,7 +112,8 @@ def run_queries() -> dict:
                 "events_sessions", "events_median_by_type",
                 "embeddings_knn_ivf", "events_approx_distinct_users",
                 "events_asof_join", "docs_training_mix",
-                "embeddings_kmeans"]
+                "embeddings_kmeans", "docs_chunk_dedup",
+                "events_weighted_sample"]
     out = {}
     for name in headline:
         t0 = time.perf_counter()
