@@ -509,3 +509,108 @@ def interval_join(probe, intervals, *, by: str, ts_col: str,
 
     return _cogroup(probe, intervals, [by], join_bucket,
                     n_buckets=n_buckets)
+
+
+def asof_join_salted(left, right, *, by: str, left_ts: str, right_ts: str,
+                     salt_window, n_buckets: int = 64):
+    """AS-OF join with TIME-RANGE SALTING for mega-key histories.
+
+    The plain asof_join co-partitions on hash(by), so one key's entire
+    history must fit a single bucket — untenable when one user/conv
+    owns a giant stream. This variant additionally splits both sides
+    into ``salt_window`` time ranges and co-partitions on
+    (key, range), so a hot key's history spreads over many buckets.
+
+    Correctness across range boundaries: a probe early in range R may
+    have its match in an earlier range, so each (key, range) receives
+    one CARRY row — the latest right row from any earlier range —
+    computed from the per-(key, range) "latest row" table. The carry
+    mapping itself is integer-only (key, src_range, dst_range), built
+    from the distinct range sets of both sides and broadcast (its size
+    is O(keys x ranges), orders of magnitude below row count — the
+    quantity salting exists to beat; shard it like the dedup index if
+    it ever outgrows a broadcast).
+
+    Output equals asof_join exactly (property-tested); inner
+    semantics, NULL keys/timestamps never match.
+    """
+    import ray
+    import ray.data as rd
+
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct names")
+    l_names = list(_require_schema(left, "left").names)
+    r_names = list(_require_schema(right, "right").names)
+    W = int(pd.Timedelta(salt_window).value)
+
+    def add_rng(ts_col):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.dropna(subset=[ts_col, by])
+            b = b.copy(deep=False)
+            b["__rng"] = (b[ts_col].astype("int64") // W).astype("int64")
+            return b
+        return f
+
+    l2 = left.map_batches(add_rng(left_ts), batch_format="pandas")
+    r2 = right.map_batches(add_rng(right_ts), batch_format="pandas")
+
+    # latest right row per (key, range): the only candidate any later
+    # range could need (mergeable per batch -> tiny shuffle)
+    def latest_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(right_ts, kind="mergesort")
+        return b.groupby([by, "__rng"], sort=False, as_index=False,
+                         observed=True).tail(1)
+
+    rights_latest = bucketed_map_groups(
+        r2.map_batches(latest_partial, batch_format="pandas"),
+        [by, "__rng"], latest_partial).materialize()
+
+    # integer-only carry mapping from the distinct range sets
+    l_ranges = distinct(l2.map_batches(
+        lambda b: b[[by, "__rng"]], batch_format="pandas"), [by, "__rng"])
+    r_ranges = distinct(r2.map_batches(
+        lambda b: b[[by, "__rng"]], batch_format="pandas"), [by, "__rng"])
+    targets = (pd.concat([l_ranges, r_ranges])
+               .drop_duplicates().sort_values([by, "__rng"]))
+    carry_rows = []
+    for key, g in targets.groupby(by, sort=False):
+        srcs = np.sort(r_ranges.loc[r_ranges[by] == key, "__rng"]
+                       .to_numpy(dtype=np.int64))
+        if len(srcs) == 0:
+            continue
+        dsts = g["__rng"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(srcs, dsts, side="left") - 1
+        ok = pos >= 0
+        for d, p in zip(dsts[ok], pos[ok]):
+            carry_rows.append((key, int(srcs[p]), int(d)))
+    carry_map: dict = {}
+    for key, src, dst in carry_rows:
+        carry_map.setdefault((key, src), []).append(dst)
+    carry_ref = ray.put(carry_map)
+
+    def replicate_carries(b: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(carry_ref)
+        outs = []
+        for i in range(len(b)):
+            row = b.iloc[i]
+            for dst in cmap.get((row[by], int(row["__rng"])), []):
+                if dst != int(row["__rng"]):  # own range already has it
+                    r = b.iloc[[i]].copy(deep=False)
+                    r["__rng"] = np.int64(dst)
+                    outs.append(r)
+        if not outs:
+            return b.iloc[0:0]
+        return pd.concat(outs, ignore_index=True)
+
+    carries = rights_latest.map_batches(replicate_carries,
+                                        batch_format="pandas")
+    rights_aug = r2.union(carries)
+
+    def join_bucket(t: pa.Table) -> pd.DataFrame:
+        l, r = _split_sides(t, l_names + ["__rng"], r_names + ["__rng"])
+        m = _gather_asof(l.drop(columns="__rng"), r.drop(columns="__rng"),
+                         by=by, left_on=left_ts, right_on=right_ts)
+        return m
+
+    return _cogroup(l2, rights_aug, [by, "__rng"], join_bucket,
+                    n_buckets=n_buckets)

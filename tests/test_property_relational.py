@@ -168,3 +168,24 @@ def test_interval_join_property(ray_session, fr, parts):
             .reset_index(drop=True).astype({"ivid": "int64"}))
     got = got.sort_values("pid").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+@settings(**_SETTINGS)
+@given(fr=asof_frames(), window=st.sampled_from(["5s", "13s", "1h"]))
+def test_asof_join_salted_equals_plain(ray_session, fr, window):
+    """Time-range salting must not change the join result, for windows
+    smaller than, comparable to, and larger than the data span."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import asof_join, asof_join_salted
+    left, right = fr
+    plain = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                      by="k", left_ts="lt", right_ts="rt").to_pandas()
+    salted = asof_join_salted(rd.from_pandas(left), rd.from_pandas(right),
+                              by="k", left_ts="lt", right_ts="rt",
+                              salt_window=window).to_pandas()
+    if len(plain) == 0:
+        assert len(salted) == 0
+        return
+    plain = plain.sort_values("lv").reset_index(drop=True)
+    salted = salted.sort_values("lv").reset_index(drop=True)
+    pd.testing.assert_frame_equal(salted[plain.columns], plain)

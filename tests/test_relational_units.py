@@ -300,3 +300,32 @@ def test_asof_join_vector_payload(ray_session):
     assert len(out) == 2
     assert all(np.array_equal(np.asarray(e), np.arange(4.0))
                for e in out["emb"])
+
+
+def test_asof_join_salted_hot_key(ray_session):
+    """A single mega-key's history split across many time ranges still
+    yields exactly the plain asof result (the salting use case)."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import asof_join, asof_join_salted
+    rng = np.random.RandomState(21)
+    n = 5000
+    left = pd.DataFrame({
+        "k": np.zeros(n, dtype=np.int64),          # one hot key
+        "lt": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+        "lv": np.arange(n, dtype=np.int64)})
+    right = (pd.DataFrame({
+        "k": np.zeros(n, dtype=np.int64),
+        "rt": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+        "rv": np.arange(n, dtype=np.int64) * 3})
+        .drop_duplicates(["k", "rt"]))
+    plain = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                       by="k", left_ts="lt", right_ts="rt")
+             .to_pandas().sort_values("lv").reset_index(drop=True))
+    salted = (asof_join_salted(rd.from_pandas(left),
+                               rd.from_pandas(right), by="k",
+                               left_ts="lt", right_ts="rt",
+                               salt_window="1d")
+              .to_pandas().sort_values("lv").reset_index(drop=True))
+    pd.testing.assert_frame_equal(salted[plain.columns], plain)
