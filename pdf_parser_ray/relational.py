@@ -614,3 +614,51 @@ def asof_join_salted(left, right, *, by: str, left_ts: str, right_ts: str,
 
     return _cogroup(l2, rights_aug, [by, "__rng"], join_bucket,
                     n_buckets=n_buckets)
+
+
+def interval_join_salted(probe, intervals, *, by: str, ts_col: str,
+                         start_col: str, end_col: str, salt_window,
+                         n_buckets: int = 64):
+    """interval_join with TIME-RANGE SALTING: probes partition by their
+    own time range; each interval is replicated into EVERY range it
+    overlaps (replication factor = span / salt_window, bounded — pick
+    the window at or above the typical interval span). No carry rows
+    are needed: containment can only match an interval overlapping the
+    probe's range, and that copy is present by construction.
+    Property-tested equal to the plain interval_join."""
+    p_names = list(_require_schema(probe, "probe").names)
+    i_names = list(_require_schema(intervals, "intervals").names)
+    W = int(pd.Timedelta(salt_window).value)
+
+    def probe_rng(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=[ts_col, by]).copy(deep=False)
+        b["__rng"] = (b[ts_col].astype("int64") // W).astype("int64")
+        return b
+
+    def replicate_intervals(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=[start_col, end_col, by])
+        if b.empty:
+            out = b.copy(deep=False)
+            out["__rng"] = pd.array([], dtype="int64")
+            return out
+        lo = (b[start_col].astype("int64") // W).to_numpy()
+        hi = (b[end_col].astype("int64") // W).to_numpy()
+        reps = (hi - lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(b)), reps)
+        rng = np.concatenate([np.arange(a, z + 1)
+                              for a, z in zip(lo, hi)])
+        out = b.iloc[idx].copy(deep=False)
+        out["__rng"] = rng.astype(np.int64)
+        return out
+
+    p2 = probe.map_batches(probe_rng, batch_format="pandas")
+    i2 = intervals.map_batches(replicate_intervals, batch_format="pandas")
+
+    def join_bucket(t: pa.Table) -> pd.DataFrame:
+        p, iv = _split_sides(t, p_names + ["__rng"], i_names + ["__rng"])
+        m = _gather_asof(p.drop(columns="__rng"), iv.drop(columns="__rng"),
+                         by=by, left_on=ts_col, right_on=start_col)
+        return m[m[end_col].notna() & (m[ts_col] <= m[end_col])]
+
+    return _cogroup(p2, i2, [by, "__rng"], join_bucket,
+                    n_buckets=n_buckets)

@@ -189,3 +189,24 @@ def test_asof_join_salted_equals_plain(ray_session, fr, window):
     plain = plain.sort_values("lv").reset_index(drop=True)
     salted = salted.sort_values("lv").reset_index(drop=True)
     pd.testing.assert_frame_equal(salted[plain.columns], plain)
+
+
+@settings(**_SETTINGS)
+@given(fr=interval_frames(), window=st.sampled_from(["7s", "29s", "1h"]))
+def test_interval_join_salted_equals_plain(ray_session, fr, window):
+    import ray.data as rd
+    from pdf_parser_ray.relational import interval_join, interval_join_salted
+    probe, iv = fr
+    plain = interval_join(rd.from_pandas(probe), rd.from_pandas(iv),
+                          by="k", ts_col="t", start_col="s",
+                          end_col="e").to_pandas()
+    salted = interval_join_salted(rd.from_pandas(probe),
+                                  rd.from_pandas(iv), by="k", ts_col="t",
+                                  start_col="s", end_col="e",
+                                  salt_window=window).to_pandas()
+    if len(plain) == 0:
+        assert len(salted) == 0
+        return
+    plain = plain.sort_values("pid").reset_index(drop=True)
+    salted = salted.sort_values("pid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(salted[plain.columns], plain)
