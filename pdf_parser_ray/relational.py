@@ -460,6 +460,25 @@ def _gather_asof(l: pd.DataFrame, r: pd.DataFrame, *, by: str,
     return pd.concat([out_l, out_r], axis=1)
 
 
+_BROADCAST_JOIN_BYTES = 64 << 20
+
+
+def _maybe_broadcast_right(right):
+    """Adaptive non-equi join strategy: if the right side fits the
+    broadcast budget, materialize it ONCE into the object store and
+    return a (ref, DataFrame-columns) handle — probes then join
+    map-side with zero shuffles (the dimension-table case). Returns
+    None when the right side is big and the co-partitioned shuffle
+    path should run."""
+    import ray
+    mat = right.materialize()
+    if mat.size_bytes() is not None \
+            and mat.size_bytes() <= _BROADCAST_JOIN_BYTES:
+        df = mat.to_pandas()
+        return ray.put(df), mat
+    return None, mat
+
+
 def asof_join(left, right, *, by: str, left_ts: str, right_ts: str,
               n_buckets: int = 32):
     """Distributed AS-OF join: for each left row, attach the right row
@@ -467,25 +486,40 @@ def asof_join(left, right, *, by: str, left_ts: str, right_ts: str,
     key (inner semantics: left rows with no prior right row drop out;
     NULL keys and NULL timestamps never match, like SQL).
 
-    Ray Data has no as-of join; this is the documented composition —
-    co-partition both sides on hash(by) (one shuffle), then a
-    vectorized ``pandas.merge_asof`` per bucket with gather-based
-    payload attachment (dtype- and precision-exact). Partitioning
-    assumption: all rows of one key land in one bucket, so per-key
-    history must fit a worker (true for per-user event streams; salt
-    by time range if a key's history outgrows a block)."""
+    Ray Data has no as-of join; this is the documented composition.
+    Adaptive strategy: a right side under the 64 MiB broadcast budget
+    is shipped once and every probe batch joins MAP-SIDE (zero
+    shuffles — the dimension-table case); a large right side takes the
+    co-partitioned path — both sides hashed on ``by`` (one shuffle),
+    then a vectorized ``pandas.merge_asof`` per bucket with
+    gather-based payload attachment (dtype- and precision-exact).
+    Partitioning assumption of the shuffle path: all rows of one key
+    land in one bucket, so per-key history must fit a worker; use
+    asof_join_salted when a key's history outgrows a block."""
+    import ray
+
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct names")
 
     l_names = list(_require_schema(left, "left").names)
     r_names = list(_require_schema(right, "right").names)
 
+    ref, right_mat = _maybe_broadcast_right(right)
+    if ref is not None:
+        def map_side(b: pd.DataFrame) -> pd.DataFrame:
+            r = ray.get(ref)
+            b = b.dropna(subset=[by])
+            return _gather_asof(b, r, by=by, left_on=left_ts,
+                                right_on=right_ts)
+        return left.map_batches(map_side, batch_format="pandas")
+
     def join_bucket(t: pa.Table) -> pd.DataFrame:
         l, r = _split_sides(t, l_names, r_names)
         return _gather_asof(l, r, by=by, left_on=left_ts,
                             right_on=right_ts)
 
-    return _cogroup(left, right, [by], join_bucket, n_buckets=n_buckets)
+    return _cogroup(left, right_mat, [by], join_bucket,
+                    n_buckets=n_buckets)
 
 
 def interval_join(probe, intervals, *, by: str, ts_col: str,
@@ -494,20 +528,32 @@ def interval_join(probe, intervals, *, by: str, ts_col: str,
     matched to the interval with ``start <= ts <= end`` for its ``by``
     key (NULL keys/timestamps never match). Intervals must be
     non-overlapping per key (the session-window contract), making the
-    match unique. Same co-partitioning shape and assumption as
-    asof_join: one shuffle, merge_asof on the interval start per
-    bucket with gather-based payload attachment, then the end-bound
-    containment filter."""
+    match unique. Same adaptive strategy as asof_join: an interval set
+    under the broadcast budget joins map-side with zero shuffles; a
+    large one takes the co-partitioned shuffle (salted variant for
+    mega keys)."""
+    import ray
+
     p_names = list(_require_schema(probe, "probe").names)
     i_names = list(_require_schema(intervals, "intervals").names)
 
-    def join_bucket(t: pa.Table) -> pd.DataFrame:
-        p, iv = _split_sides(t, p_names, i_names)
+    def containment(p: pd.DataFrame, iv: pd.DataFrame) -> pd.DataFrame:
         m = _gather_asof(p, iv, by=by, left_on=ts_col,
                          right_on=start_col)
         return m[m[end_col].notna() & (m[ts_col] <= m[end_col])]
 
-    return _cogroup(probe, intervals, [by], join_bucket,
+    ref, intervals_mat = _maybe_broadcast_right(intervals)
+    if ref is not None:
+        def map_side(b: pd.DataFrame) -> pd.DataFrame:
+            iv = ray.get(ref)
+            return containment(b.dropna(subset=[by]), iv)
+        return probe.map_batches(map_side, batch_format="pandas")
+
+    def join_bucket(t: pa.Table) -> pd.DataFrame:
+        p, iv = _split_sides(t, p_names, i_names)
+        return containment(p, iv)
+
+    return _cogroup(probe, intervals_mat, [by], join_bucket,
                     n_buckets=n_buckets)
 
 

@@ -97,11 +97,21 @@ def test_asof_join_property(ray_session, fr, parts):
     import ray.data as rd
     from pdf_parser_ray.relational import asof_join
     left, right = fr
+    import pdf_parser_ray.relational as rel
     right_ds = rd.from_pandas(right)
     if len(right) > 1:          # repartition of an empty/1-row frame
         right_ds = right_ds.repartition(max(1, parts - 1))
+    # exercise BOTH adaptive strategies: broadcast and co-partitioned
     got = asof_join(rd.from_pandas(left).repartition(parts), right_ds,
                     by="k", left_ts="lt", right_ts="rt").to_pandas()
+    old = rel._BROADCAST_JOIN_BYTES
+    try:
+        rel._BROADCAST_JOIN_BYTES = 0
+        got_shuffle = asof_join(rd.from_pandas(left).repartition(parts),
+                                rd.from_pandas(right), by="k",
+                                left_ts="lt", right_ts="rt").to_pandas()
+    finally:
+        rel._BROADCAST_JOIN_BYTES = old
     want = (pd.merge_asof(left.sort_values("lt", kind="mergesort"),
                           right.sort_values("rt", kind="mergesort"),
                           left_on="lt", right_on="rt", by="k")
@@ -111,9 +121,12 @@ def test_asof_join_property(ray_session, fr, parts):
     if len(want) == 0:
         # Ray drops column metadata from an all-empty result dataset
         assert len(got) == 0
+        assert len(got_shuffle) == 0
         return
     got = got.sort_values("lv").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns], want)
+    got_shuffle = got_shuffle.sort_values("lv").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_shuffle[want.columns], want)
 
 
 @st.composite
@@ -151,9 +164,19 @@ def test_interval_join_property(ray_session, fr, parts):
     import ray.data as rd
     from pdf_parser_ray.relational import interval_join
     probe, iv = fr
+    import pdf_parser_ray.relational as rel
     got = interval_join(rd.from_pandas(probe).repartition(parts),
                         rd.from_pandas(iv), by="k", ts_col="t",
                         start_col="s", end_col="e").to_pandas()
+    old = rel._BROADCAST_JOIN_BYTES
+    try:
+        rel._BROADCAST_JOIN_BYTES = 0
+        got_shuffle = interval_join(
+            rd.from_pandas(probe).repartition(parts),
+            rd.from_pandas(iv), by="k", ts_col="t",
+            start_col="s", end_col="e").to_pandas()
+    finally:
+        rel._BROADCAST_JOIN_BYTES = old
     want_rows = []
     for _, p in probe.iterrows():
         hit = iv[(iv["k"] == p["k"]) & (iv["s"] <= p["t"])
@@ -163,11 +186,14 @@ def test_interval_join_property(ray_session, fr, parts):
                               "ivid": h["ivid"]})
     if not want_rows:
         assert len(got) == 0
+        assert len(got_shuffle) == 0
         return
     want = (pd.DataFrame(want_rows).sort_values("pid")
             .reset_index(drop=True).astype({"ivid": "int64"}))
     got = got.sort_values("pid").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns], want)
+    got_shuffle = got_shuffle.sort_values("pid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_shuffle[want.columns], want)
 
 
 @settings(**_SETTINGS)

@@ -266,13 +266,20 @@ def test_asof_join_nulls_and_big_ids(ray_session):
         "rt": pd.to_datetime(["2024-01-01", "2024-01-01", None]),
         "rv": np.array([big, 5, 6], dtype=np.int64),
     })
-    out = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
-                     by="k", left_ts="lt", right_ts="rt")
-           .to_pandas().sort_values("lv").reset_index(drop=True))
-    # only the (k=1, valid ts) pair matches; null keys/ts never do
-    assert out["lv"].tolist() == [10]
-    assert out["rv"].tolist() == [big]          # exact, not float-rounded
-    assert out["rv"].dtype == np.dtype("int64")
+    import pdf_parser_ray.relational as rel
+    for budget in (rel._BROADCAST_JOIN_BYTES, 0):   # both strategies
+        old = rel._BROADCAST_JOIN_BYTES
+        try:
+            rel._BROADCAST_JOIN_BYTES = budget
+            out = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                             by="k", left_ts="lt", right_ts="rt")
+                   .to_pandas().sort_values("lv").reset_index(drop=True))
+        finally:
+            rel._BROADCAST_JOIN_BYTES = old
+        # only the (k=1, valid ts) pair matches; null keys/ts never do
+        assert out["lv"].tolist() == [10]
+        assert out["rv"].tolist() == [big]      # exact, not float-rounded
+        assert out["rv"].dtype == np.dtype("int64")
 
 
 def test_components_min_label_raises_on_non_convergence(ray_session):
