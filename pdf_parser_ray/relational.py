@@ -302,13 +302,20 @@ def hash_join(left, right, on: str, how: str = "inner",
 
     r_only = [n for n in r_names if n != on]
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "l"][l_names]
-        r = g[g["__side"] == "r"][[on] + r_only]
+    def join_bucket(t: pa.Table) -> pd.DataFrame:
+        # split sides on the ARROW table and convert each to pandas
+        # separately: converting the whole null-filled bucket would
+        # float-coerce the other side's int columns (silent corruption
+        # above 2^53). Left-join unmatched right columns still become
+        # NaN/float — that is SQL nullability, not corruption.
+        import pyarrow.compute as pc
+        side = t.column("__side")
+        l = t.filter(pc.equal(side, "l")).select(l_names).to_pandas()
+        r = t.filter(pc.equal(side, "r")).select([on] + r_only).to_pandas()
         return l.merge(r, on=on, how=how)
 
     return both.groupby("bucket").map_groups(join_bucket,
-                                             batch_format="pandas")
+                                             batch_format="pyarrow")
 
 
 def semi_join(ds, key_set, on: str, *, anti: bool = False,

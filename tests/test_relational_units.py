@@ -336,3 +336,22 @@ def test_asof_join_salted_hot_key(ray_session):
                                salt_window="1d")
               .to_pandas().sort_values("lv").reset_index(drop=True))
     pd.testing.assert_frame_equal(salted[plain.columns], plain)
+
+
+def test_hash_join_big_int_precision(ray_session):
+    """Inner hash_join payload ints above 2^53 survive exactly (the
+    per-side Arrow->pandas conversion must not float-coerce them)."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import hash_join
+    big = (1 << 53) + 11
+    left = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64),
+                         "lv": np.array([big, big + 2, 7],
+                                        dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64),
+                          "rv": np.array([big + 4, 9], dtype=np.int64)})
+    out = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["lv"].tolist() == [big, big + 2]
+    assert out["rv"].tolist() == [big + 4, 9]
+    assert out["lv"].dtype == np.dtype("int64")
+    assert out["rv"].dtype == np.dtype("int64")
