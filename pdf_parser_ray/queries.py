@@ -1097,6 +1097,27 @@ def flagship_extract(sf_dir: str) -> pd.DataFrame:
     return ds.to_pandas()
 
 
+def transcript_train_shards(sf_dir: str) -> pd.DataFrame:
+    """Full pipeline to TRAINING-READY OUTPUT: extraction -> select the
+    text payload -> deterministic hash-sharded export (16 shards,
+    pseudo-random within-shard order, atomic commits + manifest,
+    state/shards.py). Returns the manifest; re-runs are byte-identical
+    under any partitioning (the invariance tests pin this)."""
+    import shutil
+
+    from .pipelines.extraction import run_extraction
+    from .state.shards import write_training_shards
+    out = "/tmp/pdf_parser_ray_train_shards"
+    shutil.rmtree(out, ignore_errors=True)
+    extracted = run_extraction(sf_dir)
+    m = write_training_shards(
+        extracted.map_batches(
+            lambda b: b[["conv_id", "turn_idx", "extracted_text"]],
+            batch_format="pandas"),
+        out, key_col="conv_id", n_shards=16)
+    return m
+
+
 def transcript_questions(sf_dir: str) -> pd.DataFrame:
     from .pipelines.extraction import run_extraction
     from .stages.questions import questions_dataset
@@ -1257,6 +1278,7 @@ QUERIES = {
     "docs_commonness": docs_commonness,
     "lineitem_join_sample": lineitem_join_sample,
     "docs_exact_dedup_indexed": docs_exact_dedup_indexed,
+    "transcript_train_shards": transcript_train_shards,
     "parts_anti_join": parts_anti_join,
     "parts_semi_join": parts_semi_join,
     "events_props_stats": events_props_stats,
