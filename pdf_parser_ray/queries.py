@@ -369,6 +369,25 @@ def events_asof_join(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def events_asof_left(sf_dir: str) -> pd.DataFrame:
+    """LEFT-outer AS-OF join: every purchase kept, with the most recent
+    prior view timestamp or NULL — matching DuckDB ASOF LEFT JOIN
+    bit-exact (the nullable payload is a timestamp, which stays
+    dtype-exact through null-filling)."""
+    from .relational import asof_join
+    ds = read_table(sf_dir, "events",
+                    ["event_id", "user_id", "event_type", "ts"])
+    left = ds.map_batches(
+        lambda b: b[b["event_type"] == "purchase"]
+        [["event_id", "user_id", "ts"]], batch_format="pandas")
+    right = ds.map_batches(
+        lambda b: b[b["event_type"] == "view"][["user_id", "ts"]]
+        .rename(columns={"ts": "view_ts"}), batch_format="pandas")
+    out = asof_join(left, right, by="user_id", left_ts="ts",
+                    right_ts="view_ts", how="left").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def events_session_attrib(sf_dir: str) -> pd.DataFrame:
     """Interval/range join (relational.interval_join): purchase events
     matched into their containing session window, then per-session
@@ -1267,6 +1286,7 @@ QUERIES = {
     "events_top_per_user": events_top_per_user,
     "events_hourly_moving_avg": events_hourly_moving_avg,
     "events_asof_join": events_asof_join,
+    "events_asof_left": events_asof_left,
     "events_session_attrib": events_session_attrib,
     "docs_stratified_sample": docs_stratified_sample,
     "embeddings_kmeans": embeddings_kmeans,
@@ -1478,6 +1498,15 @@ ORACLES = {
               WHERE event_type = 'purchase') a
         ASOF JOIN (SELECT user_id, ts AS view_ts FROM events
                    WHERE event_type = 'view') b
+          ON a.user_id = b.user_id AND a.ts >= b.view_ts
+        ORDER BY a.event_id
+    """,
+    "events_asof_left": """
+        SELECT a.event_id, a.user_id, a.ts, b.view_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') a
+        ASOF LEFT JOIN (SELECT user_id, ts AS view_ts FROM events
+                        WHERE event_type = 'view') b
           ON a.user_id = b.user_id AND a.ts >= b.view_ts
         ORDER BY a.event_id
     """,

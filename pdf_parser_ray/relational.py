@@ -374,7 +374,8 @@ def _require_schema(ds, side: str):
             "a typed Arrow table instead)")
     return s
 
-def _cogroup(left, right, keys: List[str], fn, *, n_buckets: int = 32):
+def _cogroup(left, right, keys: List[str], fn, *, n_buckets: int = 32,
+             drop_null_keys_left: bool = True):
     """Shared plumbing for the non-equi joins: tag both sides, union
     into one superset schema (Arrow-null filled), shuffle once on the
     stable key hash, and run ``fn`` per bucket on the ARROW table with
@@ -399,8 +400,9 @@ def _cogroup(left, right, keys: List[str], fn, *, n_buckets: int = 32):
     def prep(side_names, side_tag):
         def prep_fn(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
-            for k in keys:          # SQL: NULL keys never match
-                t = t.filter(pc.is_valid(t.column(k)))
+            if side_tag == "r" or drop_null_keys_left:
+                for k in keys:      # SQL: NULL keys never match
+                    t = t.filter(pc.is_valid(t.column(k)))
             n = t.num_rows
             key_df = pd.DataFrame(
                 {k: t.column(k).to_pandas() for k in keys})
@@ -435,7 +437,8 @@ def _split_sides(t: pa.Table, l_names: List[str],
 
 
 def _gather_asof(l: pd.DataFrame, r: pd.DataFrame, *, by: str,
-                 left_on: str, right_on: str) -> pd.DataFrame:
+                 left_on: str, right_on: str,
+                 how: str = "inner") -> pd.DataFrame:
     """merge_asof that attaches right columns by GATHER instead of
     merge: the asof match only carries a right row-number, and payload
     columns are taken with iloc afterwards — so their dtypes (and
@@ -444,7 +447,9 @@ def _gather_asof(l: pd.DataFrame, r: pd.DataFrame, *, by: str,
     comparison with NULL is never true). Deterministic under ties:
     the right side is fully sorted, so the winner among equal
     (by, right_on) rows is the lexicographically greatest payload."""
-    l = l.dropna(subset=[left_on]).sort_values(left_on, kind="mergesort")
+    l_all = l
+    l = l.dropna(subset=[left_on, by]).sort_values(left_on,
+                                                   kind="mergesort")
     # tiebreak sort for deterministic winners among equal (by, ts) rows
     # — but only on plain numpy scalar dtypes: object columns and
     # extension dtypes (e.g. Ray's tensor arrays holding embeddings)
@@ -459,10 +464,32 @@ def _gather_asof(l: pd.DataFrame, r: pd.DataFrame, *, by: str,
         l, r[[by, right_on]].assign(__ri=np.arange(len(r), dtype=np.int64)),
         left_on=left_on, right_on=right_on, by=by, direction="backward",
         suffixes=("", "__r"))
+    payload_cols = [c for c in r.columns if c != by]
+    if how == "left":
+        # keep every left row (including NULL-key/NULL-ts rows, which
+        # SQL retains unmatched); right payloads null-fill, so integer
+        # payload columns take SQL-nullable (float/NaN) form
+        out_l = l.reset_index(drop=True)
+        ri = probe["__ri"].to_numpy()
+        # reindex with integer labels only: -1 is absent from the
+        # RangeIndex, so unmatched rows come back all-null
+        labels = np.where(np.isnan(ri), -1, ri).astype(np.int64)
+        out_r = (r[payload_cols].reindex(labels)
+                 .reset_index(drop=True))
+        matched_part = pd.concat([out_l, out_r], axis=1)
+        null_l = l_all[l_all[left_on].isna() | l_all[by].isna()]
+        if len(null_l):
+            null_part = null_l.reset_index(drop=True)
+            for c in payload_cols:
+                null_part[c] = pd.Series([pd.NA] * len(null_part),
+                                         dtype=out_r[c].dtype
+                                         if len(out_r) else "object")
+            matched_part = pd.concat([matched_part, null_part],
+                                     ignore_index=True)
+        return matched_part
     matched = probe["__ri"].notna().to_numpy()
     ri = probe.loc[matched, "__ri"].to_numpy(dtype=np.int64)
     out_l = l[matched].reset_index(drop=True)
-    payload_cols = [c for c in r.columns if c != by]
     out_r = r.iloc[ri][payload_cols].reset_index(drop=True)
     return pd.concat([out_l, out_r], axis=1)
 
@@ -487,11 +514,14 @@ def _maybe_broadcast_right(right):
 
 
 def asof_join(left, right, *, by: str, left_ts: str, right_ts: str,
-              n_buckets: int = 32):
+              how: str = "inner", n_buckets: int = 32):
     """Distributed AS-OF join: for each left row, attach the right row
     with the greatest ``right_ts`` <= ``left_ts`` for the same ``by``
-    key (inner semantics: left rows with no prior right row drop out;
-    NULL keys and NULL timestamps never match, like SQL).
+    key. ``how='inner'`` (default) drops left rows with no prior right
+    row; ``how='left'`` keeps them with null right columns (integer
+    right payloads then take SQL-nullable float/NaN form). NULL keys
+    and NULL timestamps never match, like SQL — under ``how='left'``
+    such left rows are retained unmatched.
 
     Ray Data has no as-of join; this is the documented composition.
     Adaptive strategy: a right side under the 64 MiB broadcast budget
@@ -515,18 +545,20 @@ def asof_join(left, right, *, by: str, left_ts: str, right_ts: str,
     if ref is not None:
         def map_side(b: pd.DataFrame) -> pd.DataFrame:
             r = ray.get(ref)
-            b = b.dropna(subset=[by])
+            if how == "inner":
+                b = b.dropna(subset=[by])
             return _gather_asof(b, r, by=by, left_on=left_ts,
-                                right_on=right_ts)
+                                right_on=right_ts, how=how)
         return left.map_batches(map_side, batch_format="pandas")
 
     def join_bucket(t: pa.Table) -> pd.DataFrame:
         l, r = _split_sides(t, l_names, r_names)
         return _gather_asof(l, r, by=by, left_on=left_ts,
-                            right_on=right_ts)
+                            right_on=right_ts, how=how)
 
     return _cogroup(left, right_mat, [by], join_bucket,
-                    n_buckets=n_buckets)
+                    n_buckets=n_buckets,
+                    drop_null_keys_left=(how == "inner"))
 
 
 def interval_join(probe, intervals, *, by: str, ts_col: str,
