@@ -347,16 +347,22 @@ def anti_join(ds, key_set, on: str, **kw):
 
 # ----------------------------------------------------------------- distinct
 
-def distinct(ds, columns: List[str], batch_size: int = 65536) -> pd.DataFrame:
-    """Exact distinct: per-batch dedup partial, then grouped first —
-    only unique-per-block rows enter the shuffle."""
+def distinct_ds(ds, columns: List[str], batch_size: int = 65536):
+    """Exact distinct as a DATASET: per-batch dedup partial, then
+    grouped first — only unique-per-block rows enter the shuffle, and
+    the result stays distributed (no driver materialization)."""
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[columns].drop_duplicates()
 
     partials = ds.map_batches(partial, batch_format="pandas",
                               batch_size=batch_size)
-    return (bucketed_map_groups(partials, columns,
-                                lambda g: g.drop_duplicates())
+    return bucketed_map_groups(partials, columns,
+                               lambda g: g.drop_duplicates())
+
+
+def distinct(ds, columns: List[str], batch_size: int = 65536) -> pd.DataFrame:
+    """distinct_ds collected to driver pandas (small-result use only)."""
+    return (distinct_ds(ds, columns, batch_size)
             .to_pandas().reset_index(drop=True))
 
 
@@ -480,10 +486,14 @@ def _gather_asof(l: pd.DataFrame, r: pd.DataFrame, *, by: str,
         null_l = l_all[l_all[left_on].isna() | l_all[by].isna()]
         if len(null_l):
             null_part = null_l.reset_index(drop=True)
-            for c in payload_cols:
-                null_part[c] = pd.Series([pd.NA] * len(null_part),
-                                         dtype=out_r[c].dtype
-                                         if len(out_r) else "object")
+            # null-fill by reindexing the right frame with the absent -1
+            # label: promotes int->float and datetime->NaT exactly like
+            # the matched-part reindex above, and works for an empty
+            # right frame too (pd.Series([pd.NA]*n, dtype=int64) raises)
+            filler = (r[payload_cols]
+                      .reindex([-1] * len(null_part))
+                      .reset_index(drop=True))
+            null_part = pd.concat([null_part, filler], axis=1)
             matched_part = pd.concat([matched_part, null_part],
                                      ignore_index=True)
         return matched_part
@@ -608,20 +618,21 @@ def asof_join_salted(left, right, *, by: str, left_ts: str, right_ts: str,
 
     Correctness across range boundaries: a probe early in range R may
     have its match in an earlier range, so each (key, range) receives
-    one CARRY row — the latest right row from any earlier range —
-    computed from the per-(key, range) "latest row" table. The carry
-    mapping itself is integer-only (key, src_range, dst_range), built
-    from the distinct range sets of both sides and broadcast (its size
-    is O(keys x ranges), orders of magnitude below row count — the
-    quantity salting exists to beat; shard it like the dedup index if
-    it ever outgrows a broadcast).
+    one CARRY row — the latest right row from any earlier range. The
+    whole carry computation is DISTRIBUTED in one co-partitioned stage
+    keyed on ``by``: per-batch range dedup + per-batch latest-row
+    candidates flow in, and inside each key bucket the true
+    per-(key, range) latest is finalized, carry edges are derived with
+    a strict-backward ``merge_asof`` over the range sets, and rows are
+    replicated to their destination ranges by a vectorized merge. The
+    driver never holds anything proportional to keys x ranges; the
+    bucket stage holds O(ranges-per-key) rows per key — the small
+    quantity salting creates (time span / window), not row count.
 
-    Output equals asof_join exactly (property-tested); inner
-    semantics, NULL keys/timestamps never match.
+    Output equals asof_join exactly (property-tested, including ties
+    on (key, right_ts)); inner semantics, NULL keys/timestamps never
+    match.
     """
-    import ray
-    import ray.data as rd
-
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct names")
     l_names = list(_require_schema(left, "left").names)
@@ -640,55 +651,52 @@ def asof_join_salted(left, right, *, by: str, left_ts: str, right_ts: str,
     r2 = right.map_batches(add_rng(right_ts), batch_format="pandas")
 
     # latest right row per (key, range): the only candidate any later
-    # range could need (mergeable per batch -> tiny shuffle)
+    # range could need (mergeable: per batch here, finalized in the
+    # carry bucket). Tiebreak among equal (key, range, right_ts) rows
+    # MUST match _gather_asof's (right_ts + numeric payload
+    # lexicographic, greatest wins) so the carried winner is the row
+    # the plain join would attach.
     def latest_partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.sort_values(right_ts, kind="mergesort")
+        tiebreak = [c for c in b.columns
+                    if c != right_ts and isinstance(b[c].dtype, np.dtype)
+                    and b[c].dtype.kind in "biufcmM"]
+        b = b.sort_values([right_ts] + tiebreak, kind="mergesort")
         return b.groupby([by, "__rng"], sort=False, as_index=False,
                          observed=True).tail(1)
 
-    rights_latest = bucketed_map_groups(
-        r2.map_batches(latest_partial, batch_format="pandas"),
-        [by, "__rng"], latest_partial).materialize()
+    latest_cand = r2.map_batches(latest_partial, batch_format="pandas")
 
-    # integer-only carry mapping from the distinct range sets
-    l_ranges = distinct(l2.map_batches(
-        lambda b: b[[by, "__rng"]], batch_format="pandas"), [by, "__rng"])
-    r_ranges = distinct(r2.map_batches(
-        lambda b: b[[by, "__rng"]], batch_format="pandas"), [by, "__rng"])
-    targets = (pd.concat([l_ranges, r_ranges])
-               .drop_duplicates().sort_values([by, "__rng"]))
-    carry_rows = []
-    for key, g in targets.groupby(by, sort=False):
-        srcs = np.sort(r_ranges.loc[r_ranges[by] == key, "__rng"]
-                       .to_numpy(dtype=np.int64))
-        if len(srcs) == 0:
-            continue
-        dsts = g["__rng"].to_numpy(dtype=np.int64)
-        pos = np.searchsorted(srcs, dsts, side="left") - 1
-        ok = pos >= 0
-        for d, p in zip(dsts[ok], pos[ok]):
-            carry_rows.append((key, int(srcs[p]), int(d)))
-    carry_map: dict = {}
-    for key, src, dst in carry_rows:
-        carry_map.setdefault((key, src), []).append(dst)
-    carry_ref = ray.put(carry_map)
+    # target (key, range) pairs from BOTH sides — per-batch dedup only;
+    # cross-batch duplicates are dropped inside the bucket
+    def ranges_of(b: pd.DataFrame) -> pd.DataFrame:
+        return b[[by, "__rng"]].drop_duplicates()
 
-    def replicate_carries(b: pd.DataFrame) -> pd.DataFrame:
-        cmap = ray.get(carry_ref)
-        outs = []
-        for i in range(len(b)):
-            row = b.iloc[i]
-            for dst in cmap.get((row[by], int(row["__rng"])), []):
-                if dst != int(row["__rng"]):  # own range already has it
-                    r = b.iloc[[i]].copy(deep=False)
-                    r["__rng"] = np.int64(dst)
-                    outs.append(r)
-        if not outs:
-            return b.iloc[0:0]
-        return pd.concat(outs, ignore_index=True)
+    targets = (l2.map_batches(ranges_of, batch_format="pandas")
+               .union(r2.map_batches(ranges_of, batch_format="pandas"))
+               .map_batches(lambda b: b.rename(columns={"__rng": "__dst"}),
+                            batch_format="pandas"))
 
-    carries = rights_latest.map_batches(replicate_carries,
-                                        batch_format="pandas")
+    def carry_bucket(t: pa.Table) -> pd.DataFrame:
+        tg, lt = _split_sides(t, [by, "__dst"], r_names + ["__rng"])
+        lt = latest_partial(lt)              # finalize per (key, range)
+        tg = tg.drop_duplicates().sort_values("__dst", kind="mergesort")
+        srcs = (lt[[by, "__rng"]].rename(columns={"__rng": "__src"})
+                .sort_values("__src", kind="mergesort"))
+        # greatest source range STRICTLY before each destination range
+        m = pd.merge_asof(tg, srcs, left_on="__dst", right_on="__src",
+                          by=by, direction="backward",
+                          allow_exact_matches=False)
+        m = m.dropna(subset=["__src"])
+        if m.empty:
+            return lt.iloc[0:0]
+        m = m.astype({"__src": "int64"}).rename(columns={"__src": "__rng"})
+        # vectorized replication: one output row per (latest row, dst)
+        out = lt.merge(m, on=[by, "__rng"], how="inner")
+        out = out.drop(columns="__rng").rename(columns={"__dst": "__rng"})
+        return out[r_names + ["__rng"]]
+
+    carries = _cogroup(targets, latest_cand, [by], carry_bucket,
+                       n_buckets=n_buckets)
     rights_aug = r2.union(carries)
 
     def join_bucket(t: pa.Table) -> pd.DataFrame:

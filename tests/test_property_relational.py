@@ -236,3 +236,99 @@ def test_interval_join_salted_equals_plain(ray_session, fr, window):
     plain = plain.sort_values("pid").reset_index(drop=True)
     salted = salted.sort_values("pid").reset_index(drop=True)
     pd.testing.assert_frame_equal(salted[plain.columns], plain)
+
+
+@st.composite
+def asof_frames_with_ties(draw):
+    """Like asof_frames but the right side intentionally KEEPS
+    duplicated (k, rt) rows — the winner among ties is then the
+    deterministic tiebreak (greatest numeric payload), which salted
+    and plain paths must agree on."""
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    nl = draw(st.integers(5, 80))
+    nr = draw(st.integers(4, 80))
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "k": rng.randint(0, 4, nl),
+        "lt": base + pd.to_timedelta(rng.randint(0, 30, nl), unit="s"),
+        "lv": np.arange(nl, dtype=np.int64)})
+    # very coarse ts grid -> many exact (k, rt) ties
+    right = pd.DataFrame({
+        "k": rng.randint(0, 5, nr),
+        "rt": base + pd.to_timedelta(rng.randint(0, 8, nr), unit="s"),
+        "rv": rng.randint(0, 10**9, nr)})
+    return left, right
+
+
+@settings(**_SETTINGS)
+@given(fr=asof_frames_with_ties(), window=st.sampled_from(["3s", "1h"]))
+def test_asof_join_salted_ties(ray_session, fr, window):
+    """Regression for the carry-row tiebreak: among equal (k, rt) right
+    rows, latest_partial must carry the same winner _gather_asof picks
+    (greatest numeric payload), independent of batch arrival order."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import asof_join, asof_join_salted
+    left, right = fr
+    plain = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                      by="k", left_ts="lt", right_ts="rt").to_pandas()
+    salted = asof_join_salted(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(3),
+        by="k", left_ts="lt", right_ts="rt",
+        salt_window=window).to_pandas()
+    if len(plain) == 0:
+        assert len(salted) == 0
+        return
+    plain = plain.sort_values("lv").reset_index(drop=True)
+    salted = salted.sort_values("lv").reset_index(drop=True)
+    pd.testing.assert_frame_equal(salted[plain.columns], plain)
+
+
+@settings(**_SETTINGS)
+@given(fr=asof_frames(), parts=st.sampled_from([1, 4]))
+def test_asof_left_null_keys_numeric_payload(ray_session, fr, parts):
+    """how='left' with NULL keys/timestamps on the left AND numeric
+    (int64/float64) right payloads: such rows must come back unmatched
+    with null-filled payloads (int promotes to float/NaN), on both the
+    broadcast and the co-partitioned path. Regression for the
+    pd.Series([pd.NA]*n, dtype=int64) TypeError."""
+    import ray.data as rd
+    import pdf_parser_ray.relational as rel
+    from pdf_parser_ray.relational import asof_join
+    left, right = fr
+    left = left.copy()
+    # poke NULLs into key and timestamp
+    left.loc[left.index[::4], "k"] = np.nan
+    left["k"] = left["k"].astype("float64")
+    right = right.copy()
+    right["k"] = right["k"].astype("float64")
+    left.loc[left.index[1::5], "lt"] = pd.NaT
+    right["rf"] = right["rv"].astype("float64") / 3.0
+
+    def want_frame():
+        ok = left.dropna(subset=["k", "lt"])
+        m = pd.merge_asof(ok.sort_values("lt", kind="mergesort"),
+                          right.sort_values("rt", kind="mergesort"),
+                          left_on="lt", right_on="rt", by="k")
+        nulls = left[left["k"].isna() | left["lt"].isna()]
+        return (pd.concat([m, nulls], ignore_index=True)
+                .sort_values("lv").reset_index(drop=True))
+
+    want = want_frame()
+    got = asof_join(rd.from_pandas(left).repartition(parts),
+                    rd.from_pandas(right), by="k", left_ts="lt",
+                    right_ts="rt", how="left").to_pandas()
+    old = rel._BROADCAST_JOIN_BYTES
+    try:
+        rel._BROADCAST_JOIN_BYTES = 0
+        got_shuffle = asof_join(rd.from_pandas(left).repartition(parts),
+                                rd.from_pandas(right), by="k",
+                                left_ts="lt", right_ts="rt",
+                                how="left").to_pandas()
+    finally:
+        rel._BROADCAST_JOIN_BYTES = old
+    for g in (got, got_shuffle):
+        g = g.sort_values("lv").reset_index(drop=True)
+        assert len(g) == len(want)
+        pd.testing.assert_frame_equal(g[want.columns], want,
+                                      check_dtype=False)
