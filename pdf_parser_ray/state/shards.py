@@ -10,8 +10,13 @@ relative to any natural ordering of the data (the "global shuffle"
 a trainer wants) yet fully deterministic.
 
 Resumability mirrors state/checkpoint.py: one directory per shard,
-atomic rename commit, `_SUCCESS` marker, manifest with per-shard row
-counts and content hashes; a re-run skips committed shards.
+atomic rename commit (the `_SUCCESS` marker and `_meta.json` are
+written INSIDE the tmp directory, so the rename itself is the full
+commit — there is no window where a committed shard lacks its
+marker), manifest with per-shard row counts and content hashes; a
+re-run skips committed shards. Shard parquet is written in bounded
+row-group slices and the content hash is taken over the parquet bytes
+— no whole-shard text round-trip.
 """
 
 from __future__ import annotations
@@ -19,10 +24,14 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 from typing import List, Optional
 
 import numpy as np
 import pandas as pd
+
+_ROW_GROUP = 65536          # rows per parquet row group / write slice
+_HASH_CHUNK = 1 << 20       # bytes per content-hash read
 
 
 def _shard_hash(s: pd.Series) -> np.ndarray:
@@ -31,19 +40,51 @@ def _shard_hash(s: pd.Series) -> np.ndarray:
     return pd.util.hash_pandas_object(s, index=False).to_numpy()
 
 
+def _read_meta(sdir: str) -> dict:
+    with open(os.path.join(sdir, "_meta.json")) as f:
+        return json.load(f)
+
+
 def write_training_shards(ds, out_dir: str, *, key_col: str,
                           n_shards: int = 16,
-                          columns: Optional[List[str]] = None) -> pd.DataFrame:
+                          columns: Optional[List[str]] = None,
+                          shared_fs: bool = False,
+                          row_group_size: int = _ROW_GROUP) -> pd.DataFrame:
     """Export ``ds`` as ``n_shards`` deterministic parquet shards.
 
-    Returns the manifest DataFrame (shard, rows, content_hash). Skips
-    shards whose ``_SUCCESS`` marker already exists (resume); refuses
-    to resume into a directory written with a different shard count.
+    Returns the manifest DataFrame (shard, rows, content_hash), built
+    from the rows each writer task returns (newly written shards) plus
+    the committed ``_meta.json`` of shards skipped on resume — the
+    driver never rescans worker output. Skips shards whose ``_SUCCESS``
+    marker already exists (resume); refuses to resume into a directory
+    written with a different shard count.
+
+    Shard tasks write through the local filesystem path ``out_dir``;
+    on a multi-node cluster that path must be on storage shared by
+    every node (NFS, fuse-mounted object store) — pass
+    ``shared_fs=True`` to assert that, otherwise a >1-node cluster is
+    rejected up front instead of silently scattering shards across
+    worker-local disks.
+
+    Memory: one task holds one shard's rows (sorting needs them);
+    size ``n_shards`` so data_size / n_shards fits a worker heap —
+    the parquet itself is written in bounded row-group slices, so
+    raising ``n_shards`` is the only knob needed at scale.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
+    import ray
 
     from ..relational import bucketed_map_groups
+
+    if ray.is_initialized() and not shared_fs:
+        alive = [n for n in ray.nodes() if n.get("Alive")]
+        if len(alive) > 1:
+            raise ValueError(
+                "write_training_shards writes shards through the "
+                f"filesystem path {out_dir!r}; on a multi-node cluster "
+                "that path must be shared storage visible to every "
+                "node — pass shared_fs=True to assert it is")
 
     os.makedirs(out_dir, exist_ok=True)
     meta_path = os.path.join(out_dir, "_SHARDS.json")
@@ -61,7 +102,7 @@ def write_training_shards(ds, out_dir: str, *, key_col: str,
     done = {
         int(d.split("=")[1])
         for d in os.listdir(out_dir)
-        if d.startswith("shard=")
+        if d.startswith("shard=") and not d.endswith(".tmp")
         and os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))}
 
     if columns is not None:
@@ -74,46 +115,76 @@ def write_training_shards(ds, out_dir: str, *, key_col: str,
         b["__shard"] = (h % n_shards).astype("int32")
         return b.loc[~b["__shard"].isin(done)]
 
-    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+    def write_shard(g: pd.DataFrame) -> dict:
         shard = int(g["__shard"].iloc[0])
+        sdir = os.path.join(out_dir, f"shard={shard:05d}")
+        if os.path.exists(os.path.join(sdir, "_meta.json")):
+            # an earlier (crashed-after-rename or speculatively
+            # retried) task already committed this shard — the rename
+            # IS the commit, so adopt its manifest row
+            return _read_meta(sdir)
         g = (g.sort_values(["__h", key_col], kind="mergesort")
              .drop(columns=["__h", "__shard"]).reset_index(drop=True))
-        content = hashlib.blake2b(
-            pa.Table.from_pandas(g, preserve_index=False)
-            .to_pandas().to_csv(index=False).encode(),
-            digest_size=16).hexdigest()
-        sdir = os.path.join(out_dir, f"shard={shard:05d}")
-        tmp = sdir + ".tmp"
-        os.makedirs(tmp, exist_ok=True)
-        pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
-                       os.path.join(tmp, "part.parquet"))
+        # unique tmp dir per writer so concurrent retries never
+        # collide; only the rename below is the commit point
+        tmp = f"{sdir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        ppath = os.path.join(tmp, "part.parquet")
+        schema = pa.Schema.from_pandas(g, preserve_index=False)
+        with pq.ParquetWriter(ppath, schema) as w:
+            for i in range(0, max(len(g), 1), row_group_size):
+                w.write_table(pa.Table.from_pandas(
+                    g.iloc[i:i + row_group_size], schema=schema,
+                    preserve_index=False))
+        # content identity = the parquet bytes themselves (the sort
+        # above makes them partitioning-invariant), hashed streaming
+        hasher = hashlib.blake2b(digest_size=16)
+        with open(ppath, "rb") as f:
+            for chunk in iter(lambda: f.read(_HASH_CHUNK), b""):
+                hasher.update(chunk)
+        meta = {"shard": shard, "rows": int(len(g)),
+                "content_hash": hasher.hexdigest()}
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
-            json.dump({"shard": shard, "rows": len(g),
-                       "content_hash": content}, f)
-        os.rename(tmp, sdir)                 # atomic commit
-        with open(os.path.join(sdir, "_SUCCESS"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
             f.write("")
-        return pd.DataFrame({"shard": pd.array([shard], dtype="int64"),
-                             "rows": pd.array([len(g)], dtype="int64"),
-                             "content_hash": [content]})
+        try:
+            os.rename(tmp, sdir)             # the one atomic commit
+        except OSError:
+            # another writer committed first; keep its shard
+            shutil.rmtree(tmp, ignore_errors=True)
+            meta = _read_meta(sdir)
+        return meta
 
     tagged = ds.map_batches(add_shard, batch_format="pandas")
     # one group per shard id: the shard file is written INSIDE the
     # bucketed combine (shard count chosen ≫ nodes bounds skew the
-    # same way the checkpoint writer does)
-    written = bucketed_map_groups(
-        tagged, ["__shard"],
-        lambda g: pd.concat(
-            [write_shard(gg) for _, gg in g.groupby("__shard",
-                                                    sort=False)],
-            ignore_index=True) if len(g) else g.iloc[0:0],
-    ).to_pandas()
-    manifest = []
-    for d in sorted(os.listdir(out_dir)):
-        if d.startswith("shard=") and not d.endswith(".tmp"):
-            with open(os.path.join(out_dir, d, "_meta.json")) as f:
-                manifest.append(json.load(f))
-    mdf = pd.DataFrame(manifest).sort_values("shard").reset_index(drop=True)
+    # same way the checkpoint writer does); each task RETURNS its
+    # manifest row, so the manifest needs no output rescan
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"shard": pd.Series([], dtype="int64"),
+                                 "rows": pd.Series([], dtype="int64"),
+                                 "content_hash": pd.Series([],
+                                                           dtype=object)})
+        rows = [write_shard(gg)
+                for _, gg in g.groupby("__shard", sort=False)]
+        return pd.DataFrame(rows)
+
+    written = bucketed_map_groups(tagged, ["__shard"],
+                                  run_bucket).to_pandas()
+    rows = ([] if written.empty else
+            written.to_dict("records"))
+    for shard in done:      # committed in a previous run
+        rows.append(_read_meta(os.path.join(out_dir,
+                                            f"shard={shard:05d}")))
+    # plain-python values: manifest rows round-trip through json
+    rows = [{"shard": int(m["shard"]), "rows": int(m["rows"]),
+             "content_hash": str(m["content_hash"])} for m in rows]
+    rows.sort(key=lambda m: m["shard"])
+    mdf = pd.DataFrame(rows).reset_index(drop=True)
+    mdf = mdf.astype({"shard": "int64", "rows": "int64"})
     with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
+        json.dump(rows, f, indent=1)
     return mdf

@@ -55,3 +55,43 @@ def test_shards_resume_skips_committed(ray_session, tmp_path):
     with pytest.raises(ValueError, match="resume mismatch"):
         write_training_shards(rd.from_pandas(df), out,
                               key_col="doc_id", n_shards=12)
+
+
+def test_shards_resume_survives_missing_success_marker(ray_session,
+                                                       tmp_path):
+    """Crash-window regression: a shard directory that exists but lost
+    its _SUCCESS marker (or predates the rename-is-commit protocol)
+    must be adopted on resume — not crash the re-run with ENOTEMPTY."""
+    import ray.data as rd
+    from pdf_parser_ray.state.shards import write_training_shards
+    df = _corpus(600)
+    out = str(tmp_path / "out")
+    m1 = write_training_shards(rd.from_pandas(df), out,
+                               key_col="doc_id", n_shards=4)
+    os.remove(os.path.join(out, "shard=00002", "_SUCCESS"))
+    m2 = write_training_shards(rd.from_pandas(df), out,
+                               key_col="doc_id", n_shards=4)
+    pd.testing.assert_frame_equal(m1, m2)
+
+
+def test_shards_multi_row_group_streaming(ray_session, tmp_path):
+    """Shards larger than the row-group slice are written in multiple
+    row groups with an identical manifest (the content hash covers the
+    parquet bytes, which the deterministic sort fixes)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from pdf_parser_ray.state.shards import write_training_shards
+    df = _corpus(1200)
+    out1 = str(tmp_path / "a")
+    m1 = write_training_shards(rd.from_pandas(df).repartition(5), out1,
+                               key_col="doc_id", n_shards=3,
+                               row_group_size=100)
+    pf = pq.ParquetFile(os.path.join(out1, "shard=00000",
+                                     "part.parquet"))
+    assert pf.num_row_groups > 1
+    out2 = str(tmp_path / "b")
+    m2 = write_training_shards(rd.from_pandas(df).repartition(11), out2,
+                               key_col="doc_id", n_shards=3,
+                               row_group_size=100)
+    pd.testing.assert_frame_equal(m1, m2)
+    assert m1["rows"].sum() == len(df)
