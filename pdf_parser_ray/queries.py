@@ -430,8 +430,11 @@ def docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
                  for l, n in zip(counts["lang"], counts["n"])}
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(h=(b["doc_id"].to_numpy(dtype=np.int64)
-                        * 2654435761) % (1 << 32))
+        # uint64 multiply wraps mod 2^64; % 2^32 then equals exact
+        # arithmetic (2^32 | 2^64) — see weighted_sample
+        b = b.assign(h=((b["doc_id"].to_numpy(dtype=np.int64)
+                         .astype(np.uint64) * np.uint64(2654435761))
+                        % np.uint64(1 << 32)).astype(np.int64))
         b = b.sort_values(["h", "doc_id"], kind="mergesort")
         return b.groupby("lang", sort=False, observed=True).head(
             max(k_by_lang.values()))
@@ -1547,7 +1550,8 @@ ORACLES = {
                           l.l_orderkey * 10 + l.l_linenumber AS li_id
                    FROM lineitem l JOIN orders o
                      ON l.l_orderkey = o.o_orderkey),
-        h AS (SELECT *, ((li_id * 2654435761) % 4294967296 + 0.5)
+        h AS (SELECT *, ((CAST(li_id AS HUGEINT) * 2654435761)
+                         % 4294967296 + 0.5)
                         / 4294967296.0 AS u
               FROM j WHERE l_extendedprice > 0),
         s AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
@@ -1604,7 +1608,8 @@ ORACLES = {
     """,
     "docs_stratified_sample": """
         WITH d AS (SELECT doc_id, lang,
-                          (doc_id * 2654435761) % 4294967296 AS h
+                          (CAST(doc_id AS HUGEINT) * 2654435761)
+                          % 4294967296 AS h
                    FROM documents),
              c AS (SELECT lang, CAST(CEIL(0.1 * COUNT(*)) AS BIGINT) AS k
                    FROM documents GROUP BY lang),
@@ -1688,7 +1693,8 @@ ORACLES = {
     """,
     "events_weighted_sample": """
         WITH h AS (SELECT event_id, user_id, value,
-                          ((event_id * 2654435761) % 4294967296 + 0.5)
+                          ((CAST(event_id AS HUGEINT) * 2654435761)
+                           % 4294967296 + 0.5)
                             / 4294967296.0 AS u
                    FROM events WHERE value > 0),
         s AS (SELECT event_id, user_id, value

@@ -229,7 +229,13 @@ def weighted_sample(ds, *, weight_col: str, id_col: str, k: int = 100,
         keep = w > 0
         ids = b[id_col].to_numpy(dtype=np.int64)[keep]
         w = w[keep]
-        u = ((ids * 2654435761) % (1 << 32) + 0.5) / float(1 << 32)
+        # uint64 so the multiply wraps mod 2^64 instead of overflowing
+        # int64 at ids >= ~3.5e9; because 2^32 divides 2^64 the final
+        # % 2^32 then equals EXACT arithmetic — mirrored in SQL with a
+        # HUGEINT cast (DuckDB BIGINT raises on overflow)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        u = (h.astype(np.float64) + 0.5) / float(1 << 32)
         key = -np.log(u) / w
         out = b.loc[keep].assign(__wk=key)
         return out.sort_values(["__wk", id_col],

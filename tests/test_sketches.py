@@ -109,3 +109,36 @@ def test_weighted_sample_bias_and_invariance(ray_session):
         outs.append(s.sort_values("id").reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert outs[0]["w"].mean() > 1.5 * df["w"].mean()
+
+
+def test_weighted_sample_large_ids_match_sql_oracle(ray_session):
+    """Regression for the Knuth-hash int64 overflow: ids above
+    2^63 / 2654435761 (~3.5e9) must produce the same sample as the
+    DuckDB HUGEINT formulation of the key (uint64 wrap mod 2^64 then
+    % 2^32 equals exact arithmetic % 2^32)."""
+    import duckdb
+    import ray.data as rd
+    from pdf_parser_ray.stages.sketches import weighted_sample
+    import numpy as np
+    import pandas as pd
+    rng = np.random.RandomState(3)
+    ids = (np.int64(1) << 62) + rng.choice(10_000_000, 5_000,
+                                           replace=False).astype(np.int64)
+    df = pd.DataFrame({"id": ids,
+                       "w": rng.exponential(10.0, 5_000)})
+    got = weighted_sample(rd.from_pandas(df).repartition(7),
+                          weight_col="w", id_col="id", k=100)
+    got = got.sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        WITH h AS (SELECT id, w,
+                          ((CAST(id AS HUGEINT) * 2654435761)
+                           % 4294967296 + 0.5) / 4294967296.0 AS u
+                   FROM t WHERE w > 0),
+        s AS (SELECT id, w FROM h ORDER BY -ln(u) / w, id LIMIT 100)
+        SELECT id, w FROM s ORDER BY id
+    """).df()
+    con.close()
+    want["id"] = want["id"].astype("int64")
+    pd.testing.assert_frame_equal(got[["id", "w"]], want)
