@@ -1,6 +1,12 @@
 """Deduplication operators: exact, MinHash-LSH, SimHash, embedding-cosine.
 
-All follow the partial-before-shuffle discipline:
+All follow the partial-before-shuffle discipline, and the candidate-
+PAIR flow is distributed END TO END: pairs are born in the banding
+shuffle, cross-band-deduped in a bucketed shuffle, verified either
+map-side (broadcast payloads) or via two bucketed shuffles, and fed to
+connected components as a Dataset edge list — the driver never holds a
+pair list (on a template-heavy 100-TB crawl candidate pairs can reach
+billions of rows).
 
 - exact:   content-hash inside map_batches, per-batch min-key partial,
            tiny groupby(hash) final — only one row per distinct hash per
@@ -8,9 +14,7 @@ All follow the partial-before-shuffle discipline:
 - minhash: shingle -> minhash signature per batch (numpy, vectorized
            over permutations) -> explode to (band, band_hash, doc_id)
            rows -> groupby(band, band_hash) bucket -> candidate pairs ->
-           DISTRIBUTED exact-Jaccard verification (one partitioned hash
-           join attaches each candidate doc's shingle set to its pairs;
-           the driver never holds texts or shingles). Shingles can be
+           DISTRIBUTED exact-Jaccard verification. Shingles can be
            word n-grams or char n-grams (the char mode doubles as the
            "n-gram Jaccard" dedup operator).
 - simhash: 64-bit simhash per doc -> 4x16-bit band buckets ->
@@ -18,8 +22,8 @@ All follow the partial-before-shuffle discipline:
            along with the pairs; vectorized popcount, no second pass).
 - embedding: random-hyperplane LSH buckets over the embedding column ->
            candidates -> distributed exact-cosine verification (same
-           join-based path as minhash).
-- keep-set: connected components over the verified pair list via
+           path as minhash).
+- keep-set: connected components over the verified pair Dataset via
            ITERATIVE MIN-LABEL PROPAGATION over Ray datasets (a few
            bucketed groupby-min rounds; the driver only sees a scalar
            convergence aggregate per round), so a high-duplication
@@ -99,7 +103,7 @@ class MinHasher:
         self.num_perm = num_perm
         self.shingle = shingle
 
-    def shingles(self, text: str) -> np.ndarray:
+    def shingle_strings(self, text: str) -> set:
         if self.shingle.startswith("word"):
             n = int(self.shingle[4:])
             toks = text.split()
@@ -108,18 +112,54 @@ class MinHasher:
         else:  # charN
             n = int(self.shingle[4:])
             items = {text[i:i + n] for i in range(max(0, len(text) - n + 1))}
-        if not items:
-            items = {""}
+        return items or {""}
+
+    def shingles(self, text: str) -> np.ndarray:
         # 31-bit shingle ids: see __init__ overflow note (birthday
         # collisions at typical per-doc shingle counts are ~1e-4)
-        return np.array([_stable_u64(s) & ((1 << 31) - 1) for s in items],
+        return np.array([_stable_u64(s) & ((1 << 31) - 1)
+                         for s in self.shingle_strings(text)],
                         dtype=np.int64)
 
     def signature(self, text: str) -> np.ndarray:
+        """Per-doc signature — the slow scalar oracle; the batch path
+        (minhash_band_rows) must produce byte-identical values."""
         h = self.shingles(text)
         # (n_shingles, num_perm) permuted hashes; min along shingles
         perm = (h[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
         return perm.min(axis=0)
+
+    def signatures_batch(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) signature matrix, vectorized: every
+        UNIQUE shingle string in the batch is blake2b-hashed ONCE
+        (template-heavy corpora share most shingles across docs), and
+        the per-permutation min runs as one segment-min
+        (np.minimum.reduceat) per lane over the flattened shingle-id
+        array instead of a per-doc matrix. Byte-identical to
+        signature() per doc (pinned by test)."""
+        sets = [self.shingle_strings(t) for t in texts]
+        if not sets:
+            return np.empty((0, self.num_perm), dtype=np.int64)
+        lens = np.fromiter((len(s) for s in sets), np.int64,
+                           count=len(sets))
+        flat = np.asarray([s for ss in sets for s in ss], dtype=object)
+        # factorize, not np.unique: hash-based first-occurrence codes
+        # (~17x faster than unique's sort on object strings; order of
+        # the unique array is irrelevant here)
+        inv, uniq = pd.factorize(flat)
+        uh = np.fromiter((_stable_u64(s) & ((1 << 31) - 1) for s in uniq),
+                         np.int64, count=len(uniq))
+        offs = np.zeros(len(sets) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        sigs = np.empty((len(sets), self.num_perm), dtype=np.int64)
+        starts = offs[:-1]
+        for j in range(self.num_perm):
+            # permute the UNIQUE ids (U ≤ flat count, far below it on
+            # template corpora), then gather back to flat positions —
+            # the modular arithmetic never runs over duplicates
+            vals_u = (uh * self.a[j] + self.b[j]) % _MERSENNE
+            sigs[:, j] = np.minimum.reduceat(vals_u[inv], starts)
+        return sigs
 
 
 _HASHER_CACHE: dict = {}
@@ -142,19 +182,26 @@ def minhash_band_rows(batch: pd.DataFrame, *, num_perm: int, bands: int,
     assert num_perm % bands == 0
     mh = _hasher(num_perm, shingle)
     rows_per_band = num_perm // bands
-    band_ids, band_hashes, doc_ids = [], [], []
-    for doc_id, text in zip(batch[id_col], batch[text_col]):
-        sig = mh.signature(text)
+    sigs = mh.signatures_batch(batch[text_col].tolist())
+    band_hashes = np.empty((len(sigs), bands), dtype=np.int64)
+    for i in range(len(sigs)):
+        row = sigs[i]
         for b in range(bands):
-            chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-            band_ids.append(b)
-            band_hashes.append(zlib.crc32(chunk.tobytes()))
-            doc_ids.append(doc_id)
+            band_hashes[i, b] = zlib.crc32(
+                row[b * rows_per_band:(b + 1) * rows_per_band].tobytes())
     return pd.DataFrame({
-        "band": pd.array(band_ids, dtype="int32"),
-        "band_hash": pd.array(band_hashes, dtype="int64"),
-        "doc_id": doc_ids,
+        "band": np.tile(np.arange(bands, dtype=np.int32), len(sigs)),
+        "band_hash": band_hashes.ravel(),
+        "doc_id": np.repeat(batch[id_col].to_numpy(), bands),
     })
+
+
+def _empty_pairs(extra: dict = None) -> pd.DataFrame:
+    cols = {"id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64")}
+    for name, dtype in (extra or {}).items():
+        cols[name] = pd.Series([], dtype=dtype)
+    return pd.DataFrame(cols)
 
 
 def _grouped_pairs(df: pd.DataFrame, group_cols: List[str],
@@ -173,7 +220,9 @@ def _grouped_pairs(df: pd.DataFrame, group_cols: List[str],
         i, j = np.triu_indices(len(ids), k=1)
         out_a.append(ids[i]); out_b.append(ids[j])
     if not out_a:
-        return pd.DataFrame({"id_a": [], "id_b": []})
+        # int64-typed empty: a float64 empty block would poison the
+        # pair Dataset's schema unification in the dedup shuffle
+        return _empty_pairs()
     return pd.DataFrame({"id_a": np.concatenate(out_a),
                          "id_b": np.concatenate(out_b)})
 
@@ -195,6 +244,15 @@ def _dedup_pairs_fast(cand: pd.DataFrame) -> pd.DataFrame:
         _, idx = np.unique(key, return_index=True)
         return cand.iloc[np.sort(idx)]
     return cand.drop_duplicates(["id_a", "id_b"])
+
+
+def _dedup_pairs_ds(cand_ds):
+    """Distributed cross-band pair dedup: every copy of a pair lands in
+    one bucket (hash of the pair key), one survives. The pair list
+    never visits the driver."""
+    from ..relational import bucketed_map_groups
+    return bucketed_map_groups(cand_ds, ["id_a", "id_b"],
+                               _dedup_pairs_fast)
 
 
 def _jaccard_arrays(sa, sb) -> float:
@@ -220,42 +278,94 @@ def _cosine_arrays(va: np.ndarray, vb: np.ndarray) -> float:
 _BROADCAST_VERIFY_BYTES = 64 << 20
 
 
-def _pairwise_verify(cand: pd.DataFrame, payload_ds, score_fn,
-                     out_col: str) -> pd.DataFrame:
+def _id_filter(ds, ids_ds, id_col: str, *, anti: bool = False,
+               batch_size: int = 4096):
+    """Filter a corpus Dataset by a Dataset of ids — adaptive:
+
+    - id set under the broadcast budget: frozenset shipped once,
+      stateless map-side isin (zero shuffles) — the normal case for
+      candidate/drop sets bounded by the duplicate count.
+    - larger id set: one co-partitioned semi/anti join shuffle; the
+      driver never holds the id set.
+    """
+    import ray
+
+    from ..relational import _cogroup, _split_sides
+
+    ids_ds = ids_ds.materialize()
+    size = ids_ds.size_bytes()
+    if size is not None and size <= _BROADCAST_VERIFY_BYTES:
+        id_ref = ray.put(frozenset(
+            ids_ds.to_pandas()[id_col].tolist()))
+
+        def flt(b: pd.DataFrame) -> pd.DataFrame:
+            wanted = ray.get(id_ref)
+            mask = b[id_col].isin(wanted)
+            return b[~mask] if anti else b[mask]
+
+        return ds.map_batches(flt, batch_format="pandas",
+                              batch_size=batch_size)
+
+    corpus_cols = list(ds.schema().names)
+
+    def keep_bucket(t) -> pd.DataFrame:
+        l, r = _split_sides(t, corpus_cols, [id_col])
+        present = l[id_col].isin(set(r[id_col].tolist()))
+        return l[~present] if anti else l[present]
+
+    return _cogroup(ds, ids_ds, [id_col], keep_bucket)
+
+
+def _pair_ids_ds(cand_ds, id_col: str):
+    """Doc ids appearing in any candidate pair, as a Dataset —
+    per-batch unique ONLY (no dedup shuffle): both _id_filter paths
+    (frozenset broadcast, in-bucket isin set) tolerate cross-batch
+    duplicate id rows, and the only cost is a conservative size check."""
+    def ids_of(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: np.unique(np.concatenate(
+            [b["id_a"].to_numpy(dtype=np.int64),
+             b["id_b"].to_numpy(dtype=np.int64)]))})
+
+    return cand_ds.map_batches(ids_of, batch_format="pandas")
+
+
+def _pairwise_verify(cand_ds, payload_ds, score_fn, out_col: str):
     """Distributed pairwise verification with an adaptive join
     strategy (the broadcast-small-sides rule applied to dedup).
 
-    cand: (id_a, id_b) candidate pairs. payload_ds: Ray dataset
-    (doc_id, pl) holding one verification payload per CANDIDATE doc
-    (already filtered down from the corpus).
+    cand_ds: Dataset of (id_a, id_b) candidate pairs (already
+    deduplicated). payload_ds: Ray dataset (doc_id, pl) holding one
+    verification payload per CANDIDATE doc (already filtered down from
+    the corpus). Returns a DATASET of (id_a, id_b, out_col) — pairs
+    whose payloads were both present, scored; nothing is collected to
+    the driver.
 
     Fast path — payloads fit the 64 MiB broadcast budget (the normal
-    LSH-contract case): ship the payload map to the object store ONCE
-    and score pairs in stateless map tasks; zero shuffles.
+    LSH-contract case): ship a CSR triple (sorted ids + offsets + one
+    flat value array — ray.get of numpy is zero-copy where a python
+    dict would re-unpickle per task) ONCE and score pairs in stateless
+    map tasks over the pair Dataset; zero additional shuffles.
 
     Scale path — a high-duplication corpus blows the budget: two
-    bucketed shuffles, (1) bucket by doc_id to attach each doc's
-    payload to its pair halves, (2) bucket by pair_idx to score where
-    both halves meet; the driver never materializes payloads.
-    Side-tagging uses an int sentinel (pair_idx = -1 for payload rows)
-    so id columns never pass through a null-fill float coercion.
+    bucketed shuffles keyed by PAIR IDENTITY (id_a, id_b), never a
+    driver-assigned index: (1) bucket by doc_id to attach each doc's
+    payload to its pair halves, (2) bucket by (id_a, id_b) to score
+    where both halves meet.
 
     Both paths return identical results; score_fn(payload_a,
     payload_b) must be symmetric and picklable.
     """
     import pyarrow as pa
     import ray
-    import ray.data as rd
 
     from ..relational import bucketed_map_groups
 
     payload_ds = payload_ds.materialize()
     if payload_ds.size_bytes() <= _BROADCAST_VERIFY_BYTES:
-        # CSR-style broadcast (sorted ids + offsets + one flat value
-        # array): ray.get of plain numpy arrays is zero-copy from the
-        # object store, where a python dict would re-unpickle its 10^5
-        # entries in every scoring task
         pdf = payload_ds.to_pandas()
+        if len(pdf) == 0:       # fully-empty datasets can lose columns
+            pdf = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                "pl": pd.Series([], dtype=object)})
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
@@ -270,11 +380,8 @@ def _pairwise_verify(cand: pd.DataFrame, payload_ds, score_fn,
 
         def score_batch(b: pd.DataFrame) -> pd.DataFrame:
             p_ids, p_offs, p_flat = ray.get(csr_ref)
-            if len(p_ids) == 0:
-                return pd.DataFrame({
-                    "pair_idx": b["pair_idx"].to_numpy(dtype=np.int64),
-                    out_col: pd.array([np.nan] * len(b),
-                                      dtype="float64")})
+            if len(p_ids) == 0 or not len(b):
+                return _empty_pairs({out_col: "float64"})
             a = b["id_a"].to_numpy(dtype=np.int64)
             c = b["id_b"].to_numpy(dtype=np.int64)
             ia = np.searchsorted(p_ids, a)
@@ -284,137 +391,147 @@ def _pairwise_verify(cand: pd.DataFrame, payload_ds, score_fn,
                            False)
             ok &= np.where(ok, p_ids[np.minimum(ic, len(p_ids) - 1)] == c,
                            False)
-            scores = np.full(len(b), np.nan)
-            for i in np.flatnonzero(ok):
-                scores[i] = score_fn(
+            rows = np.flatnonzero(ok)
+            scores = np.empty(len(rows), dtype=np.float64)
+            for n, i in enumerate(rows):
+                scores[n] = score_fn(
                     p_flat[p_offs[ia[i]]:p_offs[ia[i] + 1]],
                     p_flat[p_offs[ic[i]]:p_offs[ic[i] + 1]])
             return pd.DataFrame({
-                "pair_idx": b["pair_idx"].to_numpy(dtype=np.int64),
+                "id_a": a[rows], "id_b": c[rows],
                 out_col: pd.array(scores, dtype="float64"),
             })
 
-        idx = pd.DataFrame({
-            "pair_idx": np.arange(len(cand), dtype=np.int64),
-            "id_a": cand["id_a"].to_numpy(),
-            "id_b": cand["id_b"].to_numpy(),
-        })
-        # from_pandas yields ONE block; split it or the scoring loop
-        # runs on a single core no matter the batch_size (and keep
-        # batch_size at the split granularity — a larger one would
-        # re-coalesce the blocks into fewer tasks)
-        n_blocks = max(1, min(len(idx) // 2048 + 1, 64))
-        scored = (rd.from_pandas(idx).repartition(n_blocks)
-                  .map_batches(score_batch, batch_format="pandas",
-                               batch_size=2048)
-                  .to_pandas().dropna(subset=[out_col]))
-        out = cand.copy()
-        out["pair_idx"] = np.arange(len(cand), dtype=np.int64)
-        out = out.merge(scored, on="pair_idx", how="inner")
-        return out.drop(columns="pair_idx")
+        return cand_ds.map_batches(score_batch, batch_format="pandas",
+                                   batch_size=2048)
 
     s = payload_ds.schema()
     pl_type = dict(zip(s.names, s.types))["pl"]
-    exploded = pa.table({
-        "doc_id": np.column_stack([cand["id_a"].to_numpy(),
-                                   cand["id_b"].to_numpy()]).ravel(),
-        "pair_idx": np.repeat(np.arange(len(cand), dtype=np.int64), 2),
-    }).append_column("pl", pa.array([[]] * (2 * len(cand)), pl_type))
-    tagged_payloads = payload_ds.map_batches(
-        lambda t: t.append_column(
-            "pair_idx", pa.array(np.full(t.num_rows, -1, dtype=np.int64))
-        ).select(["doc_id", "pair_idx", "pl"]),
-        batch_format="pyarrow")
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        a = b["id_a"].to_numpy(dtype=np.int64)
+        c = b["id_b"].to_numpy(dtype=np.int64)
+        n2 = 2 * len(b)
+        return pa.Table.from_arrays(
+            [pa.array(np.column_stack([a, c]).ravel()),
+             pa.array(np.repeat(a, 2)), pa.array(np.repeat(c, 2)),
+             pa.array(np.zeros(n2, dtype=bool)),
+             pa.array([[]] * n2, pl_type)],
+            names=["doc_id", "id_a", "id_b", "is_pl", "pl"])
+
+    def tag_payload(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.Table.from_arrays(
+            [t.column("doc_id").cast(pa.int64()), z, z,
+             pa.array(np.ones(n, dtype=bool)), t.column("pl")],
+            names=["doc_id", "id_a", "id_b", "is_pl", "pl"])
+
+    halves = cand_ds.map_batches(explode, batch_format="pandas")
+    tagged = payload_ds.map_batches(tag_payload, batch_format="pyarrow")
 
     def attach(g: pd.DataFrame) -> pa.Table:
-        halves = g[g["pair_idx"] >= 0][["doc_id", "pair_idx"]]
-        pls = g[g["pair_idx"] < 0][["doc_id", "pl"]]
-        m = halves.merge(pls, on="doc_id", how="inner")
-        return pa.table({
-            "pair_idx": m["pair_idx"].to_numpy(dtype=np.int64),
-            "pl": pa.array([np.asarray(x).tolist() for x in m["pl"]],
-                           pl_type),
-        })
+        h = g[~g["is_pl"]][["doc_id", "id_a", "id_b"]]
+        pls = g[g["is_pl"]][["doc_id", "pl"]]
+        m = h.merge(pls, on="doc_id", how="inner")
+        return pa.Table.from_arrays(
+            [pa.array(m["id_a"].to_numpy(dtype=np.int64)),
+             pa.array(m["id_b"].to_numpy(dtype=np.int64)),
+             pa.array([np.asarray(x).tolist() for x in m["pl"]], pl_type)],
+            names=["id_a", "id_b", "pl"])
 
-    attached = bucketed_map_groups(
-        rd.from_arrow(exploded).union(tagged_payloads), ["doc_id"], attach)
+    attached = bucketed_map_groups(halves.union(tagged), ["doc_id"],
+                                   attach)
 
     def score_groups(g: pd.DataFrame) -> pd.DataFrame:
-        idxs, scores = [], []
-        for idx, gg in g.groupby("pair_idx", sort=False):
+        out_a, out_b, scores = [], [], []
+        for (ia, ib), gg in g.groupby(["id_a", "id_b"], sort=False):
             if len(gg) != 2:        # payload missing for one side
                 continue
-            idxs.append(idx)
+            out_a.append(ia); out_b.append(ib)
             scores.append(score_fn(gg["pl"].iloc[0], gg["pl"].iloc[1]))
-        return pd.DataFrame({"pair_idx": pd.array(idxs, dtype="int64"),
-                             out_col: pd.array(scores, dtype="float64")})
+        return pd.DataFrame({
+            "id_a": pd.array(out_a, dtype="int64"),
+            "id_b": pd.array(out_b, dtype="int64"),
+            out_col: pd.array(scores, dtype="float64")})
 
-    scored = (bucketed_map_groups(attached, ["pair_idx"], score_groups)
-              .to_pandas())
-    out = cand.copy()
-    out["pair_idx"] = np.arange(len(cand), dtype=np.int64)
-    out = out.merge(scored, on="pair_idx", how="inner")
-    return out.drop(columns="pair_idx")
+    return bucketed_map_groups(attached, ["id_a", "id_b"], score_groups)
 
 
-def _shingle_payload(batch: pd.DataFrame, *, id_ref, num_perm: int,
+def _shingle_payload(batch: pd.DataFrame, *, num_perm: int,
                      shingle: str, text_col: str, id_col: str):
     import pyarrow as pa
-    import ray
-    ids = ray.get(id_ref)
-    sub = batch[batch[id_col].isin(ids)]
     mh = _hasher(num_perm, shingle)
     # explicit Arrow list<int64> payloads: Ray's ndarray tensor
     # extension cannot shuffle variable-length cells, and an object
-    # column would make hash_join's schema-driven null-fill guess wrong
+    # column would make the join's schema-driven null-fill guess wrong
     return pa.Table.from_arrays(
-        [pa.array(sub[id_col].to_numpy(), pa.int64()),
+        [pa.array(batch[id_col].to_numpy(dtype=np.int64)),
          pa.array([np.unique(mh.shingles(t)).tolist()
-                   for t in sub[text_col]], pa.list_(pa.int64()))],
+                   for t in batch[text_col]], pa.list_(pa.int64()))],
         names=["doc_id", "pl"])
 
 
-def minhash_dedup_pairs(ds, *, num_perm: int = 128, bands: int = 16,
-                        shingle: str = "word3", threshold: float = 0.7,
-                        text_col: str = "text", id_col: str = "doc_id",
-                        batch_size: int = 4096) -> pd.DataFrame:
-    """Near-duplicate pairs with exact-Jaccard verification.
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold,
-    sorted. ``shingle='char5'`` makes this the n-gram-Jaccard dedup.
-    Verification is distributed: candidate ids (ids only — a few bytes
-    each) are broadcast to filter the corpus, shingle sets are computed
-    inside map_batches, and a partitioned hash join scores pairs where
-    the payloads live.
+def minhash_dedup_pairs_ds(ds, *, num_perm: int = 128, bands: int = 16,
+                           shingle: str = "word3", threshold: float = 0.7,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           batch_size: int = 4096):
+    """Near-duplicate pairs with exact-Jaccard verification, as a
+    DATASET of (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= threshold. ``shingle='char5'`` makes this the
+    n-gram-Jaccard dedup. Everything stays distributed: banding
+    shuffle -> bucketed pair dedup -> adaptive candidate-doc filter ->
+    shingle payloads computed where the docs live -> adaptive
+    broadcast/shuffle verification.
     """
-    import ray
-
-    band_rows = ds.map_batches(
-        functools.partial(minhash_band_rows, num_perm=num_perm, bands=bands,
-                          shingle=shingle, text_col=text_col, id_col=id_col),
+    cand_raw = _banded_candidates(ds, num_perm=num_perm, bands=bands,
+                                  shingle=shingle, text_col=text_col,
+                                  id_col=id_col, batch_size=batch_size)
+    cand_ds = _dedup_pairs_ds(cand_raw).materialize()
+    cand_docs = _id_filter(ds, _pair_ids_ds(cand_ds, id_col), id_col,
+                           batch_size=batch_size)
+    payload_ds = cand_docs.map_batches(
+        functools.partial(_shingle_payload, num_perm=num_perm,
+                          shingle=shingle, text_col=text_col,
+                          id_col=id_col),
         batch_format="pandas", batch_size=batch_size)
+    verified = _pairwise_verify(cand_ds, payload_ds, _jaccard_arrays,
+                                "jaccard")
+
+    def thresh(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["jaccard"] = np.round(b["jaccard"].to_numpy(dtype=np.float64), 4)
+        return b[b["jaccard"] >= threshold]
+
+    return verified.map_batches(thresh, batch_format="pandas")
+
+
+def _banded_candidates(ds, *, num_perm, bands, shingle, text_col,
+                       id_col, batch_size):
     from ..relational import bucketed_map_groups
-    cand = _dedup_pairs_fast(bucketed_map_groups(
+    band_rows = ds.map_batches(
+        functools.partial(minhash_band_rows, num_perm=num_perm,
+                          bands=bands, shingle=shingle, text_col=text_col,
+                          id_col=id_col),
+        batch_format="pandas", batch_size=batch_size)
+    return bucketed_map_groups(
         band_rows, ["band", "band_hash"],
         lambda g: _grouped_pairs(g, ["band", "band_hash"]))
-        .to_pandas()).reset_index(drop=True)
-    if cand.empty:
-        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
-                             "id_b": pd.array([], dtype="int64"),
-                             "jaccard": pd.array([], dtype="float64")})
 
-    id_ref = ray.put(frozenset(
-        np.union1d(cand["id_a"].to_numpy(), cand["id_b"].to_numpy())
-        .tolist()))
-    payload_ds = ds.map_batches(
-        functools.partial(_shingle_payload, id_ref=id_ref, num_perm=num_perm,
-                          shingle=shingle, text_col=text_col, id_col=id_col),
-        batch_format="pandas", batch_size=batch_size)
-    verified = _pairwise_verify(cand, payload_ds, _jaccard_arrays, "jaccard")
-    verified["jaccard"] = np.round(verified["jaccard"], 4)
-    out = verified[verified["jaccard"] >= threshold]
+
+def _collect_pairs(pairs_ds, extra: dict) -> pd.DataFrame:
+    """Small-result driver collection for the public pandas API."""
+    out = pairs_ds.to_pandas()
+    if out.empty:
+        return _empty_pairs(extra)
     return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
             .astype({"id_a": "int64", "id_b": "int64"}))
+
+
+def minhash_dedup_pairs(ds, **kwargs) -> pd.DataFrame:
+    """minhash_dedup_pairs_ds collected to sorted driver pandas."""
+    return _collect_pairs(minhash_dedup_pairs_ds(ds, **kwargs),
+                          {"jaccard": "float64"})
 
 
 # --------------------------------------------------- connected components
@@ -442,10 +559,11 @@ def components_from_pairs(pairs: pd.DataFrame) -> dict:
     return {x: find(x) for x in parent}
 
 
-def components_min_label(pairs: pd.DataFrame, *,
-                         max_iter: int = 50) -> pd.DataFrame:
+def components_min_label(pairs, *, max_iter: int = 50) -> pd.DataFrame:
     """Distributed connected components by iterative min-label
-    propagation over Ray datasets.
+    propagation over Ray datasets. ``pairs`` may be a DATASET of
+    (id_a, id_b) edges — the production path, nothing driver-side —
+    or a pandas DataFrame for small inputs/tests.
 
     Each round: every node takes min(own label, neighbors' labels) —
     one partitioned hash join (edges x labels) plus one bucketed
@@ -463,26 +581,34 @@ def components_min_label(pairs: pd.DataFrame, *,
     import pyarrow as pa
     import ray.data as rd
 
-    from ..relational import bucketed_map_groups
+    from ..relational import bucketed_map_groups, distinct_ds
 
-    if pairs.empty:
-        return pd.DataFrame({"node": pd.array([], dtype="int64"),
-                             "rep": pd.array([], dtype="int64")})
-    a = pairs["id_a"].to_numpy(dtype=np.int64)
-    b = pairs["id_b"].to_numpy(dtype=np.int64)
+    empty = pd.DataFrame({"node": pd.array([], dtype="int64"),
+                          "rep": pd.array([], dtype="int64")})
+    if isinstance(pairs, pd.DataFrame):
+        if pairs.empty:
+            return empty
+        pairs = rd.from_pandas(pairs[["id_a", "id_b"]])
+
     # symmetric edge list: propagate labels both directions. Tagged
     # with the unified message-join schema up front (is_edge, key =
     # receiving end's neighbor) so each round is a pure int64 bucketed
     # merge — a generic outer-union join would null-fill and silently
     # coerce the id columns to float64.
-    edges = pa.table({
-        "key": np.concatenate([b, a]),        # label provider
-        "node": np.concatenate([a, b]),       # label receiver
-        "label": np.zeros(2 * len(a), dtype=np.int64),
-        "is_edge": np.ones(2 * len(a), dtype=bool),
-    })
-    nodes = np.unique(np.concatenate([a, b]))
-    edges_ds = rd.from_arrow(edges).materialize()
+    def to_edges(b: pd.DataFrame) -> pa.Table:
+        a = b["id_a"].to_numpy(dtype=np.int64)
+        c = b["id_b"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "key": np.concatenate([c, a]),        # label provider
+            "node": np.concatenate([a, c]),       # label receiver
+            "label": np.zeros(2 * len(b), dtype=np.int64),
+            "is_edge": np.ones(2 * len(b), dtype=bool),
+        })
+
+    edges_ds = pairs.map_batches(to_edges,
+                                 batch_format="pandas").materialize()
+    if edges_ds.count() == 0:
+        return empty
 
     def label_table(node_arr, label_arr) -> pa.Table:
         return pa.table({
@@ -490,8 +616,14 @@ def components_min_label(pairs: pd.DataFrame, *,
             "is_edge": np.zeros(len(node_arr), dtype=bool),
         })
 
-    labels = rd.from_arrow(label_table(nodes, nodes)).materialize()
-    prev_sum = int(nodes.sum())
+    nodes_ds = distinct_ds(
+        edges_ds.map_batches(lambda t: t.select(["node"]),
+                             batch_format="pyarrow"), ["node"])
+    labels = nodes_ds.map_batches(
+        lambda b: label_table(b["node"].to_numpy(dtype=np.int64),
+                              b["node"].to_numpy(dtype=np.int64)),
+        batch_format="pandas").materialize()
+    prev_sum = int(labels.sum("label"))
 
     def round_fn(g: pd.DataFrame) -> pd.DataFrame:
         """One bucket of the message join: attach each provider node's
@@ -544,26 +676,28 @@ def minhash_dedup_keep(ds, *, num_perm: int = 128, bands: int = 16,
                        batch_size: int = 4096) -> pd.DataFrame:
     """The actual training-data dedup operator: drop near-duplicates,
     keeping each component's min-id representative (components computed
-    by distributed min-label propagation). The corpus filter broadcasts
-    the DROPPED id set — small relative to the corpus even at high dup
-    rates (it is bounded by the duplicate count, and at real scale
-    would ship as a Bloom filter)."""
-    import ray
+    by distributed min-label propagation over the pair DATASET). The
+    corpus filter for the DROPPED id set is adaptive: broadcast under
+    the budget (it is bounded by the duplicate count; at real scale it
+    would ship as a Bloom filter), co-partitioned anti-join above it.
+    """
+    import ray.data as rd
 
-    pairs = minhash_dedup_pairs(
+    pairs_ds = minhash_dedup_pairs_ds(
         ds, num_perm=num_perm, bands=bands, shingle=shingle,
         threshold=threshold, text_col=text_col, id_col=id_col,
-        batch_size=batch_size)
-    comp = components_min_label(pairs)
-    dropped_ref = ray.put(frozenset(
-        comp.loc[comp["node"] != comp["rep"], "node"].tolist()))
-
-    def keep_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        dropped = ray.get(dropped_ref)
-        return batch[~batch[id_col].isin(dropped)][[id_col]]
-
-    kept = ds.map_batches(keep_rows, batch_format="pandas",
-                          batch_size=batch_size).to_pandas()
+        batch_size=batch_size).materialize()
+    comp = components_min_label(pairs_ds)
+    dropped = comp.loc[comp["node"] != comp["rep"], ["node"]].rename(
+        columns={"node": id_col})
+    ids_only = ds.map_batches(lambda b: b[[id_col]],
+                              batch_format="pandas",
+                              batch_size=batch_size)
+    if dropped.empty:
+        kept = ids_only.to_pandas()
+    else:
+        kept = _id_filter(ids_only, rd.from_pandas(dropped), id_col,
+                          anti=True, batch_size=batch_size).to_pandas()
     return (kept.sort_values(id_col).reset_index(drop=True)
             .astype({id_col: "int64"}))
 
@@ -606,11 +740,14 @@ def simhash_rows(batch: pd.DataFrame, *, text_col: str,
     })
 
 
-def simhash_dedup_pairs(ds, *, max_hamming: int = 3,
-                        text_col: str = "text", id_col: str = "doc_id",
-                        batch_size: int = 4096) -> pd.DataFrame:
+def simhash_dedup_pairs_ds(ds, *, max_hamming: int = 3,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           batch_size: int = 4096):
     """Candidate pairs sharing any 16-bit band, verified by Hamming
-    distance on the full 64-bit signature."""
+    distance on the full 64-bit signature — as a DATASET of
+    (id_a, id_b, hamming). Signatures ride with the pairs, so
+    verification is a per-batch vectorized popcount; the driver never
+    sees the pair list."""
     rows = ds.map_batches(
         functools.partial(simhash_rows, text_col=text_col, id_col=id_col),
         batch_format="pandas", batch_size=batch_size)
@@ -635,33 +772,44 @@ def simhash_dedup_pairs(ds, *, max_hamming: int = 3,
             a.append(ids[i]); b.append(ids[j])
             sa.append(sigs[i]); sb.append(sigs[j])
         if not a:
-            return pd.DataFrame({"id_a": [], "id_b": [],
-                                 "sig_a": [], "sig_b": []})
+            return _empty_pairs({"sig_a": "int64", "sig_b": "int64"})
         return pd.DataFrame({"id_a": np.concatenate(a),
                              "id_b": np.concatenate(b),
                              "sig_a": np.concatenate(sa),
                              "sig_b": np.concatenate(sb)})
 
     from ..relational import bucketed_map_groups
-    cand = bucketed_map_groups(rows, ["band", "band_key"],
-                               pairs_with_sig).to_pandas()
-    cand = _dedup_pairs_fast(cand).reset_index(drop=True)
-    if cand.empty:
-        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
-                             "id_b": pd.array([], dtype="int64"),
-                             "hamming": pd.array([], dtype="int64")})
-    x = (cand["sig_a"].to_numpy(dtype="int64")
-         ^ cand["sig_b"].to_numpy(dtype="int64")).astype(np.uint64)
-    # 16-bit table popcount: 4 gathers instead of 64 shift/mask passes
-    # (millions of candidate pairs on a template-heavy corpus)
-    m = np.uint64(0xFFFF)
-    ham = (_POP16[x & m] + _POP16[(x >> np.uint64(16)) & m]
-           + _POP16[(x >> np.uint64(32)) & m]
-           + _POP16[x >> np.uint64(48)]).astype(np.int64)
-    cand["hamming"] = ham
-    out = cand[cand["hamming"] <= max_hamming][["id_a", "id_b", "hamming"]]
-    return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-            .astype({"id_a": "int64", "id_b": "int64"}))
+    cand_raw = bucketed_map_groups(rows, ["band", "band_key"],
+                                   pairs_with_sig)
+
+    def hamming_batch(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return _empty_pairs({"hamming": "int64"})
+        x = (b["sig_a"].to_numpy(dtype="int64")
+             ^ b["sig_b"].to_numpy(dtype="int64")).astype(np.uint64)
+        # 16-bit table popcount: 4 gathers instead of 64 shift/mask
+        # passes (millions of candidate pairs on a template-heavy
+        # corpus)
+        m = np.uint64(0xFFFF)
+        ham = (_POP16[x & m] + _POP16[(x >> np.uint64(16)) & m]
+               + _POP16[(x >> np.uint64(32)) & m]
+               + _POP16[x >> np.uint64(48)]).astype(np.int64)
+        out = b[["id_a", "id_b"]].copy(deep=False)
+        out["hamming"] = ham
+        return out[out["hamming"] <= max_hamming]
+
+    # verify BEFORE the pair-dedup shuffle: hamming is per-row and
+    # identical for every duplicate of a pair, so filtering first
+    # shrinks the shuffle by the verification selectivity and drops
+    # the signature columns from it
+    return _dedup_pairs_ds(
+        cand_raw.map_batches(hamming_batch, batch_format="pandas"))
+
+
+def simhash_dedup_pairs(ds, **kwargs) -> pd.DataFrame:
+    """simhash_dedup_pairs_ds collected to sorted driver pandas."""
+    return _collect_pairs(simhash_dedup_pairs_ds(ds, **kwargs),
+                          {"hamming": "int64"})
 
 
 # ------------------------------------------------------ embedding near-dup
@@ -690,50 +838,51 @@ def _embed_planes(n_planes: int, dim: int) -> np.ndarray:
     return _PLANES_CACHE[key]
 
 
-def _vector_payload(batch: pd.DataFrame, *, id_ref, vec_col: str,
-                    id_col: str):
+def _vector_payload(batch: pd.DataFrame, *, vec_col: str, id_col: str):
     import pyarrow as pa
-    import ray
-    ids = ray.get(id_ref)
-    sub = batch[batch[id_col].isin(ids)]
     return pa.Table.from_arrays(
-        [pa.array(sub[id_col].to_numpy(), pa.int64()),
+        [pa.array(batch[id_col].to_numpy(dtype=np.int64)),
          pa.array([np.asarray(v, dtype=np.float64).tolist()
-                   for v in sub[vec_col]], pa.list_(pa.float64()))],
+                   for v in batch[vec_col]], pa.list_(pa.float64()))],
         names=["doc_id", "pl"])
 
 
-def embedding_dedup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 12,
-                          vec_col: str = "embedding", id_col: str = "vec_id",
-                          batch_size: int = 4096) -> pd.DataFrame:
+def embedding_dedup_pairs_ds(ds, *, threshold: float = 0.95,
+                             n_planes: int = 12, vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             batch_size: int = 4096):
     """Random-hyperplane LSH buckets -> distributed exact-cosine
-    verification (pairs hash-joined to their vectors; driver holds ids
-    and scores only)."""
-    import ray
+    verification, as a DATASET of (id_a, id_b, cosine) — same
+    end-to-end-distributed pair flow as minhash."""
+    from ..relational import bucketed_map_groups
 
     buckets = ds.map_batches(
         functools.partial(_embed_buckets, n_planes=n_planes,
                           vec_col=vec_col, id_col=id_col),
         batch_format="pandas", batch_size=batch_size)
-    from ..relational import bucketed_map_groups
-    cand = _dedup_pairs_fast(bucketed_map_groups(
+    cand_raw = bucketed_map_groups(
         buckets, ["bucket"],
         lambda g: _grouped_pairs(g.rename(columns={id_col: "doc_id"}),
                                  ["bucket"]))
-        .to_pandas()).reset_index(drop=True)
-    if cand.empty:
-        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
-                             "id_b": pd.array([], dtype="int64"),
-                             "cosine": pd.array([], dtype="float64")})
-    id_ref = ray.put(frozenset(
-        np.union1d(cand["id_a"].to_numpy(), cand["id_b"].to_numpy())
-        .tolist()))
-    payload_ds = ds.map_batches(
-        functools.partial(_vector_payload, id_ref=id_ref,
-                          vec_col=vec_col, id_col=id_col),
+    cand_ds = _dedup_pairs_ds(cand_raw).materialize()
+    cand_docs = _id_filter(ds, _pair_ids_ds(cand_ds, id_col), id_col,
+                           batch_size=batch_size)
+    payload_ds = cand_docs.map_batches(
+        functools.partial(_vector_payload, vec_col=vec_col,
+                          id_col=id_col),
         batch_format="pandas", batch_size=batch_size)
-    verified = _pairwise_verify(cand, payload_ds, _cosine_arrays, "cosine")
-    verified["cosine"] = np.round(verified["cosine"], 4)
-    out = verified[verified["cosine"] >= threshold]
-    return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-            .astype({"id_a": "int64", "id_b": "int64"}))
+    verified = _pairwise_verify(cand_ds, payload_ds, _cosine_arrays,
+                                "cosine")
+
+    def thresh(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["cosine"] = np.round(b["cosine"].to_numpy(dtype=np.float64), 4)
+        return b[b["cosine"] >= threshold]
+
+    return verified.map_batches(thresh, batch_format="pandas")
+
+
+def embedding_dedup_pairs(ds, **kwargs) -> pd.DataFrame:
+    """embedding_dedup_pairs_ds collected to sorted driver pandas."""
+    return _collect_pairs(embedding_dedup_pairs_ds(ds, **kwargs),
+                          {"cosine": "float64"})

@@ -182,3 +182,17 @@ def test_pairwise_verify_paths_agree(ray_session, monkeypatch):
     monkeypatch.setattr(dd, "_BROADCAST_VERIFY_BYTES", 0)
     slow = dd.minhash_dedup_pairs(ds, threshold=0.5)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_signatures_batch_matches_scalar_oracle():
+    """The vectorized batch signature path (unique-shingle hashing +
+    per-lane segment-min) must be byte-identical to the per-doc scalar
+    signature, including empty and shorter-than-n docs."""
+    from pdf_parser_ray.stages.dedup import MinHasher
+    texts = [_doc(0), _doc(0), _doc(2, mutate=2), "", "one two",
+             "x", " ".join(f"u{i}" for i in range(50))]
+    for mode in ("word3", "char5"):
+        mh = MinHasher(64, mode)
+        batch = mh.signatures_batch(texts)
+        for i, t in enumerate(texts):
+            np.testing.assert_array_equal(batch[i], mh.signature(t))
