@@ -120,41 +120,60 @@ def top_customers_by_spend(sf_dir: str) -> pd.DataFrame:
 
 
 def q3_shipping_topk(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q3 shape: broadcast semi-join (small dims) + partial-agg
-    revenue per order + top-k. At 100 TB the orders side moves to
-    hash_join; dims stay broadcast."""
-    import pyarrow.parquet as pq
+    """TPC-H Q3 shape, scale-safe end to end: the customer dim's
+    BUILDING key set is the only driver-held object (a dimension-table
+    broadcast for the orders semi-join); lineitem revenue is
+    partial-aggregated to one row per order, the date attach is a
+    co-partitioned hash join of the two large per-order datasets, and
+    the top-k runs as per-batch partials. No fact table ever
+    materializes on the driver."""
+    from .relational import (bucketed_map_groups, hash_join, semi_join,
+                             topk)
     cutoff = pd.Timestamp("1998-03-15")
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_orderkey", "o_custkey",
-                                    "o_orderdate"]).to_pandas()
-    orders = orders[(orders["o_orderdate"] < cutoff)
-                    & orders["o_custkey"].isin(building)]
-    okeys = set(orders["o_orderkey"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = (cust.map_batches(
+        lambda b: b.loc[b["c_mktsegment"] == "BUILDING", ["c_custkey"]],
+        batch_format="pandas").to_pandas()["c_custkey"])
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders_f = semi_join(
+        orders.map_batches(lambda b: b[b["o_orderdate"] < cutoff],
+                           batch_format="pandas"),
+        building, "o_custkey").map_batches(
+        lambda b: b[["o_orderkey", "o_orderdate"]].rename(
+            columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
 
     li = read_table(sf_dir, "lineitem",
                     ["l_orderkey", "l_extendedprice", "l_discount",
                      "l_shipdate"])
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[(b["l_shipdate"] > cutoff) & b["l_orderkey"].isin(okeys)]
+        b = b[b["l_shipdate"] > cutoff]
         return pd.DataFrame({
             "l_orderkey": b["l_orderkey"].values,
             "rev_e4": _cents(b["l_extendedprice"])
             * (100 - _cents(b["l_discount"]))})
 
-    rev = grouped_agg(li.map_batches(prep, batch_format="pandas"),
-                      ["l_orderkey"], {"s": ("sum", "rev_e4")})
-    rev["revenue"] = _d(rev["s"]) / 10000.0
-    out = rev.merge(orders[["o_orderkey", "o_orderdate"]],
-                    left_on="l_orderkey", right_on="o_orderkey")
-    out = out[["l_orderkey", "revenue", "o_orderdate"]]
-    return (out.sort_values(["revenue", "l_orderkey"],
-                            ascending=[False, True])
-            .head(10).reset_index(drop=True))
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False, sort=False,
+                         observed=True)["rev_e4"].sum()
+
+    rev = bucketed_map_groups(
+        li.map_batches(prep, batch_format="pandas")
+          .map_batches(combine, batch_format="pandas"),
+        ["l_orderkey"], combine)
+    joined = hash_join(rev, orders_f, on="l_orderkey", how="inner")
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].values,
+            "revenue": _d(b["rev_e4"]) / 10000.0,
+            "o_orderdate": b["o_orderdate"].values})
+
+    return topk(joined.map_batches(finalize, batch_format="pandas"),
+                ["revenue", "l_orderkey"], [False, True],
+                10).reset_index(drop=True)
 
 
 def customer_nation_stats(sf_dir: str) -> pd.DataFrame:
@@ -663,13 +682,25 @@ def docs_commonness(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(tok_partial, batch_format="pandas"), ["token"],
         lambda g: g.groupby("token", as_index=False, sort=False)["c"].sum()
     ).to_pandas()
-    freq_ref = ray.put(dict(zip(counts["token"], counts["c"].astype(int))))
+    # broadcast the vocabulary as (sorted 64-bit token hashes, counts)
+    # numpy arrays: ray.get of numpy is zero-copy from the object store
+    # per task, where a python dict would re-unpickle every entry in
+    # every scoring task (measured). Lookup is np.searchsorted; tokens
+    # always hit (pass 2 scans the same corpus as pass 1), and 64-bit
+    # siphash collisions at vocabulary sizes are negligible (~1e-9).
+    th = pd.util.hash_pandas_object(counts["token"],
+                                    index=False).to_numpy()
+    order = np.argsort(th, kind="stable")
+    freq_ref = ray.put((th[order],
+                        counts["c"].to_numpy(dtype=np.int64)[order]))
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
-        fmap = ray.get(freq_ref)
+        hs, cs = ray.get(freq_ref)
         toks = b["text"].str.split(" ")
         ex = toks.explode()
-        f = ex.map(fmap).astype("int64")
+        eh = pd.util.hash_pandas_object(ex, index=False).to_numpy()
+        pos = np.minimum(np.searchsorted(hs, eh), len(hs) - 1)
+        f = pd.Series(cs[pos], index=ex.index)
         sums = f.groupby(level=0).sum()
         n = toks.str.len()
         return pd.DataFrame({

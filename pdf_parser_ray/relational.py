@@ -129,27 +129,57 @@ def grouped_agg(ds, keys: List[str],
         if agg == "max":
             partial_cols.append((f"mx__{out}", "max", out))
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        # dropna=False: SQL GROUP BY keeps a NULL group; pandas would
-        # silently drop those rows otherwise (bucketed_map_groups'
-        # key hashing already routes NaN keys deterministically)
-        g = batch.groupby(keys, sort=False, observed=True, dropna=False)
-        out_frames = {}
+    def partial(t: pa.Table) -> pa.Table:
+        """Arrow-native partial aggregation: pyarrow's C++ hash
+        group-by, no pandas conversion on the hot path. Semantics are
+        pinned to the previous pandas partial: null keys form their
+        own group (SQL GROUP BY), sum of an all-null slice is 0
+        (min_count=0), count counts non-null, min/max skip nulls."""
+        import pyarrow.compute as pc
+
+        need = set()
         for out, (agg, col) in specs.items():
             if agg in ("sum", "mean"):
-                out_frames[f"s__{out}"] = g[col].sum()
+                need.add(("sum", col))
             if agg == "mean":
-                out_frames[f"c__{out}"] = g[col].count()
+                need.add(("count", col))
             if agg == "count":
-                out_frames[f"n__{out}"] = (g.size() if col is None
-                                           else g[col].count())
+                need.add(("count_all", None) if col is None
+                         else ("count", col))
             if agg == "min":
-                out_frames[f"mn__{out}"] = g[col].min()
+                need.add(("min", col))
             if agg == "max":
-                out_frames[f"mx__{out}"] = g[col].max()
-        return pd.DataFrame(out_frames).reset_index()
+                need.add(("max", col))
+        aggs = []
+        for fn, col in need:
+            if fn == "count_all":
+                aggs.append(([], "count_all"))
+            elif fn == "sum":
+                aggs.append((col, "sum",
+                             pc.ScalarAggregateOptions(min_count=0)))
+            elif fn == "count":
+                aggs.append((col, "count"))
+            else:
+                aggs.append((col, fn))
+        res = pa.TableGroupBy(t, keys).aggregate(aggs)
 
-    partials = ds.map_batches(partial, batch_format="pandas",
+        def src_name(kind, out):
+            agg, col = specs[out]
+            if kind == "sum":
+                return f"{col}_sum"
+            if kind == "count":
+                return "count_all" if col is None else f"{col}_count"
+            return f"{col}_{'min' if kind == 'min' else 'max'}"
+
+        cols = [res.column(src_name(kind, out))
+                for _, kind, out in partial_cols]
+        names = [pname for pname, _, _ in partial_cols]
+        for k in keys:
+            names.append(k)
+            cols.append(res.column(k))
+        return pa.Table.from_arrays(cols, names=names)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=batch_size)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
