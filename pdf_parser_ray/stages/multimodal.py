@@ -81,9 +81,19 @@ class DecodeMedia:
     A000_layoutlm_extractor.py:37-55).
     """
 
-    def __init__(self, decoder: str = "fake"):
+    def __init__(self, decoder="fake"):
         self.decoder = decoder
-        if decoder == "pil":
+        self._obj = None
+        if callable(decoder):
+            # the REAL-codec seam: a picklable factory (class) whose
+            # instance exposes decode(payload) -> (width, height,
+            # channels). Built HERE, once per actor — the expensive
+            # warm-up (model load, codec init) amortizes across every
+            # batch the actor serves, exactly like the reference warms
+            # its layout model in __init__
+            # (A000_layoutlm_extractor.py:37-55).
+            self._obj = decoder()
+        elif decoder == "pil":
             try:
                 from PIL import Image  # noqa: F401
                 self._pil = Image
@@ -93,6 +103,8 @@ class DecodeMedia:
                     "container; use decoder='fake'") from e
 
     def _decode(self, payload: bytes):
+        if self._obj is not None:
+            return self._obj.decode(payload)
         if self.decoder == "fake":
             if payload[:5] != b"FAKE0":
                 raise ValueError("bad magic")

@@ -142,6 +142,43 @@ def questions_markdown_dataset(questions_ds):
     return bucketed_map_groups(questions_ds, ["conv_id"], per_bucket)
 
 
+def write_sink_files(sink_ds, out_dir: str, *, content_col: str,
+                     ext: str, name_col: str = "conv_id") -> pd.DataFrame:
+    """File-per-conversation writer parity with the reference sinks
+    (A002_header_footer_2_col.py:290-299 writes `<stem>_layout.json`,
+    C002_json_to_md.py:26-95 writes `.md` next to the source): one
+    file per row of a rendered sink dataset, written FROM THE WORKER
+    TASKS — the driver never holds file contents. Filenames are the
+    sanitized ``name_col`` value plus ``ext``; each write is an atomic
+    tmp+rename, so re-runs are idempotent. Returns the manifest
+    (name, path, bytes) as driver pandas (one small row per file).
+    ``out_dir`` must be shared storage on a multi-node cluster, like
+    the shard/checkpoint writers."""
+    import os
+    import re
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(b: pd.DataFrame) -> pd.DataFrame:
+        names, paths, sizes = [], [], []
+        for name, content in zip(b[name_col], b[content_col]):
+            safe = re.sub(r"[^A-Za-z0-9._-]", "_", str(name))
+            path = os.path.join(out_dir, f"{safe}.{ext}")
+            data = str(content).encode("utf-8")
+            tmp = f"{path}.tmp-{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+            names.append(name)
+            paths.append(path)
+            sizes.append(len(data))
+        return pd.DataFrame({name_col: names, "path": paths,
+                             "bytes": pd.array(sizes, dtype="int64")})
+
+    return (sink_ds.map_batches(write_batch, batch_format="pandas")
+            .to_pandas().sort_values(name_col).reset_index(drop=True))
+
+
 def questions_json_dataset(questions_ds):
     """S4 analog: {conv_id, total_questions, questions:[...]} per conv."""
     from ..relational import bucketed_map_groups

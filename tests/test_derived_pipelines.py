@@ -202,3 +202,41 @@ def test_multimodal_plumbing(ray_session):
     # the real-codec path is stubbed: explicit NotImplementedError
     with pytest.raises(NotImplementedError):
         DecodeMedia(decoder="pil")
+
+
+def test_real_codec_seam_single_construction_per_actor(ray_session):
+    """Contract test for the A1 warmed-model path: when a real
+    decoder/model class arrives (torch/PIL installed), injecting it
+    through decoder= constructs it ONCE per actor, and every batch the
+    actor serves sees the same warmed instance."""
+    import ray.data as rd
+    from pdf_parser_ray.stages.multimodal import (decode_media_dataset,
+                                                  synth_media_table)
+
+    class _ExpensiveDecoder:
+        """Mock 'real' codec (defined in-function so cloudpickle ships
+        it by value to workers): counts its constructions via a module
+        attribute, which persists per worker PROCESS across any
+        re-pickling — a stage that wrongly rebuilt its decoder per
+        batch would report builds > 1."""
+
+        def __init__(self):
+            import pdf_parser_ray.stages.multimodal as mm
+            mm._TEST_BUILDS = getattr(mm, "_TEST_BUILDS", 0) + 1
+            self.builds = mm._TEST_BUILDS
+
+        def decode(self, payload):
+            import struct
+            w, h, c = struct.unpack("<IIH", payload[7:17])
+            return (self.builds, h, c)  # report build count as width
+
+    media = synth_media_table(96)
+    out = decode_media_dataset(rd.from_arrow(media),
+                               decoder=_ExpensiveDecoder,
+                               batch_size=8, concurrency=2).to_pandas()
+    assert len(out) == 96
+    # width carries the per-process construction count: 1 everywhere
+    # means each actor built its decoder exactly once across ~6 batches
+    assert (out["width"] == 1).all()
+    # the mock really was exercised (heights come from the payload)
+    assert (out["height"] > 0).all()

@@ -171,3 +171,40 @@ def test_sink_renderers(ray_session):
     one = qmd.iloc[0]
     assert f"**Total Questions:** {one['total_questions']}" \
         in one["questions_markdown"]
+
+
+def test_write_sink_files_roundtrip(ray_session, tmp_path):
+    """S3/S6 file parity: rendered sink datasets written one file per
+    conversation from worker tasks, re-read and matched against the
+    reference envelope shape (A002:292-296) / C001 markers."""
+    import os
+    import ray.data as rd
+    from pdf_parser_ray.pipelines.extraction import extract_dataset
+    from pdf_parser_ray.sources.transcripts import transcripts_table
+    from pdf_parser_ray.stages.sinks import (conversation_json_dataset,
+                                             markdown_c001_dataset,
+                                             write_sink_files)
+    t = transcripts_table("/root/testdata/sf0.001", limit_docs=8)
+    ex = extract_dataset(rd.from_arrow(t), batch_size=128).materialize()
+
+    jdir = str(tmp_path / "json")
+    m1 = write_sink_files(conversation_json_dataset(ex), jdir,
+                          content_col="layout_json", ext="layout.json")
+    assert m1["conv_id"].is_unique and len(m1) > 0
+    with open(m1.iloc[0]["path"]) as f:
+        env = json.load(f)
+    assert {"conv_id", "total_pages", "pages"} <= set(env)
+    assert env["total_pages"] == len(env["pages"])
+    assert env["conv_id"] == m1.iloc[0]["conv_id"]
+    assert os.path.getsize(m1.iloc[0]["path"]) == m1.iloc[0]["bytes"]
+
+    mdir = str(tmp_path / "md")
+    m2 = write_sink_files(markdown_c001_dataset(ex), mdir,
+                          content_col="markdown", ext="md")
+    with open(m2.iloc[0]["path"]) as f:
+        content = f.read()
+    assert content.startswith("<!-- Page 1 -->")
+    # idempotent re-run: same manifest, files overwritten atomically
+    m2b = write_sink_files(markdown_c001_dataset(ex), mdir,
+                           content_col="markdown", ext="md")
+    pd.testing.assert_frame_equal(m2, m2b)
