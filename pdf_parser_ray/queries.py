@@ -691,6 +691,10 @@ def docs_commonness(sf_dir: str) -> pd.DataFrame:
     th = pd.util.hash_pandas_object(counts["token"],
                                     index=False).to_numpy()
     order = np.argsort(th, kind="stable")
+    from .relational import guard_broadcast_bytes
+    guard_broadcast_bytes(2 * th.nbytes, "commonness vocabulary",
+                          "broadcast the top-V vocabulary with a tail "
+                          "default count instead of the full table")
     freq_ref = ray.put((th[order],
                         counts["c"].to_numpy(dtype=np.int64)[order]))
 
@@ -863,6 +867,10 @@ def parts_bloom_prefilter(sf_dir: str) -> pd.DataFrame:
         rd.from_pandas(pd.DataFrame({"k": pd.array(heavy, dtype="int64")})),
         "k", n_bits=1 << 16)
     li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    from .relational import guard_broadcast_bytes
+    guard_broadcast_bytes(len(heavy) * 64, "bloom-oracle exact key set",
+                          "the Bloom filter alone is the scale path; "
+                          "drop the exact-comparison side")
     heavy_ref = ray.put(frozenset(heavy))
 
     def counts(batch: pd.DataFrame) -> pd.DataFrame:

@@ -242,6 +242,22 @@ def _as_arrow(t):
     return pa.from_numpy_dtype(np.dtype(t))
 
 
+# ------------------------------------------------- broadcast byte budget
+
+_BROADCAST_OBJ_BYTES = 256 << 20
+
+
+def guard_broadcast_bytes(nbytes: int, what: str, remedy: str) -> None:
+    """Loud scale guard for every ray.put of a driver-built object:
+    a broadcast that outgrows the budget fails with the documented
+    remediation instead of OOMing the driver or the workers."""
+    if nbytes > _BROADCAST_OBJ_BYTES:
+        raise ValueError(
+            f"{what} would broadcast {nbytes / 2**20:.0f} MiB, over the "
+            f"{_BROADCAST_OBJ_BYTES >> 20} MiB driver-broadcast budget; "
+            f"{remedy}")
+
+
 # -------------------------------------------------------------------- joins
 
 class _BroadcastJoiner:
@@ -268,6 +284,10 @@ def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner",
         cpus = int(ray.cluster_resources().get("CPU", 4)) \
             if ray.is_initialized() else 4
         concurrency = (1, max(1, cpus - 2))
+    guard_broadcast_bytes(
+        int(small_df.memory_usage(deep=True).sum()),
+        "broadcast_join small side",
+        "use hash_join (co-partitioned) for two large sides")
     ref = ray.put(small_df)
     return ds.map_batches(_BroadcastJoiner, batch_format="pandas",
                           batch_size=batch_size, concurrency=concurrency,
@@ -354,7 +374,13 @@ def semi_join(ds, key_set, on: str, *, anti: bool = False,
     pattern: broadcast the key set — or a Bloom filter of it at real
     scale — and filter inside map_batches; no shuffle)."""
     import ray
-    ref = ray.put(frozenset(key_set))
+    keys = frozenset(key_set)
+    guard_broadcast_bytes(
+        len(keys) * 64,        # conservative per-entry set overhead
+        "semi/anti-join key set",
+        "ship a Bloom filter of the keys (stages.sketches) or use a "
+        "co-partitioned filter (stages.dedup._id_filter)")
+    ref = ray.put(keys)
     cpus = int(ray.cluster_resources().get("CPU", 4)) \
         if ray.is_initialized() else 4
 

@@ -355,3 +355,20 @@ def test_hash_join_big_int_precision(ray_session):
     assert out["rv"].tolist() == [big + 4, 9]
     assert out["lv"].dtype == np.dtype("int64")
     assert out["rv"].dtype == np.dtype("int64")
+
+
+def test_broadcast_guards_trip_loudly(ray_session, monkeypatch):
+    """Every ray.put of a driver-built object is behind a byte budget:
+    over budget it must fail with the documented remediation, not OOM."""
+    import ray.data as rd
+    import pdf_parser_ray.relational as rel
+    import numpy as np
+    import pandas as pd
+    monkeypatch.setattr(rel, "_BROADCAST_OBJ_BYTES", 1024)
+    small = pd.DataFrame({"k": np.arange(1000, dtype=np.int64),
+                          "v": np.arange(1000, dtype=np.int64)})
+    ds = rd.from_pandas(pd.DataFrame({"k": np.arange(10, dtype=np.int64)}))
+    with pytest.raises(ValueError, match="hash_join"):
+        rel.broadcast_join(ds, small, on="k")
+    with pytest.raises(ValueError, match="Bloom"):
+        rel.semi_join(ds, range(1000), on="k")
