@@ -127,8 +127,7 @@ def q3_shipping_topk(sf_dir: str) -> pd.DataFrame:
     co-partitioned hash join of the two large per-order datasets, and
     the top-k runs as per-batch partials. No fact table ever
     materializes on the driver."""
-    from .relational import (bucketed_map_groups, hash_join, semi_join,
-                             topk)
+    from .relational import grouped_agg_ds, hash_join, semi_join, topk
     cutoff = pd.Timestamp("1998-03-15")
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     building = (cust.map_batches(
@@ -155,14 +154,8 @@ def q3_shipping_topk(sf_dir: str) -> pd.DataFrame:
             "rev_e4": _cents(b["l_extendedprice"])
             * (100 - _cents(b["l_discount"]))})
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("l_orderkey", as_index=False, sort=False,
-                         observed=True)["rev_e4"].sum()
-
-    rev = bucketed_map_groups(
-        li.map_batches(prep, batch_format="pandas")
-          .map_batches(combine, batch_format="pandas"),
-        ["l_orderkey"], combine)
+    rev = grouped_agg_ds(li.map_batches(prep, batch_format="pandas"),
+                         ["l_orderkey"], {"rev_e4": ("sum", "rev_e4")})
     joined = hash_join(rev, orders_f, on="l_orderkey", how="inner")
 
     def finalize(b: pd.DataFrame) -> pd.DataFrame:

@@ -108,10 +108,10 @@ def bucketed_map_groups(ds, keys: List[str], fn, *, n_buckets: int = None,
 
 # -------------------------------------------------------------- grouped agg
 
-def grouped_agg(ds, keys: List[str],
-                specs: Dict[str, Tuple[str, Optional[str]]],
-                batch_size: int = 65536) -> pd.DataFrame:
-    """Partial+final grouped aggregation.
+def grouped_agg_ds(ds, keys: List[str],
+                   specs: Dict[str, Tuple[str, Optional[str]]],
+                   batch_size: int = 65536):
+    """Partial+final grouped aggregation, returned as a DATASET.
 
     specs: out_col -> (agg, in_col); agg in {sum, count, min, max, mean}.
     count with in_col=None counts rows.
@@ -194,21 +194,36 @@ def grouped_agg(ds, keys: List[str],
                 out[pname] = gg[pname].max()
         return pd.DataFrame(out).reset_index()
 
-    final = bucketed_map_groups(partials, keys, combine).to_pandas()
+    final_ds = bucketed_map_groups(partials, keys, combine)
 
-    result = final[keys].copy()
-    for out, (agg, col) in specs.items():
-        if agg == "sum":
-            result[out] = final[f"s__{out}"]
-        elif agg == "count":
-            result[out] = final[f"n__{out}"].astype("int64")
-        elif agg == "mean":
-            result[out] = final[f"s__{out}"] / final[f"c__{out}"]
-        elif agg == "min":
-            result[out] = final[f"mn__{out}"]
-        elif agg == "max":
-            result[out] = final[f"mx__{out}"]
-    return result
+    def finalize(final: pd.DataFrame) -> pd.DataFrame:
+        result = final[keys].copy()
+        for out, (agg, col) in specs.items():
+            if agg == "sum":
+                result[out] = final[f"s__{out}"]
+            elif agg == "count":
+                result[out] = final[f"n__{out}"].astype("int64")
+            elif agg == "mean":
+                result[out] = final[f"s__{out}"] / final[f"c__{out}"]
+            elif agg == "min":
+                result[out] = final[f"mn__{out}"]
+            elif agg == "max":
+                result[out] = final[f"mx__{out}"]
+        return result
+
+    # finalize is row-wise (per-key rows are final after the combine),
+    # so the result STAYS distributed — right for high-cardinality
+    # keys (per-order, per-document aggregates) whose output is itself
+    # a large table
+    return final_ds.map_batches(finalize, batch_format="pandas")
+
+
+def grouped_agg(ds, keys: List[str],
+                specs: Dict[str, Tuple[str, Optional[str]]],
+                batch_size: int = 65536) -> pd.DataFrame:
+    """grouped_agg_ds collected to driver pandas — for low-cardinality
+    grouped results (the common reporting case)."""
+    return grouped_agg_ds(ds, keys, specs, batch_size).to_pandas()
 
 
 # ------------------------------------------------------------------- top-k

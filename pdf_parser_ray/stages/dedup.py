@@ -434,25 +434,48 @@ def _pairwise_verify(cand_ds, payload_ds, score_fn, out_col: str):
         h = g[~g["is_pl"]][["doc_id", "id_a", "id_b"]]
         pls = g[g["is_pl"]][["doc_id", "pl"]]
         m = h.merge(pls, on="doc_id", how="inner")
+        # zero-copy list construction (offsets + one flat value
+        # array): a per-row tolist() here costs ~10 s per million
+        # payload rows and was the verify stage's hot line
+        vals = m["pl"].to_numpy()
+        lens = np.fromiter((len(x) for x in vals), np.int64,
+                           count=len(vals))
+        offs = np.zeros(len(vals) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        np_vt = pl_type.value_type.to_pandas_dtype()
+        flat = (np.concatenate(vals) if len(vals)
+                else np.empty(0, dtype=np_vt))
+        pl_arr = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(flat.astype(np_vt, copy=False),
+                     type=pl_type.value_type))
         return pa.Table.from_arrays(
             [pa.array(m["id_a"].to_numpy(dtype=np.int64)),
-             pa.array(m["id_b"].to_numpy(dtype=np.int64)),
-             pa.array([np.asarray(x).tolist() for x in m["pl"]], pl_type)],
+             pa.array(m["id_b"].to_numpy(dtype=np.int64)), pl_arr],
             names=["id_a", "id_b", "pl"])
 
     attached = bucketed_map_groups(halves.union(tagged), ["doc_id"],
                                    attach)
 
     def score_groups(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, scores = [], [], []
-        for (ia, ib), gg in g.groupby(["id_a", "id_b"], sort=False):
-            if len(gg) != 2:        # payload missing for one side
-                continue
-            out_a.append(ia); out_b.append(ib)
-            scores.append(score_fn(gg["pl"].iloc[0], gg["pl"].iloc[1]))
+        if not len(g):
+            return _empty_pairs({out_col: "float64"})
+        # each pair contributes AT MOST two rows (one per half, docs
+        # unique in the payload set), so after a lexsort the two
+        # halves are adjacent — adjacency detection replaces a
+        # ~100 us/group pandas tuple groupby (the hot line at
+        # millions of candidate pairs)
+        a = g["id_a"].to_numpy(dtype=np.int64)
+        b = g["id_b"].to_numpy(dtype=np.int64)
+        order = np.lexsort((b, a))
+        a2, b2 = a[order], b[order]
+        pls = g["pl"].to_numpy()[order]
+        idx = np.flatnonzero((a2[1:] == a2[:-1]) & (b2[1:] == b2[:-1]))
+        scores = np.empty(len(idx), dtype=np.float64)
+        for n, i in enumerate(idx):
+            scores[n] = score_fn(pls[i], pls[i + 1])
         return pd.DataFrame({
-            "id_a": pd.array(out_a, dtype="int64"),
-            "id_b": pd.array(out_b, dtype="int64"),
+            "id_a": a2[idx], "id_b": b2[idx],
             out_col: pd.array(scores, dtype="float64")})
 
     return bucketed_map_groups(attached, ["id_a", "id_b"], score_groups)
