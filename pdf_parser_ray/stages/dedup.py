@@ -693,15 +693,17 @@ def components_min_label(pairs, *, max_iter: int = 50) -> pd.DataFrame:
             .astype({"node": "int64", "rep": "int64"}))
 
 
-def minhash_dedup_keep(ds, *, num_perm: int = 128, bands: int = 16,
-                       shingle: str = "word3", threshold: float = 0.7,
-                       text_col: str = "text", id_col: str = "doc_id",
-                       batch_size: int = 4096) -> pd.DataFrame:
+def minhash_dedup_keep_ds(ds, *, num_perm: int = 128, bands: int = 16,
+                          shingle: str = "word3", threshold: float = 0.7,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          batch_size: int = 4096):
     """The actual training-data dedup operator: drop near-duplicates,
     keeping each component's min-id representative (components computed
-    by distributed min-label propagation over the pair DATASET). The
-    corpus filter for the DROPPED id set is adaptive: broadcast under
-    the budget (it is bounded by the duplicate count; at real scale it
+    by distributed min-label propagation over the pair DATASET) — the
+    kept-id set is returned AS A DATASET, so the full corpus filter
+    composes with downstream stages without any driver materialization.
+    The filter for the DROPPED id set is adaptive: broadcast under the
+    budget (it is bounded by the duplicate count; at real scale it
     would ship as a Bloom filter), co-partitioned anti-join above it.
     """
     import ray.data as rd
@@ -717,10 +719,15 @@ def minhash_dedup_keep(ds, *, num_perm: int = 128, bands: int = 16,
                               batch_format="pandas",
                               batch_size=batch_size)
     if dropped.empty:
-        kept = ids_only.to_pandas()
-    else:
-        kept = _id_filter(ids_only, rd.from_pandas(dropped), id_col,
-                          anti=True, batch_size=batch_size).to_pandas()
+        return ids_only
+    return _id_filter(ids_only, rd.from_pandas(dropped), id_col,
+                      anti=True, batch_size=batch_size)
+
+
+def minhash_dedup_keep(ds, **kwargs) -> pd.DataFrame:
+    """minhash_dedup_keep_ds collected to sorted driver pandas."""
+    id_col = kwargs.get("id_col", "doc_id")
+    kept = minhash_dedup_keep_ds(ds, **kwargs).to_pandas()
     return (kept.sort_values(id_col).reset_index(drop=True)
             .astype({id_col: "int64"}))
 
