@@ -956,6 +956,37 @@ def docs_token_counts(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Token-budget sequence packing (split-allowed streaming packing
+    for LLM pretraining shards): documents in doc_id order fill fixed
+    512-token sequences; each doc is assigned (seq_id, seq_offset) =
+    divmod(exclusive running token count, 512). The running count is
+    the engine's ordered-scan primitive
+    (relational.ordered_exclusive_cumsum): value-range partition +
+    per-range prefix broadcast, no global sort, driver holds n_ranges
+    scalars. SQL-window-oracle exact."""
+    from .relational import ordered_exclusive_cumsum
+    from .stages.text_analysis import token_count_batch
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    toks = ds.map_batches(
+        lambda b: token_count_batch(b)[["doc_id", "n_tokens"]],
+        batch_format="pandas")
+    packed = ordered_exclusive_cumsum(toks, order_col="doc_id",
+                                      value_col="n_tokens")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        cum = b["cum"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_tokens": b["n_tokens"].to_numpy(dtype=np.int64),
+            "seq_id": cum // 512,
+            "seq_offset": cum % 512,
+        })
+
+    return (packed.map_batches(finish, batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
 def docs_quality_scores(sf_dir: str) -> pd.DataFrame:
     from .stages.text_analysis import quality_batch
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -1344,6 +1375,7 @@ QUERIES = {
     "events_distinct_types": events_distinct_types,
     "events_dedup_user_type": events_dedup_user_type,
     "docs_token_counts": docs_token_counts,
+    "docs_pack_sequences": docs_pack_sequences,
     "docs_quality_scores": docs_quality_scores,
     "docs_top_tokens": docs_top_tokens,
     "docs_lang_counts": docs_lang_counts,
@@ -1761,6 +1793,20 @@ ORACLES = {
                len(regexp_extract_all(text, '\\S+')) AS n_tokens,
                len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_tokens_bpe
         FROM documents ORDER BY doc_id
+    """,
+    "docs_pack_sequences": """
+        WITH t AS (SELECT doc_id,
+                          len(regexp_extract_all(text, '\\S+')) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cum
+              FROM t)
+        SELECT doc_id, n_tokens,
+               CAST(cum // 512 AS BIGINT) AS seq_id,
+               CAST(cum % 512 AS BIGINT) AS seq_offset
+        FROM c ORDER BY doc_id
     """,
     "docs_quality_scores": """
         SELECT doc_id,

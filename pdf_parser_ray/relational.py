@@ -437,6 +437,68 @@ def distinct(ds, columns: List[str], batch_size: int = 65536) -> pd.DataFrame:
             .to_pandas().reset_index(drop=True))
 
 
+# ------------------------------------------------------ ordered global scan
+
+def ordered_exclusive_cumsum(ds, *, order_col: str, value_col: str,
+                             out_col: str = "cum",
+                             n_ranges: Optional[int] = None):
+    """GLOBAL exclusive running sum in ``order_col`` order — the
+    ordered-scan primitive (sequence packing, global ranking) without
+    a global sort:
+
+    1. value-range partition on ``order_col`` (boundaries split the
+       global [min, max] evenly — deterministic; at real scale use
+       sampled quantile boundaries to balance skewed key spaces),
+    2. per-range sums -> driver-side exclusive prefix over
+       ``n_ranges`` SCALARS (the only driver state),
+    3. per-range local sort + cumsum plus the range's prefix offset —
+       one bucketed shuffle.
+
+    ``order_col`` values must be unique (duplicate order keys make an
+    exclusive ordered sum ambiguous, in SQL too). Returns ``ds`` plus
+    ``out_col``, distributed.
+    """
+    from ray.data.aggregate import Max, Min
+
+    K = n_ranges or default_buckets()
+    agg = ds.aggregate(Min(order_col), Max(order_col))
+    if agg is None:
+        return ds
+    lo, hi = agg[f"min({order_col})"], agg[f"max({order_col})"]
+    bounds = np.linspace(float(lo), float(hi), K + 1)[1:-1]
+
+    def add_rng(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["__rng"] = np.searchsorted(
+            bounds, b[order_col].to_numpy(dtype=np.float64),
+            side="right").astype(np.int32)
+        return b
+
+    ds2 = ds.map_batches(add_rng, batch_format="pandas")
+    sums = grouped_agg(ds2, ["__rng"], {"s": ("sum", value_col)})
+    s = sums.sort_values("__rng")
+    int_vals = pd.api.types.is_integer_dtype(s["s"])
+    # python-int accumulation keeps integer prefixes exact past 2^53
+    offsets = np.zeros(K, dtype=np.int64 if int_vals else np.float64)
+    run = 0 if int_vals else 0.0
+    for r, v in zip(s["__rng"], s["s"]):
+        offsets[int(r)] = run
+        run += v
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for r, gg in g.groupby("__rng", sort=False):
+            gg = gg.sort_values(order_col, kind="mergesort")
+            v = gg[value_col].to_numpy()
+            out = gg.drop(columns="__rng").copy(deep=False)
+            out[out_col] = np.cumsum(v) - v + offsets[int(r)]
+            outs.append(out)
+        return pd.concat(outs, ignore_index=True) if outs else \
+            g.drop(columns="__rng")
+
+    return bucketed_map_groups(ds2, ["__rng"], scan)
+
+
 # --------------------------------------------- co-partitioned non-equi joins
 
 def _require_schema(ds, side: str):

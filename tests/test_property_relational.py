@@ -332,3 +332,31 @@ def test_asof_left_null_keys_numeric_payload(ray_session, fr, parts):
         assert len(g) == len(want)
         pd.testing.assert_frame_equal(g[want.columns], want,
                                       check_dtype=False)
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(0, 2**31 - 1), parts=st.sampled_from([1, 3, 9]),
+       as_float=st.booleans(), nr=st.sampled_from([4, 16]))
+def test_ordered_exclusive_cumsum_property(ray_session, seed, parts,
+                                           as_float, nr):
+    """Global exclusive running sum == pandas cumsum-shift ground
+    truth, under any input partitioning, skewed/sparse/negative order
+    keys, and both int and float values."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import ordered_exclusive_cumsum
+    rng = np.random.RandomState(seed)
+    n = rng.randint(5, 300)
+    # sparse, skewed, possibly negative ids
+    ids = np.unique(rng.choice(2_000_000, n) - 500_000)
+    vals = rng.randint(0, 1000, len(ids))
+    df = pd.DataFrame({"k": ids.astype(np.int64)})
+    df["v"] = vals.astype("float64") / 8 if as_float \
+        else vals.astype("int64")
+    got = ordered_exclusive_cumsum(
+        rd.from_pandas(df).repartition(parts), order_col="k",
+        value_col="v", n_ranges=nr).to_pandas()
+    want = df.sort_values("k").reset_index(drop=True)
+    want["cum"] = want["v"].cumsum().shift(1, fill_value=0)
+    got = got.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v", "cum"]], want,
+                                  check_dtype=False)
