@@ -987,6 +987,42 @@ def docs_pack_sequences(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Two-wave incremental near-dup dedup over documents (the
+    production wave-at-a-time shape): wave 0 = even doc_ids, indexed
+    (band rows + signatures persisted to parquet); wave 1 = odd
+    doc_ids PLUS exact copies of every doc_id % 4 == 0 doc under
+    shifted ids. History wins: the copies must drop against the index
+    without re-reading wave-0 texts; wave-1 near-dup clusters keep
+    their min id. Rows-only check (the cross-wave verifier is the
+    128-lane MinHash signature estimate, not SQL-expressible)."""
+    import shutil
+    import tempfile
+
+    from .stages.incremental import incremental_dedup_wave
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    w0 = ds.map_batches(lambda b: b[b["doc_id"] % 2 == 0],
+                        batch_format="pandas")
+
+    def shifted_copies(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"] % 4 == 0].copy()
+        b["doc_id"] = b["doc_id"] + 10_000_000
+        return b
+
+    w1 = (ds.map_batches(lambda b: b[b["doc_id"] % 2 == 1],
+                         batch_format="pandas")
+          .union(ds.map_batches(shifted_copies, batch_format="pandas")))
+    idx = tempfile.mkdtemp(prefix="incdedup_")
+    try:
+        incremental_dedup_wave(w0, idx, wave=0, threshold=0.7)
+        r = incremental_dedup_wave(w1, idx, wave=1, threshold=0.7)
+        kept = r["kept"].to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return (kept.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64"}))
+
+
 def docs_quality_scores(sf_dir: str) -> pd.DataFrame:
     from .stages.text_analysis import quality_batch
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -1376,6 +1412,7 @@ QUERIES = {
     "events_dedup_user_type": events_dedup_user_type,
     "docs_token_counts": docs_token_counts,
     "docs_pack_sequences": docs_pack_sequences,
+    "docs_incremental_dedup": docs_incremental_dedup,
     "docs_quality_scores": docs_quality_scores,
     "docs_top_tokens": docs_top_tokens,
     "docs_lang_counts": docs_lang_counts,

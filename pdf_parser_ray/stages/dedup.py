@@ -295,8 +295,10 @@ def _id_filter(ds, ids_ds, id_col: str, *, anti: bool = False,
     ids_ds = ids_ds.materialize()
     size = ids_ds.size_bytes()
     if size is not None and size <= _BROADCAST_VERIFY_BYTES:
+        pdf = ids_ds.to_pandas()
+        # a fully-empty dataset loses its columns through to_pandas
         id_ref = ray.put(frozenset(
-            ids_ds.to_pandas()[id_col].tolist()))
+            pdf[id_col].tolist() if id_col in pdf.columns else ()))
 
         def flt(b: pd.DataFrame) -> pd.DataFrame:
             wanted = ray.get(id_ref)
