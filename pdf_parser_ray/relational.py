@@ -439,16 +439,38 @@ def distinct(ds, columns: List[str], batch_size: int = 65536) -> pd.DataFrame:
 
 # ------------------------------------------------------ ordered global scan
 
+def _sample_order_values(ds, order_col: str, k: int = 4096) -> np.ndarray:
+    """Deterministic bounded sample of ``order_col``: per-batch
+    bottom-k rows by fixed-key siphash of the value, then a driver
+    final bottom-k — a uniform hash-ordered sample with bounded
+    driver memory (k rows), independent of input partitioning."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[[order_col]].copy(deep=False)
+        v["__h"] = pd.util.hash_pandas_object(v[order_col],
+                                              index=False).to_numpy()
+        return v.nsmallest(k, "__h")
+
+    s = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if s.empty:
+        return np.array([])
+    return s.nsmallest(k, "__h")[order_col].to_numpy()
+
+
 def ordered_exclusive_cumsum(ds, *, order_col: str, value_col: str,
                              out_col: str = "cum",
-                             n_ranges: Optional[int] = None):
+                             n_ranges: Optional[int] = None,
+                             boundaries: str = "quantile"):
     """GLOBAL exclusive running sum in ``order_col`` order — the
     ordered-scan primitive (sequence packing, global ranking) without
     a global sort:
 
-    1. value-range partition on ``order_col`` (boundaries split the
-       global [min, max] evenly — deterministic; at real scale use
-       sampled quantile boundaries to balance skewed key spaces),
+    1. value-range partition on ``order_col`` — boundary placement
+       only affects BALANCE, never the result. ``boundaries=
+       'quantile'`` (default, the scale path) takes them from a
+       deterministic bounded hash-sample of the data, so a skewed key
+       space still splits into even ranges; ``'range'`` splits the
+       global [min, max] evenly (one aggregate instead of a sample
+       scan),
     2. per-range sums -> driver-side exclusive prefix over
        ``n_ranges`` SCALARS (the only driver state),
     3. per-range local sort + cumsum plus the range's prefix offset —
@@ -458,14 +480,25 @@ def ordered_exclusive_cumsum(ds, *, order_col: str, value_col: str,
     exclusive ordered sum ambiguous, in SQL too). Returns ``ds`` plus
     ``out_col``, distributed.
     """
-    from ray.data.aggregate import Max, Min
-
     K = n_ranges or default_buckets()
-    agg = ds.aggregate(Min(order_col), Max(order_col))
-    if agg is None:
-        return ds
-    lo, hi = agg[f"min({order_col})"], agg[f"max({order_col})"]
-    bounds = np.linspace(float(lo), float(hi), K + 1)[1:-1]
+    if boundaries == "quantile":
+        sample = _sample_order_values(ds, order_col)
+        if len(sample) < 2:
+            bounds = np.array([])
+        else:
+            bounds = np.quantile(sample.astype(np.float64),
+                                 np.linspace(0, 1, K + 1)[1:-1],
+                                 method="lower")
+    elif boundaries == "range":
+        from ray.data.aggregate import Max, Min
+        agg = ds.aggregate(Min(order_col), Max(order_col))
+        if agg is None:
+            return ds
+        lo, hi = agg[f"min({order_col})"], agg[f"max({order_col})"]
+        bounds = np.linspace(float(lo), float(hi), K + 1)[1:-1]
+    else:
+        raise ValueError(f"boundaries must be 'quantile' or 'range', "
+                         f"got {boundaries!r}")
 
     def add_rng(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy(deep=False)

@@ -336,12 +336,13 @@ def test_asof_left_null_keys_numeric_payload(ray_session, fr, parts):
 
 @settings(**_SETTINGS)
 @given(seed=st.integers(0, 2**31 - 1), parts=st.sampled_from([1, 3, 9]),
-       as_float=st.booleans(), nr=st.sampled_from([4, 16]))
+       as_float=st.booleans(), nr=st.sampled_from([4, 16]),
+       mode=st.sampled_from(["quantile", "range"]))
 def test_ordered_exclusive_cumsum_property(ray_session, seed, parts,
-                                           as_float, nr):
+                                           as_float, nr, mode):
     """Global exclusive running sum == pandas cumsum-shift ground
     truth, under any input partitioning, skewed/sparse/negative order
-    keys, and both int and float values."""
+    keys, both int and float values, and both boundary strategies."""
     import ray.data as rd
     from pdf_parser_ray.relational import ordered_exclusive_cumsum
     rng = np.random.RandomState(seed)
@@ -354,7 +355,7 @@ def test_ordered_exclusive_cumsum_property(ray_session, seed, parts,
         else vals.astype("int64")
     got = ordered_exclusive_cumsum(
         rd.from_pandas(df).repartition(parts), order_col="k",
-        value_col="v", n_ranges=nr).to_pandas()
+        value_col="v", n_ranges=nr, boundaries=mode).to_pandas()
     want = df.sort_values("k").reset_index(drop=True)
     want["cum"] = want["v"].cumsum().shift(1, fill_value=0)
     got = got.sort_values("k").reset_index(drop=True)
