@@ -113,7 +113,8 @@ def run_queries() -> dict:
                 "embeddings_knn_ivf", "events_approx_distinct_users",
                 "events_asof_join", "docs_training_mix",
                 "embeddings_kmeans", "docs_chunk_dedup",
-                "events_weighted_sample"]
+                "events_weighted_sample", "docs_pack_sequences",
+                "docs_incremental_dedup"]
     out = {}
     for name in headline:
         t0 = time.perf_counter()

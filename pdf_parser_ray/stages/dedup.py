@@ -485,15 +485,31 @@ def _pairwise_verify(cand_ds, payload_ds, score_fn, out_col: str):
 
 def _shingle_payload(batch: pd.DataFrame, *, num_perm: int,
                      shingle: str, text_col: str, id_col: str):
+    """Sorted-unique shingle-id payload per doc, with each UNIQUE
+    shingle string hashed once per batch (factorize) instead of once
+    per occurrence — same trick as signatures_batch, identical ids.
+    Explicit Arrow list<int64> payloads: Ray's ndarray tensor
+    extension cannot shuffle variable-length cells, and an object
+    column would make the join's schema-driven null-fill guess wrong."""
     import pyarrow as pa
     mh = _hasher(num_perm, shingle)
-    # explicit Arrow list<int64> payloads: Ray's ndarray tensor
-    # extension cannot shuffle variable-length cells, and an object
-    # column would make the join's schema-driven null-fill guess wrong
+    sets = [mh.shingle_strings(t) for t in batch[text_col]]
+    if sets:
+        flat = np.asarray([s for ss in sets for s in ss], dtype=object)
+        inv, uniq = pd.factorize(flat)
+        uh = np.fromiter((_stable_u64(s) & ((1 << 31) - 1)
+                          for s in uniq), np.int64, count=len(uniq))
+        h = uh[inv]
+        offs = np.zeros(len(sets) + 1, np.int64)
+        np.cumsum(np.fromiter((len(s) for s in sets), np.int64,
+                              count=len(sets)), out=offs[1:])
+        pls = [np.unique(h[offs[i]:offs[i + 1]]).tolist()
+               for i in range(len(sets))]
+    else:
+        pls = []
     return pa.Table.from_arrays(
         [pa.array(batch[id_col].to_numpy(dtype=np.int64)),
-         pa.array([np.unique(mh.shingles(t)).tolist()
-                   for t in batch[text_col]], pa.list_(pa.int64()))],
+         pa.array(pls, pa.list_(pa.int64()))],
         names=["doc_id", "pl"])
 
 
