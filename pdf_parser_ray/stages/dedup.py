@@ -204,27 +204,60 @@ def _empty_pairs(extra: dict = None) -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
+def _group_codes(df: pd.DataFrame, cols: List[str]) -> np.ndarray:
+    """Dense int64 group codes for a column tuple (hash-based
+    factorize — no sort, no per-group iteration)."""
+    code = None
+    for c in cols:
+        f, u = pd.factorize(df[c].to_numpy())
+        code = f.astype(np.int64) if code is None \
+            else code * np.int64(len(u)) + f
+    return code
+
+
+def _pair_positions(code: np.ndarray):
+    """Positions (i, j), i<j, of every same-code row pair in a
+    code-SORTED array, via offset-diagonal sweeps: one vectorized
+    numpy comparison per diagonal offset d, so total work is
+    O(n * max_group_size) — proportional to the emitted pair count,
+    never a ~100 us/group pandas groupby iteration (the hot line when
+    an exact-copy-heavy corpus makes hundreds of thousands of small
+    collision groups per bucket)."""
+    n = len(code)
+    ii, jj = [], []
+    d = 1
+    while d < n:
+        same = code[d:] == code[:-d]
+        if not same.any():
+            break           # groups are contiguous: no matches at d
+        k = np.flatnonzero(same)     # => none at any larger offset
+        ii.append(k)
+        jj.append(k + d)
+        d += 1
+    if not ii:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    return np.concatenate(ii), np.concatenate(jj)
+
+
 def _grouped_pairs(df: pd.DataFrame, group_cols: List[str],
                    id_col: str = "doc_id") -> pd.DataFrame:
-    """All within-group id pairs. Vectorized: only rows whose group key
-    is duplicated can pair, and each collision group emits its pairs
-    via one triu-index expansion (a template-heavy corpus can put
-    hundreds of docs in one bucket — a per-pair Python loop is the
-    bottleneck there)."""
+    """All within-group id pairs, fully vectorized (offset-diagonal
+    expansion over the whole bucket, see _pair_positions)."""
     dup = df[df.duplicated(group_cols, keep=False)]
-    out_a, out_b = [], []
-    for _, g in dup.groupby(group_cols, sort=False):
-        ids = np.unique(g[id_col].to_numpy())
-        if len(ids) < 2:
-            continue
-        i, j = np.triu_indices(len(ids), k=1)
-        out_a.append(ids[i]); out_b.append(ids[j])
-    if not out_a:
+    if dup.empty:
         # int64-typed empty: a float64 empty block would poison the
         # pair Dataset's schema unification in the dedup shuffle
         return _empty_pairs()
-    return pd.DataFrame({"id_a": np.concatenate(out_a),
-                         "id_b": np.concatenate(out_b)})
+    sub = dup.drop_duplicates(group_cols + [id_col])
+    code = _group_codes(sub, group_cols)
+    ids = sub[id_col].to_numpy()
+    order = np.lexsort((ids, code))
+    code, ids = code[order], ids[order]
+    i, j = _pair_positions(code)
+    if not len(i):
+        return _empty_pairs()
+    # ids ascend within each group, so positional i<j gives id_a<id_b
+    return pd.DataFrame({"id_a": ids[i], "id_b": ids[j]})
 
 
 def _dedup_pairs_fast(cand: pd.DataFrame) -> pd.DataFrame:
@@ -331,7 +364,8 @@ def _pair_ids_ds(cand_ds, id_col: str):
     return cand_ds.map_batches(ids_of, batch_format="pandas")
 
 
-def _pairwise_verify(cand_ds, payload_ds, score_fn, out_col: str):
+def _pairwise_verify(cand_ds, payload_ds, score_fn, out_col: str,
+                     extra_cols: List[str] = ()):
     """Distributed pairwise verification with an adaptive join
     strategy (the broadcast-small-sides rule applied to dedup).
 
@@ -355,7 +389,9 @@ def _pairwise_verify(cand_ds, payload_ds, score_fn, out_col: str):
     where both halves meet.
 
     Both paths return identical results; score_fn(payload_a,
-    payload_b) must be symmetric and picklable.
+    payload_b) must be symmetric and picklable. ``extra_cols`` are
+    pair-level columns of cand_ds carried through to the scored
+    output unchanged (so callers don't need a re-attach shuffle).
     """
     import pyarrow as pa
     import ray
@@ -383,7 +419,10 @@ def _pairwise_verify(cand_ds, payload_ds, score_fn, out_col: str):
         def score_batch(b: pd.DataFrame) -> pd.DataFrame:
             p_ids, p_offs, p_flat = ray.get(csr_ref)
             if len(p_ids) == 0 or not len(b):
-                return _empty_pairs({out_col: "float64"})
+                return _empty_pairs(
+                    {out_col: "float64",
+                     **{c: (b[c].dtype if c in b.columns else "object")
+                        for c in extra_cols}})
             a = b["id_a"].to_numpy(dtype=np.int64)
             c = b["id_b"].to_numpy(dtype=np.int64)
             ia = np.searchsorted(p_ids, a)
@@ -399,41 +438,54 @@ def _pairwise_verify(cand_ds, payload_ds, score_fn, out_col: str):
                 scores[n] = score_fn(
                     p_flat[p_offs[ia[i]]:p_offs[ia[i] + 1]],
                     p_flat[p_offs[ic[i]]:p_offs[ic[i] + 1]])
-            return pd.DataFrame({
+            out = pd.DataFrame({
                 "id_a": a[rows], "id_b": c[rows],
                 out_col: pd.array(scores, dtype="float64"),
             })
+            for col in extra_cols:
+                out[col] = b[col].to_numpy()[rows]
+            return out
 
         return cand_ds.map_batches(score_batch, batch_format="pandas",
                                    batch_size=2048)
 
     s = payload_ds.schema()
     pl_type = dict(zip(s.names, s.types))["pl"]
+    cs = cand_ds.schema()
+    extra_types = {c: t for c, t in zip(cs.names, cs.types)
+                   if c in extra_cols}
 
     def explode(b: pd.DataFrame) -> pa.Table:
         a = b["id_a"].to_numpy(dtype=np.int64)
         c = b["id_b"].to_numpy(dtype=np.int64)
         n2 = 2 * len(b)
-        return pa.Table.from_arrays(
-            [pa.array(np.column_stack([a, c]).ravel()),
-             pa.array(np.repeat(a, 2)), pa.array(np.repeat(c, 2)),
-             pa.array(np.zeros(n2, dtype=bool)),
-             pa.array([[]] * n2, pl_type)],
-            names=["doc_id", "id_a", "id_b", "is_pl", "pl"])
+        cols = [pa.array(np.column_stack([a, c]).ravel()),
+                pa.array(np.repeat(a, 2)), pa.array(np.repeat(c, 2)),
+                pa.array(np.zeros(n2, dtype=bool)),
+                pa.array([[]] * n2, pl_type)]
+        names = ["doc_id", "id_a", "id_b", "is_pl", "pl"]
+        for col in extra_cols:
+            cols.append(pa.array(np.repeat(b[col].to_numpy(), 2),
+                                 type=extra_types[col], from_pandas=True))
+            names.append(col)
+        return pa.Table.from_arrays(cols, names=names)
 
     def tag_payload(t: pa.Table) -> pa.Table:
         n = t.num_rows
         z = pa.array(np.zeros(n, dtype=np.int64))
-        return pa.Table.from_arrays(
-            [t.column("doc_id").cast(pa.int64()), z, z,
-             pa.array(np.ones(n, dtype=bool)), t.column("pl")],
-            names=["doc_id", "id_a", "id_b", "is_pl", "pl"])
+        cols = [t.column("doc_id").cast(pa.int64()), z, z,
+                pa.array(np.ones(n, dtype=bool)), t.column("pl")]
+        names = ["doc_id", "id_a", "id_b", "is_pl", "pl"]
+        for col in extra_cols:
+            cols.append(pa.nulls(n, type=extra_types[col]))
+            names.append(col)
+        return pa.Table.from_arrays(cols, names=names)
 
     halves = cand_ds.map_batches(explode, batch_format="pandas")
     tagged = payload_ds.map_batches(tag_payload, batch_format="pyarrow")
 
     def attach(g: pd.DataFrame) -> pa.Table:
-        h = g[~g["is_pl"]][["doc_id", "id_a", "id_b"]]
+        h = g[~g["is_pl"]][["doc_id", "id_a", "id_b", *extra_cols]]
         pls = g[g["is_pl"]][["doc_id", "pl"]]
         m = h.merge(pls, on="doc_id", how="inner")
         # zero-copy list construction (offsets + one flat value
@@ -451,17 +503,24 @@ def _pairwise_verify(cand_ds, payload_ds, score_fn, out_col: str):
             pa.array(offs, type=pa.int32()),
             pa.array(flat.astype(np_vt, copy=False),
                      type=pl_type.value_type))
-        return pa.Table.from_arrays(
-            [pa.array(m["id_a"].to_numpy(dtype=np.int64)),
-             pa.array(m["id_b"].to_numpy(dtype=np.int64)), pl_arr],
-            names=["id_a", "id_b", "pl"])
+        cols = [pa.array(m["id_a"].to_numpy(dtype=np.int64)),
+                pa.array(m["id_b"].to_numpy(dtype=np.int64)), pl_arr]
+        names = ["id_a", "id_b", "pl"]
+        for col in extra_cols:
+            cols.append(pa.array(m[col], type=extra_types[col],
+                                 from_pandas=True))
+            names.append(col)
+        return pa.Table.from_arrays(cols, names=names)
 
     attached = bucketed_map_groups(halves.union(tagged), ["doc_id"],
                                    attach)
 
     def score_groups(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
-            return _empty_pairs({out_col: "float64"})
+            return _empty_pairs(
+                {out_col: "float64",
+                 **{c: (g[c].dtype if c in g.columns else "object")
+                    for c in extra_cols}})
         # each pair contributes AT MOST two rows (one per half, docs
         # unique in the payload set), so after a lexsort the two
         # halves are adjacent — adjacency detection replaces a
@@ -476,9 +535,13 @@ def _pairwise_verify(cand_ds, payload_ds, score_fn, out_col: str):
         scores = np.empty(len(idx), dtype=np.float64)
         for n, i in enumerate(idx):
             scores[n] = score_fn(pls[i], pls[i + 1])
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "id_a": a2[idx], "id_b": b2[idx],
             out_col: pd.array(scores, dtype="float64")})
+        for col in extra_cols:
+            # both halves of a pair carry identical extras; take one
+            out[col] = g[col].to_numpy()[order][idx]
+        return out
 
     return bucketed_map_groups(attached, ["id_a", "id_b"], score_groups)
 
@@ -616,9 +679,37 @@ def components_min_label(pairs, *, max_iter: int = 50) -> pd.DataFrame:
     2-4 rounds in practice.
 
     Returns a DataFrame (node, rep) covering every node that appears in
-    the edge list. Scale note: edge list and labels stay in the object
-    store; driver traffic is one int per round.
+    the edge list. Scale note: on the distributed path the edge list
+    and labels stay in the object store and driver traffic is one int
+    per round; an edge list under the 64 MiB verify budget is instead
+    union-found on the driver in one collect (adaptive, like
+    _id_filter / _pairwise_verify — a dozen fixed-cost shuffle rounds
+    for a few thousand edges is pure overhead).
     """
+    empty = pd.DataFrame({"node": pd.array([], dtype="int64"),
+                          "rep": pd.array([], dtype="int64")})
+    if not isinstance(pairs, pd.DataFrame):
+        # adaptive small-edge-list path (the broadcast-small-sides
+        # rule): an edge list under the verify budget is union-found
+        # on the driver in ONE collect instead of O(diameter) shuffle
+        # rounds — identical min-rep result (the distributed path's
+        # own test oracle)
+        pairs = pairs.materialize()
+        if pairs.size_bytes() > _BROADCAST_VERIFY_BYTES:
+            return _components_min_label_distributed(pairs, max_iter)
+        pairs = pairs.to_pandas()
+    if pairs.empty or "id_a" not in pairs.columns:
+        return empty
+    pairs = pairs[["id_a", "id_b"]].astype("int64")
+    rep_map = components_from_pairs(pairs)
+    nodes = np.unique(np.concatenate([pairs["id_a"].to_numpy(),
+                                      pairs["id_b"].to_numpy()]))
+    rep = (pd.Series(nodes).map(rep_map).fillna(pd.Series(nodes))
+           .to_numpy(dtype=np.int64))
+    return pd.DataFrame({"node": nodes, "rep": rep})
+
+
+def _components_min_label_distributed(pairs, max_iter: int) -> pd.DataFrame:
     import pyarrow as pa
     import ray.data as rd
 
@@ -626,10 +717,6 @@ def components_min_label(pairs, *, max_iter: int = 50) -> pd.DataFrame:
 
     empty = pd.DataFrame({"node": pd.array([], dtype="int64"),
                           "rep": pd.array([], dtype="int64")})
-    if isinstance(pairs, pd.DataFrame):
-        if pairs.empty:
-            return empty
-        pairs = rd.from_pandas(pairs[["id_a", "id_b"]])
 
     # symmetric edge list: propagate labels both directions. Tagged
     # with the unified message-join schema up front (is_edge, key =
@@ -801,30 +888,25 @@ def simhash_dedup_pairs_ds(ds, *, max_hamming: int = 3,
         batch_format="pandas", batch_size=batch_size)
 
     def pairs_with_sig(df: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized within-bucket pair expansion carrying both
-        signatures (each doc appears at most once per (band, band_key)
-        group, so sorting by doc_id reproduces tuple order)."""
+        """Within-bucket pair expansion carrying both signatures,
+        fully vectorized (offset-diagonal, see _pair_positions).
+        drop_duplicates: a doc_id duplicated in the CORPUS (e.g. a
+        union of overlapping shards) appears twice in a group and a
+        bare pair expansion would emit an (x, x) self-pair."""
         dup = df[df.duplicated(["band", "band_key"], keep=False)]
-        a, b, sa, sb = [], [], [], []
-        for _, g in dup.groupby(["band", "band_key"], sort=False):
-            # drop_duplicates: a doc_id duplicated in the CORPUS (e.g.
-            # a union of overlapping shards) appears twice in a group
-            # and a bare triu expansion would emit an (x, x) self-pair
-            g = (g.sort_values("doc_id", kind="mergesort")
-                 .drop_duplicates("doc_id"))
-            ids = g["doc_id"].to_numpy()
-            sigs = g["simhash"].to_numpy()
-            if len(ids) < 2:
-                continue
-            i, j = np.triu_indices(len(ids), k=1)
-            a.append(ids[i]); b.append(ids[j])
-            sa.append(sigs[i]); sb.append(sigs[j])
-        if not a:
+        if dup.empty:
             return _empty_pairs({"sig_a": "int64", "sig_b": "int64"})
-        return pd.DataFrame({"id_a": np.concatenate(a),
-                             "id_b": np.concatenate(b),
-                             "sig_a": np.concatenate(sa),
-                             "sig_b": np.concatenate(sb)})
+        sub = dup.drop_duplicates(["band", "band_key", "doc_id"])
+        code = _group_codes(sub, ["band", "band_key"])
+        ids = sub["doc_id"].to_numpy()
+        order = np.lexsort((ids, code))
+        code, ids = code[order], ids[order]
+        sigs = sub["simhash"].to_numpy()[order]
+        i, j = _pair_positions(code)
+        if not len(i):
+            return _empty_pairs({"sig_a": "int64", "sig_b": "int64"})
+        return pd.DataFrame({"id_a": ids[i], "id_b": ids[j],
+                             "sig_a": sigs[i], "sig_b": sigs[j]})
 
     from ..relational import bucketed_map_groups
     cand_raw = bucketed_map_groups(rows, ["band", "band_key"],

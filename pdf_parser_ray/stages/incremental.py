@@ -24,18 +24,20 @@ components among themselves. This keeps the invariant that an indexed
 document's keep/drop status never changes retroactively — the
 property that makes wave-at-a-time processing composable at 100 TB.
 
-Everything is distributed: band tables meet in a bucketed shuffle,
-candidate pairs stay a Dataset through dedup and verification
-(stages.dedup plumbing), and the index append is a plain partitioned
-parquet write.
+Everything is distributed, and MinHash signatures — the single
+biggest CPU line of any minhash pipeline — are computed EXACTLY ONCE
+per wave: one materialized (doc_id, sig) Dataset feeds the band
+derivation, the verification payloads, and the index append. Band
+tables meet in a bucketed shuffle; candidate pairs stay a Dataset
+through dedup and verification (stages.dedup plumbing, which carries
+the cross/same-wave flag through scoring so no re-attach shuffle is
+needed); the index append is a plain partitioned parquet write.
 """
 
 from __future__ import annotations
 
-import functools
 import os
 import zlib
-from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -48,61 +50,80 @@ def _wave_dir(base: str, kind: str, wave: int) -> str:
     return os.path.join(base, kind, f"wave={wave:05d}")
 
 
-def _band_sig_tables(batch: pd.DataFrame, *, num_perm: int, bands: int,
-                     shingle: str, text_col: str, id_col: str):
-    """One pass over a wave batch -> (band rows, signature rows)."""
-    mh = _hasher(num_perm, shingle)
-    sigs = mh.signatures_batch(batch[text_col].tolist())
-    rows_per_band = num_perm // bands
-    band_hashes = np.empty((len(sigs), bands), dtype=np.int64)
-    for i in range(len(sigs)):
-        row = sigs[i]
-        for b in range(bands):
-            band_hashes[i, b] = zlib.crc32(
-                row[b * rows_per_band:(b + 1) * rows_per_band].tobytes())
-    ids = batch[id_col].to_numpy(dtype=np.int64)
-    band_df = pd.DataFrame({
-        "band": np.tile(np.arange(bands, dtype=np.int32), len(sigs)),
-        "band_hash": band_hashes.ravel(),
-        "doc_id": np.repeat(ids, bands),
-    })
-    sig_df = pd.DataFrame({"doc_id": ids,
-                           "sig": [sigs[i] for i in range(len(sigs))]})
-    return band_df, sig_df
+def signatures_ds(ds, *, num_perm: int = 128, shingle: str = "word3",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  batch_size: int = 4096):
+    """(doc_id:int64, sig:list<int64>[num_perm]) Dataset — the ONE
+    MinHash pass per wave. The list column is built zero-copy from
+    (offsets, flat lanes); an explicit Arrow list<> type so it
+    shuffles and round-trips parquet without Ray's tensor extension."""
+    import pyarrow as pa
+
+    def sig_batch(b: pd.DataFrame) -> pa.Table:
+        mh = _hasher(num_perm, shingle)
+        sigs = mh.signatures_batch(b[text_col].tolist())
+        ids = b[id_col].to_numpy(dtype=np.int64)
+        offs = (np.arange(len(ids) + 1, dtype=np.int64) * num_perm)
+        arr = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(sigs.ravel(), type=pa.int64()))
+        return pa.Table.from_arrays([pa.array(ids), arr],
+                                    names=["doc_id", "sig"])
+
+    return ds.map_batches(sig_batch, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+def bands_from_sigs(sig_ds, *, bands: int):
+    """Derive LSH band rows (band, band_hash, doc_id) from a signature
+    Dataset — cheap crc32 folding per band, no shingling/minhash work.
+    Band hashes are identical to the batch-dedup path's
+    (crc32 over the band's int64 lanes), so waves indexed at any time
+    collide consistently."""
+    import pyarrow as pa
+
+    def f(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy()
+        n = len(ids)
+        if n == 0:
+            return pd.DataFrame({
+                "band": pd.Series([], dtype="int32"),
+                "band_hash": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64")})
+        sig = t.column("sig").combine_chunks()
+        flat = sig.flatten().to_numpy()
+        sigs2d = np.ascontiguousarray(flat.reshape(n, -1))
+        num_perm = sigs2d.shape[1]
+        rpb = num_perm // bands
+        bh = np.empty((n, bands), dtype=np.int64)
+        for i in range(n):
+            row = sigs2d[i]
+            for b in range(bands):
+                bh[i, b] = zlib.crc32(row[b * rpb:(b + 1) * rpb].tobytes())
+        return pd.DataFrame({
+            "band": np.tile(np.arange(bands, dtype=np.int32), n),
+            "band_hash": bh.ravel(),
+            "doc_id": np.repeat(ids, bands),
+        })
+
+    return sig_ds.map_batches(f, batch_format="pyarrow")
 
 
 def write_wave_index(ds, index_dir: str, *, wave: int,
                      num_perm: int = 128, bands: int = 16,
                      shingle: str = "word3", text_col: str = "text",
                      id_col: str = "doc_id",
-                     batch_size: int = 4096) -> None:
-    """Append one wave's MinHash state to the index (partitioned
-    parquet; the signature column is list<int64> so it shuffles and
-    round-trips without Ray's tensor extension)."""
-    import pyarrow as pa
-
-    def bands_of(b: pd.DataFrame) -> pd.DataFrame:
-        band_df, _ = _band_sig_tables(
-            b, num_perm=num_perm, bands=bands, shingle=shingle,
-            text_col=text_col, id_col=id_col)
-        return band_df
-
-    def sigs_of(b: pd.DataFrame) -> pa.Table:
-        _, sig_df = _band_sig_tables(
-            b, num_perm=num_perm, bands=bands, shingle=shingle,
-            text_col=text_col, id_col=id_col)
-        return pa.Table.from_arrays(
-            [pa.array(sig_df["doc_id"].to_numpy(), pa.int64()),
-             pa.array([s.tolist() for s in sig_df["sig"]],
-                      pa.list_(pa.int64()))],
-            names=["doc_id", "sig"])
-
-    (ds.map_batches(bands_of, batch_format="pandas",
-                    batch_size=batch_size)
-       .write_parquet(_wave_dir(index_dir, "bands", wave)))
-    (ds.map_batches(sigs_of, batch_format="pandas",
-                    batch_size=batch_size)
-       .write_parquet(_wave_dir(index_dir, "sigs", wave)))
+                     batch_size: int = 4096, sig_ds=None) -> None:
+    """Append one wave's MinHash state to the index. Pass a
+    precomputed (and ideally materialized) ``sig_ds`` to skip the
+    signature pass entirely — incremental_dedup_wave does."""
+    if sig_ds is None:
+        sig_ds = signatures_ds(ds, num_perm=num_perm, shingle=shingle,
+                               text_col=text_col, id_col=id_col,
+                               batch_size=batch_size)
+    bands_from_sigs(sig_ds, bands=bands).write_parquet(
+        _wave_dir(index_dir, "bands", wave))
+    sig_ds.write_parquet(_wave_dir(index_dir, "sigs", wave))
 
 
 _HIST_COLUMNS = {"bands": ["band", "band_hash", "doc_id"],
@@ -140,30 +161,29 @@ def _mixed_pairs(df: pd.DataFrame) -> pd.DataFrame:
     """Within-(band, band_hash) pairs that involve AT LEAST ONE new
     doc (old-old pairs were found when their waves were processed).
     Emits has_old so the drop policy can tell cross-wave matches from
-    same-wave ones; vectorized per collision group."""
+    same-wave ones. Fully vectorized (offset-diagonal, see
+    dedup._pair_positions): rows are ordered new-first within each
+    group, so a pair's EARLIER position is old only when both sides
+    are old — one mask excludes exactly the old-old pairs."""
+    from .dedup import _group_codes, _pair_positions
+
     dup = df[df.duplicated(["band", "band_hash"], keep=False)]
-    out_a, out_b, out_old = [], [], []
-    for _, g in dup.groupby(["band", "band_hash"], sort=False):
-        g = g.drop_duplicates("doc_id")
-        new = np.sort(g.loc[g["is_new"], "doc_id"].to_numpy())
-        old = np.sort(g.loc[~g["is_new"], "doc_id"].to_numpy())
-        if len(new) == 0:
-            continue
-        if len(new) > 1:                      # new-new pairs
-            i, j = np.triu_indices(len(new), k=1)
-            out_a.append(new[i]); out_b.append(new[j])
-            out_old.append(np.zeros(len(i), dtype=bool))
-        if len(old):                          # new-old pairs
-            a = np.repeat(new, len(old))
-            b = np.tile(old, len(new))
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            out_a.append(lo); out_b.append(hi)
-            out_old.append(np.ones(len(lo), dtype=bool))
-    if not out_a:
+    if dup.empty:
         return _empty_pairs({"has_old": "bool"})
-    return pd.DataFrame({"id_a": np.concatenate(out_a),
-                         "id_b": np.concatenate(out_b),
-                         "has_old": np.concatenate(out_old)})
+    sub = dup.drop_duplicates(["band", "band_hash", "doc_id"])
+    code = _group_codes(sub, ["band", "band_hash"])
+    ids = sub["doc_id"].to_numpy(dtype=np.int64)
+    isnew = sub["is_new"].to_numpy(dtype=bool)
+    order = np.lexsort((ids, ~isnew, code))     # new rows first
+    code, ids, isnew = code[order], ids[order], isnew[order]
+    i, j = _pair_positions(code)
+    valid = isnew[i] if len(i) else np.empty(0, dtype=bool)
+    if not valid.any():
+        return _empty_pairs({"has_old": "bool"})
+    a, b = ids[i[valid]], ids[j[valid]]
+    return pd.DataFrame({"id_a": np.minimum(a, b),
+                         "id_b": np.maximum(a, b),
+                         "has_old": ~isnew[j[valid]]})
 
 
 def incremental_dedup_wave(new_ds, index_dir: str, *, wave: int,
@@ -180,6 +200,7 @@ def incremental_dedup_wave(new_ds, index_dir: str, *, wave: int,
     Doc ids must be globally unique across waves (the id_col contract
     of the whole dedup suite).
     """
+    import pyarrow as pa
     import ray.data as rd
 
     from ..relational import bucketed_map_groups
@@ -191,14 +212,12 @@ def incremental_dedup_wave(new_ds, index_dir: str, *, wave: int,
             return b
         return f
 
-    def bands_of(b: pd.DataFrame) -> pd.DataFrame:
-        band_df, _ = _band_sig_tables(
-            b, num_perm=num_perm, bands=bands, shingle=shingle,
-            text_col=text_col, id_col=id_col)
-        return band_df
+    # THE signature pass — everything below reuses this one Dataset
+    sig_ds = signatures_ds(new_ds, num_perm=num_perm, shingle=shingle,
+                           text_col=text_col, id_col=id_col,
+                           batch_size=batch_size).materialize()
 
-    new_bands = (new_ds.map_batches(bands_of, batch_format="pandas",
-                                    batch_size=batch_size)
+    new_bands = (bands_from_sigs(sig_ds, bands=bands)
                  .map_batches(tag(True), batch_format="pandas"))
     hist_bands = _history_ds(index_dir, "bands", before_wave=wave)
     all_bands = new_bands if hist_bands is None else new_bands.union(
@@ -208,108 +227,84 @@ def incremental_dedup_wave(new_ds, index_dir: str, *, wave: int,
         bucketed_map_groups(all_bands, ["band", "band_hash"],
                             _mixed_pairs)).materialize()
 
-    # signature payloads: new sigs computed in-flight, historical sigs
-    # read back from the index — both filtered to candidate docs
-    import pyarrow as pa
-
-    def sig_payload(b: pd.DataFrame) -> pa.Table:
-        _, sig_df = _band_sig_tables(
-            b, num_perm=num_perm, bands=bands, shingle=shingle,
-            text_col=text_col, id_col=id_col)
-        return pa.Table.from_arrays(
-            [pa.array(sig_df["doc_id"].to_numpy(), pa.int64()),
-             pa.array([s.tolist() for s in sig_df["sig"]],
-                      pa.list_(pa.int64()))],
-            names=["doc_id", "pl"])
-
+    # verification payloads: this wave's signatures plus historical
+    # ones, filtered to candidate docs — no signature recompute
     ids_ds = _pair_ids_ds(cand_ds, id_col).materialize()
-    new_payloads = _id_filter(new_ds, ids_ds, id_col,
-                              batch_size=batch_size).map_batches(
-        sig_payload, batch_format="pandas", batch_size=batch_size)
+    rename = (lambda t: t.rename_columns(["doc_id", "pl"]))
+    all_sigs = sig_ds.map_batches(rename, batch_format="pyarrow")
     hist_sigs = _history_ds(index_dir, "sigs", before_wave=wave)
     if hist_sigs is not None:
-        def reencode(b: pd.DataFrame) -> pa.Table:
-            # back to an explicit Arrow list<int64> after the pandas
-            # filter (ndarray cells must never enter a shuffle)
-            return pa.Table.from_arrays(
-                [pa.array(b["doc_id"].to_numpy(dtype=np.int64)),
-                 pa.array([np.asarray(x).tolist() for x in b["pl"]],
-                          pa.list_(pa.int64()))],
-                names=["doc_id", "pl"])
+        all_sigs = all_sigs.union(
+            hist_sigs.map_batches(rename, batch_format="pyarrow"))
 
-        hist_payloads = _id_filter(
-            hist_sigs.map_batches(
-                lambda t: t.rename_columns(["doc_id", "pl"]),
-                batch_format="pyarrow"),
-            ids_ds, "doc_id", batch_size=batch_size).map_batches(
-            reencode, batch_format="pandas")
-        payload_ds = new_payloads.union(hist_payloads)
-    else:
-        payload_ds = new_payloads
+    def reencode(b: pd.DataFrame) -> pa.Table:
+        # back to an explicit Arrow list<int64> after the pandas
+        # filter (ndarray cells must never enter a shuffle); zero-copy
+        # offsets+flat build, rows are fixed-length num_perm
+        vals = b["pl"].to_numpy()
+        lens = np.fromiter((len(x) for x in vals), np.int64,
+                           count=len(vals))
+        offs = np.zeros(len(vals) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        flat = (np.concatenate([np.asarray(v, dtype=np.int64)
+                                for v in vals])
+                if len(vals) else np.empty(0, np.int64))
+        arr = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()),
+                                       pa.array(flat, type=pa.int64()))
+        return pa.Table.from_arrays(
+            [pa.array(b["doc_id"].to_numpy(dtype=np.int64)), arr],
+            names=["doc_id", "pl"])
 
+    payload_ds = _id_filter(all_sigs, ids_ds, "doc_id",
+                            batch_size=batch_size).map_batches(
+        reencode, batch_format="pandas")
+
+    # score with the wave flag carried through (no re-attach shuffle)
     scored = _pairwise_verify(cand_ds, payload_ds, _sig_agreement,
-                              "est_jaccard")
+                              "est_jaccard", extra_cols=["has_old"])
 
     def thresh(b: pd.DataFrame) -> pd.DataFrame:
-        return b[np.round(b["est_jaccard"].to_numpy(dtype=np.float64), 4)
+        keep = b[np.round(b["est_jaccard"].to_numpy(dtype=np.float64), 4)
                  >= threshold]
+        return keep[["id_a", "id_b", "has_old", "est_jaccard"]]
 
-    kept_pairs = scored.map_batches(thresh, batch_format="pandas")
-
-    # re-attach has_old by PAIR IDENTITY: one bucketed meet of the
-    # scored pairs with the flag rows (a real score is never NaN, so
-    # NaN marks the flag side after the union)
-    cols = ["id_a", "id_b", "has_old", "est_jaccard"]
-    flags_u = cand_ds.map_batches(
-        lambda b: b.assign(est_jaccard=np.nan)[cols],
-        batch_format="pandas")
-    scored_u = kept_pairs.map_batches(
-        lambda b: b.assign(has_old=False)[cols],
-        batch_format="pandas")
-
-    def attach_flag(g: pd.DataFrame) -> pd.DataFrame:
-        f = g[g["est_jaccard"].isna()][["id_a", "id_b", "has_old"]]
-        s = g[g["est_jaccard"].notna()][["id_a", "id_b", "est_jaccard"]]
-        return s.merge(f, on=["id_a", "id_b"],
-                       how="inner")[["id_a", "id_b", "has_old",
-                                     "est_jaccard"]]
-
-    pairs_out = bucketed_map_groups(scored_u.union(flags_u),
-                                    ["id_a", "id_b"],
-                                    attach_flag).materialize()
+    pairs_out = scored.map_batches(thresh,
+                                   batch_format="pandas").materialize()
 
     # drop policy: history wins, then min-id components among new-new
     hist_hits = pairs_out.map_batches(
-        lambda b: pd.DataFrame({id_col: np.unique(np.concatenate([
+        lambda b: pd.DataFrame({"doc_id": np.unique(np.concatenate([
             b.loc[b["has_old"], "id_a"].to_numpy(dtype=np.int64),
             b.loc[b["has_old"], "id_b"].to_numpy(dtype=np.int64)]))}),
         batch_format="pandas")
     # only NEW ids can be dropped by a has_old pair; old ids in those
     # pairs are filtered out by intersecting with the wave's own ids
     hist_dropped = _id_filter(
-        new_ds.map_batches(lambda b: b[[id_col]],
-                           batch_format="pandas",
-                           batch_size=batch_size),
-        hist_hits, id_col, batch_size=batch_size)
+        sig_ds.map_batches(lambda t: t.select(["doc_id"]),
+                           batch_format="pyarrow"),
+        hist_hits, "doc_id", batch_size=batch_size)
 
     nn_pairs = pairs_out.map_batches(
         lambda b: b.loc[~b["has_old"], ["id_a", "id_b"]],
         batch_format="pandas")
     comp = components_min_label(nn_pairs)
     nn_dropped = comp.loc[comp["node"] != comp["rep"], ["node"]].rename(
-        columns={"node": id_col})
+        columns={"node": "doc_id"})
 
     drop_ds = hist_dropped
     if not nn_dropped.empty:
         drop_ds = drop_ds.union(rd.from_pandas(nn_dropped))
     kept = _id_filter(
-        new_ds.map_batches(lambda b: b[[id_col]],
-                           batch_format="pandas",
-                           batch_size=batch_size),
-        drop_ds, id_col, anti=True, batch_size=batch_size)
+        sig_ds.map_batches(lambda t: t.select(["doc_id"]),
+                           batch_format="pyarrow"),
+        drop_ds, "doc_id", anti=True, batch_size=batch_size)
+    if id_col != "doc_id":
+        kept = kept.map_batches(
+            lambda t: t.rename_columns([id_col]), batch_format="pyarrow")
 
     if append_index:
         write_wave_index(new_ds, index_dir, wave=wave, num_perm=num_perm,
                          bands=bands, shingle=shingle, text_col=text_col,
-                         id_col=id_col, batch_size=batch_size)
+                         id_col=id_col, batch_size=batch_size,
+                         sig_ds=sig_ds)
     return {"kept": kept, "pairs": pairs_out}
