@@ -169,6 +169,40 @@ def q3_shipping_topk(sf_dir: str) -> pd.DataFrame:
                 10).reset_index(drop=True)
 
 
+def customer_orders_full_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER hash join of two derived large sides: the
+    BUILDING-segment customer dim against per-customer high-value
+    order aggregates. Both sides have unmatched rows (BUILDING
+    customers with no qualifying order; non-BUILDING customers with
+    qualifying orders) — exercised co-partitioned, never broadcast.
+    Unmatched numerics are COALESCEd to 0 in BOTH engines so the
+    value-hash compares deterministically (no NaN-vs-NULL skew)."""
+    from .relational import grouped_agg_ds, hash_join
+    cust = read_table(sf_dir, "customer",
+                      ["c_custkey", "c_mktsegment", "c_acctbal"])
+    bldg = cust.map_batches(
+        lambda b: b.loc[b["c_mktsegment"] == "BUILDING",
+                        ["c_custkey", "c_acctbal"]],
+        batch_format="pandas")
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        big = b[b["o_totalprice"] > 200_000.0]
+        return pd.DataFrame({"c_custkey": big["o_custkey"].values,
+                             "price_c": _cents(big["o_totalprice"])})
+
+    agg = grouped_agg_ds(orders.map_batches(prep, batch_format="pandas"),
+                         ["c_custkey"], {"n_orders": ("count", None),
+                                         "spend_c": ("sum", "price_c")})
+    out = hash_join(bldg, agg, on="c_custkey", how="outer").to_pandas()
+    return (pd.DataFrame({
+        "custkey": out["c_custkey"].to_numpy(dtype=np.int64),
+        "acctbal": out["c_acctbal"].fillna(0.0),
+        "n_orders": out["n_orders"].fillna(0).astype("int64"),
+        "total_spend": _d(out["spend_c"].fillna(0)) / 100.0,
+    }).sort_values("custkey").reset_index(drop=True))
+
+
 def customer_nation_stats(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
@@ -1377,6 +1411,7 @@ QUERIES = {
     "orders_priority_count": orders_priority_count,
     "top_customers_by_spend": top_customers_by_spend,
     "q3_shipping_topk": q3_shipping_topk,
+    "customer_orders_full_outer": customer_orders_full_outer,
     "customer_nation_stats": customer_nation_stats,
     "orders_customer_join_stats": orders_customer_join_stats,
     "events_type_stats": events_type_stats,
@@ -1519,6 +1554,22 @@ ORACLES = {
           AND l_shipdate  > TIMESTAMP '1998-03-15'
         GROUP BY l_orderkey, o_orderdate
         ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "customer_orders_full_outer": """
+        SELECT COALESCE(c.c_custkey, o.c_custkey) AS custkey,
+               COALESCE(c.c_acctbal, 0.0) AS acctbal,
+               COALESCE(o.n_orders, 0) AS n_orders,
+               COALESCE(o.total_spend, 0.0) AS total_spend
+        FROM (SELECT c_custkey, c_acctbal FROM customer
+              WHERE c_mktsegment = 'BUILDING') c
+        FULL OUTER JOIN
+             (SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0 AS total_spend
+              FROM orders WHERE o_totalprice > 200000.0
+              GROUP BY o_custkey) o
+        ON c.c_custkey = o.c_custkey
+        ORDER BY custkey
     """,
     "customer_nation_stats": """
         SELECT n_name, COUNT(*) AS n_customers,

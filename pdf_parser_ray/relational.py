@@ -320,12 +320,16 @@ def hash_join(left, right, on: str, how: str = "inner",
     hot keys by raising n_buckets.
 
     NULL join keys follow SQL semantics: they never match. Null-key
-    rows are dropped from the probe/build sides up front (inner join);
-    for how='left' the left side's null-key rows are retained and emit
-    unmatched output rows.
+    rows are dropped up front from any side that is not preserved by
+    the join type; a preserved side ('left' under how='left'/'outer',
+    'right' under how='right'/'outer') keeps them and emits unmatched
+    output rows.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"hash_join supports inner/left, got {how!r}")
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError(
+            f"hash_join supports inner/left/right/outer, got {how!r}")
+    keep_null = {"inner": (), "left": ("l",),
+                 "right": ("r",), "outer": ("l", "r")}[how]
 
     l_schema, r_schema = left.schema(), right.schema()
     l_names = [n for n in l_schema.names]
@@ -342,8 +346,15 @@ def hash_join(left, right, on: str, how: str = "inner",
     def prep(side_names, side_tag):
         def fn(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
-            if side_tag == "r" or how == "inner":
-                t = t.filter(pc.is_valid(t.column(on)))  # SQL: NULL never matches
+            if side_tag not in keep_null:
+                # SQL: NULL never matches. Float NaN counts as NULL —
+                # an int64-null key becomes NaN through pandas anyway,
+                # and DuckDB's pandas ingestion makes the same call
+                col = t.column(on)
+                mask = pc.is_valid(col)
+                if pa.types.is_floating(col.type):
+                    mask = pc.and_(mask, pc.invert(pc.is_nan(col)))
+                t = t.filter(mask)
             n = t.num_rows
             key_s = t.column(on).to_pandas()
             bucket = pa.array(stable_bucket_series(key_s, n_buckets))
@@ -371,13 +382,28 @@ def hash_join(left, right, on: str, how: str = "inner",
         # split sides on the ARROW table and convert each to pandas
         # separately: converting the whole null-filled bucket would
         # float-coerce the other side's int columns (silent corruption
-        # above 2^53). Left-join unmatched right columns still become
+        # above 2^53). Outer-join unmatched columns still become
         # NaN/float — that is SQL nullability, not corruption.
         import pyarrow.compute as pc
         side = t.column("__side")
         l = t.filter(pc.equal(side, "l")).select(l_names).to_pandas()
         r = t.filter(pc.equal(side, "r")).select([on] + r_only).to_pandas()
-        return l.merge(r, on=on, how=how)
+        if how != "outer":
+            # at most one side still holds null keys, and the other
+            # side has none, so pandas' NaN-matches-NaN merge quirk
+            # cannot fire: null-key rows come out unmatched
+            return l.merge(r, on=on, how=how)
+        # outer: BOTH sides may hold null keys and pandas would match
+        # NaN to NaN — merge the non-null parts, append null-key rows
+        # of each side as unmatched (reindex null-fills the other side)
+        l_null, r_null = l[l[on].isna()], r[r[on].isna()]
+        m = l[l[on].notna()].merge(r[r[on].notna()], on=on, how="outer")
+        parts = [m]
+        if len(l_null):
+            parts.append(l_null.reindex(columns=m.columns))
+        if len(r_null):
+            parts.append(r_null.reindex(columns=m.columns))
+        return pd.concat(parts, ignore_index=True) if len(parts) > 1 else m
 
     return both.groupby("bucket").map_groups(join_bucket,
                                              batch_format="pyarrow")

@@ -372,3 +372,34 @@ def test_broadcast_guards_trip_loudly(ray_session, monkeypatch):
         rel.broadcast_join(ds, small, on="k")
     with pytest.raises(ValueError, match="Bloom"):
         rel.semi_join(ds, range(1000), on="k")
+
+
+def test_hash_join_right_outer_match_duckdb(ray_session):
+    """right/full-outer hash_join vs DuckDB on frames with NULL keys
+    on both sides: NULL (and NaN — DuckDB's pandas ingestion reads it
+    as NULL) keys never match but are preserved by their side."""
+    import duckdb
+    import ray.data as rd
+    from pdf_parser_ray.relational import hash_join
+    rng = np.random.RandomState(42)
+    lk = rng.randint(0, 12, size=60).astype(np.float64)
+    lk[rng.rand(60) < 0.15] = np.nan
+    rk = rng.randint(5, 18, size=40).astype(np.float64)
+    rk[rng.rand(40) < 0.15] = np.nan
+    left = pd.DataFrame({"k": lk, "lv": np.arange(60)})
+    right = pd.DataFrame({"k": rk, "rv": np.arange(40) * 10})
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for how, sql_kind in (("right", "RIGHT"), ("outer", "FULL OUTER")):
+        got = (hash_join(rd.from_pandas(left).repartition(4),
+                         rd.from_pandas(right).repartition(3),
+                         on="k", how=how, n_buckets=8)
+               .to_pandas())
+        want = con.sql(
+            f"SELECT COALESCE(l.k, r.k) AS k, lv, rv FROM l "
+            f"{sql_kind} JOIN r ON l.k = r.k").df()
+        key = ["k", "lv", "rv"]
+        got = got[key].sort_values(key).reset_index(drop=True)
+        want = want[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
