@@ -1057,6 +1057,47 @@ def docs_incremental_dedup(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": "int64"}))
 
 
+def docs_cap_per_source(sf_dir: str) -> pd.DataFrame:
+    """Per-key document cap (crawl curation: keep at most K docs per
+    source domain, preferring longer docs, ties to the smaller id).
+    The per-batch partial already enforces the cap, so at most K rows
+    per (source, input block) enter the shuffle — the grouped-top-k
+    combiner pattern; one bucketed final applies the identical rank.
+    SQL oracle: ROW_NUMBER() window."""
+    from .relational import bucketed_map_groups
+    K = 3
+    ds = read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "n_chars", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.groupby("source", sort=False, observed=True).head(K)
+
+    partial = ds.map_batches(topn, batch_format="pandas")
+    out = bucketed_map_groups(partial, ["source"], topn).to_pandas()
+    return (out[["doc_id", "source", "n_chars"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def docs_strip_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """Cross-document duplicate-SPAN removal (Lee et al. 2022 style):
+    every verbatim 8-token window shared by >= 2 documents is stripped
+    from all but one globally-elected winner occurrence; unique
+    surrounding text survives. Fully distributed — window rows shuffle
+    by hash, cuts shuffle by doc — see stages/spans.py. No SQL oracle
+    (token-window semantics aren't SQL-expressible); the pytest scalar
+    oracle in tests/test_spans.py pins exact semantics."""
+    from .stages.spans import strip_duplicate_spans
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = strip_duplicate_spans(ds, n=8).to_pandas()
+    out["clean_len"] = out["clean_text"].str.len().astype("int64")
+    return (out[["doc_id", "n_spans", "chars_removed", "clean_len"]]
+            .astype({"doc_id": "int64", "n_spans": "int64",
+                     "chars_removed": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def docs_quality_scores(sf_dir: str) -> pd.DataFrame:
     from .stages.text_analysis import quality_batch
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -1448,6 +1489,8 @@ QUERIES = {
     "docs_token_counts": docs_token_counts,
     "docs_pack_sequences": docs_pack_sequences,
     "docs_incremental_dedup": docs_incremental_dedup,
+    "docs_cap_per_source": docs_cap_per_source,
+    "docs_strip_dup_spans": docs_strip_dup_spans,
     "docs_quality_scores": docs_quality_scores,
     "docs_top_tokens": docs_top_tokens,
     "docs_lang_counts": docs_lang_counts,
@@ -1895,6 +1938,14 @@ ORACLES = {
                CAST(cum // 512 AS BIGINT) AS seq_id,
                CAST(cum % 512 AS BIGINT) AS seq_offset
         FROM c ORDER BY doc_id
+    """,
+    "docs_cap_per_source": """
+        SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents) WHERE rn <= 3
+        ORDER BY doc_id
     """,
     "docs_quality_scores": """
         SELECT doc_id,

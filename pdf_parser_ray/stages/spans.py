@@ -1,0 +1,185 @@
+"""Cross-document duplicate-SPAN removal (exact substring dedup).
+
+The operator the big LLM corpora run besides whole-doc dedup
+(Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+Better"): find text spans that occur verbatim in more than one
+document and strip every occurrence except one elected winner, while
+keeping the surrounding unique text. The reference engine has no such
+operator; this is the training-pipeline extension suite.
+
+Distributed shape (token-window granularity, not a suffix array —
+windows shard perfectly by hash, a suffix array does not):
+
+1. map_batches: tokenize each doc (``\\S+`` with char offsets), hash
+   every n-token window to one uint64 (vectorized polynomial over
+   31-bit token hashes; uint64 wraparound is the hash), emit
+   (win_hash, doc_id, start_char, end_char) rows. Row count ==
+   token count — the same expansion every shuffle-based substring
+   dedup pays, and these rows are 4 ints, not text.
+2. bucketed shuffle on win_hash: a window hash seen in >= 2 DISTINCT
+   docs is a duplicate; every occurrence except the lexicographically
+   first (doc_id, start_char) — the elected winner — is marked for
+   removal. Fully vectorized segment logic, no per-group loop.
+3. bucketed shuffle on doc_id: merge each doc's marked windows into
+   maximal char intervals (numpy cummax interval merge) and cut them
+   out of the text. Docs with no marked window pass through untouched.
+
+Self-duplication inside ONE doc is deliberately not marked (that is
+repetition_ratio's job); only cross-doc duplication is stripped.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+import numpy as np
+import pandas as pd
+
+from .dedup import _stable_u64
+
+_TOKEN_RE = re.compile(r"\S+")
+_POLY = np.uint64(1099511628211)          # FNV prime as the mix base
+
+
+def _window_rows(batch: pd.DataFrame, *, n: int, text_col: str,
+                 id_col: str) -> pd.DataFrame:
+    """One row per n-token window: (win_hash, doc_id, start, end)."""
+    hashes: List[np.ndarray] = []
+    ids: List[np.ndarray] = []
+    starts: List[np.ndarray] = []
+    ends: List[np.ndarray] = []
+    powers = None
+    for doc_id, text in zip(batch[id_col].to_numpy(),
+                            batch[text_col].to_numpy()):
+        toks = [(m.start(), m.end(), m.group())
+                for m in _TOKEN_RE.finditer(text or "")]
+        if len(toks) < n:
+            continue
+        th = np.fromiter(
+            (_stable_u64(t[2]) & ((1 << 31) - 1) for t in toks),
+            np.uint64, count=len(toks))
+        if powers is None:
+            powers = _POLY ** np.arange(n, dtype=np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(th, n)
+        wh = (win * powers).sum(axis=1, dtype=np.uint64)
+        s = np.fromiter((t[0] for t in toks), np.int64, count=len(toks))
+        e = np.fromiter((t[1] for t in toks), np.int64, count=len(toks))
+        hashes.append(wh.view(np.int64))
+        ids.append(np.full(len(wh), doc_id, dtype=np.int64))
+        starts.append(s[:len(wh)])
+        ends.append(e[n - 1:])
+    if not hashes:
+        return pd.DataFrame({
+            "win_hash": pd.Series([], dtype="int64"),
+            "doc_id": pd.Series([], dtype="int64"),
+            "start": pd.Series([], dtype="int64"),
+            "end": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"win_hash": np.concatenate(hashes),
+                         "doc_id": np.concatenate(ids),
+                         "start": np.concatenate(starts),
+                         "end": np.concatenate(ends)})
+
+
+def _marked_windows(df: pd.DataFrame) -> pd.DataFrame:
+    """Within one win_hash bucket: occurrences of any hash shared by
+    >= 2 distinct docs, minus the elected winner (first (doc_id,
+    start) of each hash). Vectorized over the whole bucket."""
+    if not len(df):
+        return df[["doc_id", "start", "end"]]
+    df = df.sort_values(["win_hash", "doc_id", "start"],
+                        kind="mergesort")
+    h = df["win_hash"].to_numpy()
+    d = df["doc_id"].to_numpy()
+    new_h = np.ones(len(h), dtype=bool)
+    new_h[1:] = h[1:] != h[:-1]
+    new_hd = new_h.copy()
+    new_hd[1:] |= d[1:] != d[:-1]
+    seg = np.cumsum(new_h) - 1                 # hash-segment id
+    ndocs = np.bincount(seg[new_hd])           # distinct docs per hash
+    marked = (ndocs[seg] >= 2) & ~new_h        # all but the winner row
+    return df.loc[marked, ["doc_id", "start", "end"]]
+
+
+def _cut_spans(g: pd.DataFrame, *, text_col: str, id_col: str,
+               out_col: str) -> pd.DataFrame:
+    """Within one doc_id bucket: merge marked windows per doc into
+    maximal intervals and cut them from the text. Rows with a null
+    start are the text side of the cogroup union."""
+    texts = g[g["start"].isna()]
+    marks = g[g["start"].notna()]
+    by_doc = {}
+    for doc_id, mg in marks.groupby(id_col, sort=False):
+        s = mg["start"].to_numpy(dtype=np.int64)
+        e = mg["end"].to_numpy(dtype=np.int64)
+        order = np.argsort(s, kind="stable")
+        s, e = s[order], np.maximum.accumulate(e[order])
+        new_iv = np.ones(len(s), dtype=bool)
+        new_iv[1:] = s[1:] > e[:-1]            # gap => new interval
+        iv = np.cumsum(new_iv) - 1
+        ms = s[new_iv]
+        me = np.maximum.reduceat(e, np.flatnonzero(new_iv))
+        by_doc[doc_id] = (ms, me, int(iv[-1] + 1))
+    out_rows = []
+    for row in texts.itertuples(index=False):
+        doc_id = getattr(row, id_col)
+        text = getattr(row, text_col)
+        if doc_id not in by_doc:
+            out_rows.append((doc_id, text, 0, 0))
+            continue
+        ms, me, n_spans = by_doc[doc_id]
+        pieces, pos = [], 0
+        for a, b in zip(ms, me):
+            pieces.append(text[pos:a])
+            pos = b
+        pieces.append(text[pos:])
+        cleaned = "".join(pieces)
+        out_rows.append((doc_id, cleaned, n_spans,
+                         len(text) - len(cleaned)))
+    return pd.DataFrame(out_rows, columns=[id_col, out_col, "n_spans",
+                                           "chars_removed"])
+
+
+def strip_duplicate_spans(ds, *, n: int = 8, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          out_col: str = "clean_text",
+                          batch_size: int = 1024):
+    """Remove every cross-document duplicate n-token span except one
+    elected winner occurrence. Returns a DATASET of (id_col, out_col,
+    n_spans, chars_removed) — one row per input doc; nothing
+    proportional to the corpus ever sits on the driver.
+
+    The winner election is global and deterministic (min (doc_id,
+    start) per window hash), so output is independent of input
+    partitioning.
+    """
+    from ..relational import bucketed_map_groups
+
+    wins = ds.map_batches(
+        lambda b: _window_rows(b, n=n, text_col=text_col, id_col=id_col),
+        batch_format="pandas", batch_size=batch_size)
+    marked = bucketed_map_groups(wins, ["win_hash"], _marked_windows)
+
+    # cogroup texts with their marked windows by doc_id: tag the text
+    # side with null start/end (a real window always has both)
+    def tag_text(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(dtype=np.int64),
+            text_col: b[text_col],
+            "start": np.full(len(b), np.nan),
+            "end": np.full(len(b), np.nan)})
+
+    def tag_marks(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(dtype=np.int64),
+            text_col: pd.Series([None] * len(b), dtype=object),
+            "start": b["start"].to_numpy(dtype=np.float64),
+            "end": b["end"].to_numpy(dtype=np.float64)})
+
+    both = (ds.map_batches(tag_text, batch_format="pandas",
+                           batch_size=batch_size)
+            .union(marked.map_batches(tag_marks, batch_format="pandas")))
+    return bucketed_map_groups(
+        both, [id_col],
+        lambda g: _cut_spans(g, text_col=text_col, id_col=id_col,
+                             out_col=out_col))

@@ -283,11 +283,25 @@ def test_asof_join_nulls_and_big_ids(ray_session):
 
 
 def test_components_min_label_raises_on_non_convergence(ray_session):
+    """The guard lives on the DISTRIBUTED path; a small edge list is
+    adaptively union-found on the driver (one pass, always converges),
+    so force distribution by zeroing the broadcast budget."""
+    import ray.data as rd
+
+    from pdf_parser_ray.stages import dedup
     from pdf_parser_ray.stages.dedup import components_min_label
     chain = pd.DataFrame({"id_a": np.arange(0, 6, dtype=np.int64),
                           "id_b": np.arange(1, 7, dtype=np.int64)})
-    with pytest.raises(RuntimeError, match="did not converge"):
-        components_min_label(chain, max_iter=2)
+    # pandas input takes the driver path and must converge regardless
+    out = components_min_label(chain, max_iter=2)
+    assert (out["rep"] == 0).all()
+    old = dedup._BROADCAST_VERIFY_BYTES
+    try:
+        dedup._BROADCAST_VERIFY_BYTES = 0
+        with pytest.raises(RuntimeError, match="did not converge"):
+            components_min_label(rd.from_pandas(chain), max_iter=2)
+    finally:
+        dedup._BROADCAST_VERIFY_BYTES = old
 
 
 def test_asof_join_vector_payload(ray_session):
