@@ -114,7 +114,9 @@ def run_queries() -> dict:
                 "events_asof_join", "docs_training_mix",
                 "embeddings_kmeans", "docs_chunk_dedup",
                 "events_weighted_sample", "docs_pack_sequences",
-                "docs_incremental_dedup"]
+                "docs_incremental_dedup", "docs_cap_per_source",
+                "docs_strip_dup_spans", "docs_decontaminate",
+                "docs_tfidf_topk", "docs_shuffle_order"]
     out = {}
     for name in headline:
         t0 = time.perf_counter()

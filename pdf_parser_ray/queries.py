@@ -1098,6 +1098,101 @@ def docs_strip_dup_spans(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: docs with doc_id % 50 == 0 play the
+    eval/benchmark corpus; every remaining training doc is scored by
+    how many of its verbatim 8-token windows appear anywhere in the
+    benchmark set (GPT-3-appendix-C-style n-gram hygiene). Benchmark
+    windows broadcast once as a sorted hash array; zero shuffles on
+    the training side. DuckDB oracle builds the same windows via
+    regexp_extract_all + list slicing."""
+    from .stages.spans import contamination_counts
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    bench = ds.map_batches(lambda b: b[b["doc_id"] % 50 == 0],
+                           batch_format="pandas")
+    train = ds.map_batches(lambda b: b[b["doc_id"] % 50 != 0],
+                           batch_format="pandas")
+    out = contamination_counts(train, bench, n=8).to_pandas()
+    out["contaminated"] = (out["n_overlap"] > 0).astype("int64")
+    return (out.astype({"doc_id": "int64", "n_overlap": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def docs_tfidf_topk(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-3 TF-IDF terms (corpus-relative salience —
+    the classic quality/topic feature). Composition: per-batch exact
+    tf rows (each doc lives in one row), distributed df via
+    grouped_agg_ds over the token vocabulary, partitioned hash_join
+    tf x df (vocab is NOT assumed driver-small), then the grouped-
+    top-k combiner pattern per doc. ln via numpy == DuckDB ln."""
+    from .relational import bucketed_map_groups, grouped_agg_ds, hash_join
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.findall(r"\S+")
+        ids = np.repeat(b["doc_id"].to_numpy(dtype=np.int64),
+                        toks.str.len().to_numpy(dtype=np.int64))
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks.to_numpy()]) \
+            if len(b) else np.array([], dtype=object)
+        d = pd.DataFrame({"doc_id": ids, "token": flat})
+        return (d.groupby(["doc_id", "token"], sort=False)
+                .size().reset_index(name="tf"))
+
+    tf = ds.map_batches(tf_rows, batch_format="pandas")
+    df = grouped_agg_ds(tf, ["token"], {"df": ("count", None)})
+    joined = hash_join(tf, df, on="token")
+
+    K = 3
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy(deep=False)
+        g["score"] = (g["tf"].to_numpy(dtype=np.float64)
+                      * np.log(float(n_docs)
+                               / g["df"].to_numpy(dtype=np.float64)))
+        g = g.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        return g.groupby("doc_id", sort=False).head(K)
+
+    partial = joined.map_batches(topk, batch_format="pandas")
+    out = bucketed_map_groups(partial, ["doc_id"], topk).to_pandas()
+    return (out[["doc_id", "token", "tf", "df", "score"]]
+            .astype({"doc_id": "int64", "tf": "int64", "df": "int64"})
+            .sort_values(["doc_id", "token"]).reset_index(drop=True))
+
+
+def docs_shuffle_order(sf_dir: str) -> pd.DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    dense position 0..N-1 in multiplicative-hash order — the epoch
+    shuffle a trainer replays identically on any cluster shape. No
+    global sort: ordered_exclusive_cumsum range-partitions on the
+    (unique) hash-derived key, so the only driver state is one prefix
+    scalar per range. uint64 hash mirrored in HUGEINT SQL."""
+    from .relational import ordered_exclusive_cumsum
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+        b = b.copy(deep=False)
+        # (h, doc_id) packed into one unique int64 key: h < 2^32,
+        # doc_id < 2^31 keeps the pack collision-free and in range
+        b["__key"] = (h.astype(np.int64) << np.int64(31)) + ids
+        b["__one"] = np.int64(1)
+        return b
+
+    out = (ordered_exclusive_cumsum(ds.map_batches(
+        keyed, batch_format="pandas"),
+        order_col="__key", value_col="__one", out_col="shuffle_pos")
+        .to_pandas())
+    return (out[["doc_id", "shuffle_pos"]]
+            .astype({"doc_id": "int64", "shuffle_pos": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def docs_quality_scores(sf_dir: str) -> pd.DataFrame:
     from .stages.text_analysis import quality_batch
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -1491,6 +1586,9 @@ QUERIES = {
     "docs_incremental_dedup": docs_incremental_dedup,
     "docs_cap_per_source": docs_cap_per_source,
     "docs_strip_dup_spans": docs_strip_dup_spans,
+    "docs_decontaminate": docs_decontaminate,
+    "docs_tfidf_topk": docs_tfidf_topk,
+    "docs_shuffle_order": docs_shuffle_order,
     "docs_quality_scores": docs_quality_scores,
     "docs_top_tokens": docs_top_tokens,
     "docs_lang_counts": docs_lang_counts,
@@ -1946,6 +2044,55 @@ ORACLES = {
                                       ORDER BY n_chars DESC, doc_id) AS rn
             FROM documents) WHERE rn <= 3
         ORDER BY doc_id
+    """,
+    "docs_decontaminate": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+          FROM documents),
+        wins AS (
+          SELECT doc_id, array_to_string(t[u.i:u.i+7], ' ') AS win
+          FROM toks,
+               unnest(generate_series(1, greatest(len(t) - 7, 0)))
+                 AS u(i)),
+        bench AS (SELECT DISTINCT win FROM wins WHERE doc_id % 50 = 0),
+        train AS (SELECT doc_id, win FROM wins WHERE doc_id % 50 <> 0),
+        hits AS (
+          SELECT tr.doc_id, COUNT(b.win) AS hit
+          FROM train tr LEFT JOIN bench b USING (win)
+          GROUP BY tr.doc_id)
+        SELECT d.doc_id, COALESCE(h.hit, 0) AS n_overlap,
+               CAST(CASE WHEN COALESCE(h.hit, 0) > 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id
+    """,
+    "docs_tfidf_topk": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+               FROM toks GROUP BY doc_id, token),
+        df AS (SELECT token, COUNT(*) AS df
+               FROM tf GROUP BY token),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                 tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+          FROM tf JOIN df USING (token) CROSS JOIN n),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY score DESC, token) AS rn
+          FROM scored)
+        SELECT doc_id, token, tf, df, score FROM ranked
+        WHERE rn <= 3 ORDER BY doc_id, token
+    """,
+    "docs_shuffle_order": """
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY
+                 ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296)
+                   * 2147483648 + doc_id) - 1 AS shuffle_pos
+        FROM documents ORDER BY doc_id
     """,
     "docs_quality_scores": """
         SELECT doc_id,

@@ -309,6 +309,51 @@ def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner",
                           fn_constructor_args=(ref, on, how))
 
 
+class _EquiJoiner:
+    """Map-side equi-join against a broadcast non-preserved side:
+    fetched once per actor in __init__ (a pandas frame re-unpickles on
+    every ray.get, so actor-pool amortization matters here), null keys
+    dropped there (SQL: NULL never matches; the probe side's own null
+    keys then stay unmatched), int keys restored if null-dropping left
+    them float."""
+
+    def __init__(self, ref, on, how, all_names, probe_is_left,
+                 probe_key_is_int):
+        import ray
+        s = ray.get(ref)
+        s = s[s[on].notna()]
+        if probe_key_is_int and pd.api.types.is_float_dtype(s[on]):
+            s = s.copy()
+            s[on] = s[on].astype("int64")
+        self.small = s
+        self.on, self.how = on, how
+        self.all_names = all_names
+        self.probe_is_left = probe_is_left
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.probe_is_left:
+            out = batch.merge(self.small, on=self.on, how=self.how)
+        else:
+            # probe is the right table; the broadcast side is left
+            out = self.small.merge(
+                batch, on=self.on,
+                how="right" if self.how == "right" else "inner")
+        return out.reindex(columns=self.all_names)
+
+
+def _broadcast_equi_join(probe, ref, *, on, how, probe_is_left,
+                         all_names, probe_key_is_int,
+                         batch_size: int = 65536):
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    return probe.map_batches(
+        _EquiJoiner, batch_format="pandas", batch_size=batch_size,
+        concurrency=(1, max(1, cpus - 2)),
+        fn_constructor_args=(ref, on, how, all_names, probe_is_left,
+                             probe_key_is_int))
+
+
 def hash_join(left, right, on: str, how: str = "inner",
               n_buckets: int = 32) -> "ray.data.Dataset":
     """Partitioned hash join for two LARGE sides.
@@ -338,10 +383,34 @@ def hash_join(left, right, on: str, how: str = "inner",
     if overlap:
         raise ValueError(f"column overlap besides key: {overlap}")
 
+    # adaptive strategy (same rule as asof/interval joins): a side
+    # that is NOT row-preserved by the join type and fits the
+    # broadcast budget ships once to the object store and the join
+    # runs map-side over the other side — zero shuffles, the
+    # dimension-table case. A preserved side can never broadcast (its
+    # unmatched rows need global knowledge); 'outer' preserves both.
+    r_only = [n for n in r_names if n != on]
+    all_names = l_names + r_only
+    if how in ("inner", "left"):
+        ref, right = _maybe_broadcast_right(right)
+        if ref is not None:
+            key_t = l_schema.types[l_names.index(on)]
+            return _broadcast_equi_join(
+                left, ref, on=on, how=how, probe_is_left=True,
+                all_names=all_names,
+                probe_key_is_int=pa.types.is_integer(_as_arrow(key_t)))
+    if how in ("inner", "right"):
+        ref, left = _maybe_broadcast_right(left)
+        if ref is not None:
+            key_t = r_schema.types[r_names.index(on)]
+            return _broadcast_equi_join(
+                right, ref, on=on, how=how, probe_is_left=False,
+                all_names=all_names,
+                probe_key_is_int=pa.types.is_integer(_as_arrow(key_t)))
+
     types = {n: _as_arrow(t) for n, t in zip(l_schema.names, l_schema.types)}
     types.update((n, _as_arrow(t))
                  for n, t in zip(r_schema.names, r_schema.types))
-    all_names = l_names + [n for n in r_names if n != on]
 
     def prep(side_names, side_tag):
         def fn(t: pa.Table) -> pa.Table:
@@ -375,8 +444,6 @@ def hash_join(left, right, on: str, how: str = "inner",
     # coalesce before the shuffle: the sort-based groupby pays a fixed
     # cost per input block, so don't feed it cpus x 2 splinter blocks
     both = lp.union(rp).repartition(n_buckets)
-
-    r_only = [n for n in r_names if n != on]
 
     def join_bucket(t: pa.Table) -> pd.DataFrame:
         # split sides on the ARROW table and convert each to pandas

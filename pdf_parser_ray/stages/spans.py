@@ -42,6 +42,28 @@ _TOKEN_RE = re.compile(r"\S+")
 _POLY = np.uint64(1099511628211)          # FNV prime as the mix base
 
 
+def _doc_windows(text: str, n: int, powers: np.ndarray):
+    """All n-token window hashes of one doc with char extents, or None
+    if the doc has fewer than n tokens. Shared by span dedup and
+    decontamination so both agree on window identity."""
+    toks = [(m.start(), m.end(), m.group())
+            for m in _TOKEN_RE.finditer(text or "")]
+    if len(toks) < n:
+        return None
+    th = np.fromiter(
+        (_stable_u64(t[2]) & ((1 << 31) - 1) for t in toks),
+        np.uint64, count=len(toks))
+    win = np.lib.stride_tricks.sliding_window_view(th, n)
+    wh = (win * powers).sum(axis=1, dtype=np.uint64)
+    s = np.fromiter((t[0] for t in toks), np.int64, count=len(toks))
+    e = np.fromiter((t[1] for t in toks), np.int64, count=len(toks))
+    return wh, s[:len(wh)], e[n - 1:]
+
+
+def _powers(n: int) -> np.ndarray:
+    return _POLY ** np.arange(n, dtype=np.uint64)
+
+
 def _window_rows(batch: pd.DataFrame, *, n: int, text_col: str,
                  id_col: str) -> pd.DataFrame:
     """One row per n-token window: (win_hash, doc_id, start, end)."""
@@ -49,26 +71,17 @@ def _window_rows(batch: pd.DataFrame, *, n: int, text_col: str,
     ids: List[np.ndarray] = []
     starts: List[np.ndarray] = []
     ends: List[np.ndarray] = []
-    powers = None
+    powers = _powers(n)
     for doc_id, text in zip(batch[id_col].to_numpy(),
                             batch[text_col].to_numpy()):
-        toks = [(m.start(), m.end(), m.group())
-                for m in _TOKEN_RE.finditer(text or "")]
-        if len(toks) < n:
+        w = _doc_windows(text, n, powers)
+        if w is None:
             continue
-        th = np.fromiter(
-            (_stable_u64(t[2]) & ((1 << 31) - 1) for t in toks),
-            np.uint64, count=len(toks))
-        if powers is None:
-            powers = _POLY ** np.arange(n, dtype=np.uint64)
-        win = np.lib.stride_tricks.sliding_window_view(th, n)
-        wh = (win * powers).sum(axis=1, dtype=np.uint64)
-        s = np.fromiter((t[0] for t in toks), np.int64, count=len(toks))
-        e = np.fromiter((t[1] for t in toks), np.int64, count=len(toks))
+        wh, s, e = w
         hashes.append(wh.view(np.int64))
         ids.append(np.full(len(wh), doc_id, dtype=np.int64))
-        starts.append(s[:len(wh)])
-        ends.append(e[n - 1:])
+        starts.append(s)
+        ends.append(e)
     if not hashes:
         return pd.DataFrame({
             "win_hash": pd.Series([], dtype="int64"),
@@ -183,3 +196,59 @@ def strip_duplicate_spans(ds, *, n: int = 8, text_col: str = "text",
         both, [id_col],
         lambda g: _cut_spans(g, text_col=text_col, id_col=id_col,
                              out_col=out_col))
+
+
+def contamination_counts(train_ds, bench_ds, *, n: int = 8,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         batch_size: int = 1024):
+    """Benchmark decontamination (the GPT-3/Llama-style pre-training
+    hygiene pass): for every training doc, count how many of its
+    n-token window OCCURRENCES appear verbatim anywhere in the
+    benchmark/eval corpus. Returns a Dataset of (id_col, n_overlap) —
+    one row per training doc (0 for clean or shorter-than-n docs);
+    the caller thresholds to drop contaminated docs.
+
+    Scale shape: eval benchmarks are MBs against a 100-TB crawl, so
+    the benchmark windows are the canonical broadcast small side — the
+    DISTINCT window-hash set is collected once (byte-guarded), sorted,
+    `ray.put` as one uint64 array, and every train task membership-
+    tests its windows via np.searchsorted. ONE distributed aggregation
+    on the small side, zero shuffles on the big side.
+    """
+    import ray
+
+    from ..relational import distinct_ds, guard_broadcast_bytes
+
+    bench_wins = bench_ds.map_batches(
+        lambda b: _window_rows(b, n=n, text_col=text_col, id_col=id_col)
+        [["win_hash"]],
+        batch_format="pandas", batch_size=batch_size)
+    bdf = distinct_ds(bench_wins, ["win_hash"]).to_pandas()
+    # an empty Dataset loses its columns through to_pandas()
+    bench_hashes = (bdf["win_hash"].to_numpy(dtype=np.int64)
+                    .view(np.uint64) if "win_hash" in bdf.columns
+                    else np.array([], dtype=np.uint64))
+    bench_hashes = np.sort(bench_hashes)
+    guard_broadcast_bytes(
+        bench_hashes.nbytes, "benchmark window-hash set",
+        "shard the benchmark set and run contamination_counts per "
+        "shard, summing n_overlap — or raise n to shrink the set")
+    ref = ray.put(bench_hashes)
+
+    def count_overlap(batch: pd.DataFrame) -> pd.DataFrame:
+        bh = ray.get(ref)          # zero-copy shared-memory numpy
+        powers = _powers(n)
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        counts = np.zeros(len(batch), dtype=np.int64)
+        for i, text in enumerate(batch[text_col].to_numpy()):
+            w = _doc_windows(text, n, powers)
+            if w is None:
+                continue
+            wh = w[0]
+            pos = np.searchsorted(bh, wh)
+            pos[pos == len(bh)] = 0
+            counts[i] = int((bh[pos] == wh).sum()) if len(bh) else 0
+        return pd.DataFrame({id_col: ids, "n_overlap": counts})
+
+    return train_ds.map_batches(count_overlap, batch_format="pandas",
+                                batch_size=batch_size)

@@ -135,3 +135,33 @@ def test_partitioning_invariance(ray_session):
     a = _run(docs, 5, batch_size=4)
     b = _run(list(reversed(docs)), 5, batch_size=17)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_contamination_counts_scalar_oracle(ray_session):
+    from pdf_parser_ray.stages.spans import contamination_counts
+    boiler = " ".join(f"e{i}" for i in range(6))
+    bench = [(100, f"intro {boiler} outro words"),
+             (101, "another eval doc with its own unique phrasing")]
+    train = [(1, f"pre {boiler} post"),                 # 1 hit
+             (2, f"{boiler} again later {boiler}"),     # 2 occurrences
+             (3, "completely clean training document"),
+             (4, "tiny")]                               # < n tokens
+    bds = ray.data.from_pandas(
+        pd.DataFrame(bench, columns=["doc_id", "text"]))
+    tds = ray.data.from_pandas(
+        pd.DataFrame(train, columns=["doc_id", "text"]))
+    got = (contamination_counts(tds, bds, n=6).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [1, 2, 3, 4]
+    assert got["n_overlap"].tolist() == [1, 2, 0, 0]
+
+
+def test_contamination_counts_empty_bench(ray_session):
+    from pdf_parser_ray.stages.spans import contamination_counts
+    bds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                      "text": pd.Series([], dtype=object)}))
+    tds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1], "text": ["some training text here"]}))
+    got = contamination_counts(tds, bds, n=3).to_pandas()
+    assert got["n_overlap"].tolist() == [0]
