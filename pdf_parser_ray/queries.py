@@ -384,6 +384,81 @@ def events_top_per_user(sf_dir: str) -> pd.DataFrame:
             .sort_values(["user_id", "event_id"]).reset_index(drop=True))
 
 
+def events_value_delta(sf_dir: str) -> pd.DataFrame:
+    """Per-user LAG/LEAD window: previous-event value delta and
+    next-event gap in exact integer microseconds, ordered by
+    (ts, event_id) within user — one bucketed per-user shuffle, all
+    window arithmetic vectorized inside the group stage. First/last
+    rows use explicit sentinels (delta 0.0, gap -1) instead of NULLs
+    so the result is hash-comparable without NULL-semantics coupling.
+    """
+    from .relational import bucketed_map_groups
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False, observed=True)
+        prev_v = g["value"].shift(1)
+        next_ts = g["ts"].shift(-1)
+        delta = (df["value"] - prev_v).fillna(0.0)
+        td = (next_ts - df["ts"]).values.astype("timedelta64[us]")
+        gap = td.view("int64").copy()
+        gap[np.isnat(td)] = -1
+        return pd.DataFrame({
+            "event_id": df["event_id"].values,
+            "user_id": df["user_id"].values,
+            "ts": df["ts"].values,
+            "value": df["value"].values,
+            "value_delta": delta.values,
+            "next_gap_us": gap,
+        })
+
+    out = bucketed_map_groups(ds, ["user_id"], win).to_pandas()
+    return (out.sort_values(["user_id", "ts", "event_id"])
+            .reset_index(drop=True))
+
+
+def events_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Per-event trailing RANGE window (count + exact-cents sum of
+    value over [ts - 1 hour, ts] within user, peers-at-equal-ts
+    included — SQL RANGE-frame semantics, not ROWS): one bucketed
+    per-user shuffle; inside each bucket the frame bounds come from
+    two vectorized searchsorteds per user segment over the sorted
+    timestamp array and the sum from an int64-cents prefix cumsum —
+    no per-row loop, no quadratic window expansion."""
+    from .relational import bucketed_map_groups
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ONE_HOUR_US = 3_600_000_000
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = df["ts"].values.astype("datetime64[us]").view("int64")
+        cents = _cents(df["value"])
+        uid = df["user_id"].to_numpy()
+        seg = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg = np.r_[seg, len(uid)]
+        n_out = np.empty(len(uid), dtype=np.int64)
+        s_out = np.empty(len(uid), dtype=np.int64)
+        for a, b in zip(seg[:-1], seg[1:]):
+            t = ts_us[a:b]
+            lo = np.searchsorted(t, t - ONE_HOUR_US, side="left")
+            hi = np.searchsorted(t, t, side="right")  # peer-inclusive
+            csum = np.r_[0, np.cumsum(cents[a:b])]
+            n_out[a:b] = hi - lo
+            s_out[a:b] = csum[hi] - csum[lo]
+        return pd.DataFrame({
+            "event_id": df["event_id"].values,
+            "user_id": uid,
+            "ts": df["ts"].values,
+            "w_count": n_out,
+            "w_sum": s_out.astype("float64") / 100.0,
+        })
+
+    out = bucketed_map_groups(ds, ["user_id"], win).to_pandas()
+    return (out.sort_values(["user_id", "ts", "event_id"])
+            .reset_index(drop=True))
+
+
 def events_hourly_moving_avg(sf_dir: str) -> pd.DataFrame:
     """3-hour trailing moving average over the hourly count series:
     the heavy aggregation is distributed; the rolling window runs on
@@ -1200,6 +1275,33 @@ def docs_quality_scores(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_quality_gate(sf_dir: str) -> pd.DataFrame:
+    """Quality gate at a GLOBAL exact quantile threshold: keep the
+    documents whose alpha-ratio is at or above the corpus-wide exact
+    P75, the "top quality band" cut a training-data curation pipeline
+    makes before mixing. The threshold is an EXACT order statistic
+    computed distributed (relational.quantile_exact: sample-bracketed
+    selection, driver holds only a bounded sample + the final value
+    band — never the score column); the score projection is
+    materialized once (16 bytes/row) and reused by the quantile scans
+    and the final filter, so the regex scoring pass runs exactly once.
+    """
+    from .relational import quantile_exact
+    from .stages.text_analysis import quality_batch
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    scored = ds.map_batches(
+        lambda b: quality_batch(b)[["doc_id", "alpha_ratio"]],
+        batch_format="pandas").materialize()
+    thr = quantile_exact(scored, "alpha_ratio", [0.75])[0]
+
+    def gate(b: pd.DataFrame, thr=thr) -> pd.DataFrame:
+        return b[b["alpha_ratio"] >= thr]
+
+    out = scored.map_batches(gate, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_top_tokens(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", ["text"])
 
@@ -1557,6 +1659,8 @@ QUERIES = {
     "events_sessions": events_sessions,
     "events_running_sum": events_running_sum,
     "events_top_per_user": events_top_per_user,
+    "events_value_delta": events_value_delta,
+    "events_sliding_window": events_sliding_window,
     "events_hourly_moving_avg": events_hourly_moving_avg,
     "events_asof_join": events_asof_join,
     "events_asof_left": events_asof_left,
@@ -1590,6 +1694,7 @@ QUERIES = {
     "docs_tfidf_topk": docs_tfidf_topk,
     "docs_shuffle_order": docs_shuffle_order,
     "docs_quality_scores": docs_quality_scores,
+    "docs_quality_gate": docs_quality_gate,
     "docs_top_tokens": docs_top_tokens,
     "docs_lang_counts": docs_lang_counts,
     "docs_clean_text": docs_clean_text,
@@ -1771,6 +1876,26 @@ ORACLES = {
                MIN(ts) AS session_start, MAX(ts) AS session_end
         FROM s GROUP BY user_id, session_id
         ORDER BY user_id, session_id
+    """,
+    "events_value_delta": """
+        SELECT event_id, user_id, ts, value,
+               COALESCE(value - LAG(value) OVER w, 0.0) AS value_delta,
+               COALESCE(date_diff('microsecond', ts, LEAD(ts) OVER w),
+                        -1) AS next_gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, ts, event_id
+    """,
+    "events_sliding_window": """
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS w_count,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                    AS DOUBLE) / 100.0 AS w_sum
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+        ORDER BY user_id, ts, event_id
     """,
     "events_running_sum": """
         SELECT event_id, user_id, ts,
@@ -2105,6 +2230,18 @@ ORACLES = {
                     THEN len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
                          / length(text) ELSE 0 END AS alpha_ratio
         FROM documents ORDER BY doc_id
+    """,
+    "docs_quality_gate": """
+        WITH s AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) > 0
+                      THEN len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                           / length(text) ELSE 0 END AS alpha_ratio
+          FROM documents)
+        SELECT doc_id, alpha_ratio FROM s
+        WHERE alpha_ratio >= (SELECT quantile_cont(alpha_ratio, 0.75)
+                              FROM s)
+        ORDER BY doc_id
     """,
     "docs_top_tokens": """
         WITH toks AS (

@@ -625,6 +625,116 @@ def ordered_exclusive_cumsum(ds, *, order_col: str, value_col: str,
     return bucketed_map_groups(ds2, ["__rng"], scan)
 
 
+def quantile_exact(ds, col: str, qs: List[float], *,
+                   band_budget_rows: int = 2_000_000,
+                   max_rounds: int = 8) -> List[float]:
+    """EXACT ``quantile_cont`` over a numeric column, distributed — a
+    deterministic sample-bracketed selection (Floyd–Rivest-style):
+
+    1. one scan: non-null count ``n`` + a bounded hash-ordered sample
+       (`_sample_order_values`),
+    2. target ranks ``h = q*(n-1)`` -> order statistics ``floor(h)`` /
+       ``ceil(h)``,
+    3. the sample brackets those ranks with slack; one counting scan
+       verifies the bracket (count-below + band count) and widens it
+       if the sample misestimated,
+    4. only the bracketed value band (<= ``band_budget_rows``) is
+       collected and sorted on the driver; if the band is larger, the
+       scan window narrows to the band and repeats — each round
+       shrinks the band by the sample's rank resolution (~32x), so
+       even adversarial distributions converge in a few scans,
+    5. interpolation matches SQL: ``v0 + (v1 - v0) * (h - floor(h))``.
+
+    Driver state is the sample plus the final band — never O(n). NaN /
+    null values are excluded (SQL aggregate semantics). Returns one
+    value per requested quantile (None when the column is empty).
+    """
+    if not qs:
+        return []
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64, na_value=np.nan)
+        return pd.DataFrame({col: v[~np.isnan(v)]})
+
+    vals = ds.map_batches(prep, batch_format="pandas")
+    n = vals.count()
+    if n == 0:
+        return [None] * len(qs)
+
+    hs = [float(q) * (n - 1) for q in qs]
+    full_sample = np.sort(_sample_order_values(vals, col))
+    found: dict = {}
+
+    def band_filter(b: pd.DataFrame, blo: float, bhi: float) -> pd.DataFrame:
+        v = b[col].to_numpy()
+        return pd.DataFrame({col: v[(v >= blo) & (v <= bhi)]})
+
+    def select_pair(r0: int, r1: int) -> None:
+        """Resolve the ADJACENT order statistics r0 <= r1 <= r0+1 in
+        their own shrinking window — separate windows per quantile are
+        what lets far-apart quantiles each converge (one shared band
+        could never shrink below their rank separation)."""
+        lo_rank, window, sample, wn = 0, vals, full_sample, n
+        for _ in range(max_rounds):
+            rel0, rel1 = r0 - lo_rank, r1 - lo_rank
+            m = len(sample)
+            slack = max(1, m // 32)
+            lo_i = max(0, int(np.floor(rel0 / max(wn, 1) * (m - 1))) - slack)
+            hi_i = min(m - 1,
+                       int(np.ceil(rel1 / max(wn, 1) * (m - 1))) + slack)
+            while True:
+                # the sample's ends are not the global extrema — open
+                # the bracket when it reaches them
+                blo = -np.inf if lo_i == 0 else float(sample[lo_i])
+                bhi = np.inf if hi_i == m - 1 else float(sample[hi_i])
+
+                def counts(b: pd.DataFrame, blo=blo,
+                           bhi=bhi) -> pd.DataFrame:
+                    v = b[col].to_numpy()
+                    return pd.DataFrame(
+                        {"below": [int((v < blo).sum())],
+                         "band": [int(((v >= blo) & (v <= bhi)).sum())]})
+
+                c = (window.map_batches(counts, batch_format="pandas")
+                     .to_pandas().sum())
+                below, band = int(c["below"]), int(c["band"])
+                if (below <= rel0 and below + band > rel1) or \
+                        (lo_i == 0 and hi_i == m - 1):
+                    break
+                lo_i = max(0, lo_i - 2 * slack)    # sample misestimated
+                hi_i = min(m - 1, hi_i + 2 * slack)  # the rank: widen
+
+            if band <= band_budget_rows:
+                got = np.sort(window.map_batches(
+                    lambda b, blo=blo, bhi=bhi: band_filter(b, blo, bhi),
+                    batch_format="pandas").to_pandas()[col].to_numpy())
+                found[r0] = float(got[r0 - lo_rank - below])
+                found[r1] = float(got[r1 - lo_rank - below])
+                return
+            window = window.map_batches(
+                lambda b, blo=blo, bhi=bhi: band_filter(b, blo, bhi),
+                batch_format="pandas")
+            lo_rank += below
+            wn = band
+            sample = np.sort(_sample_order_values(window, col))
+        raise RuntimeError(
+            f"quantile_exact did not converge in {max_rounds} rounds "
+            f"(band still > {band_budget_rows} rows); raise the budget "
+            f"or max_rounds")
+
+    for h in hs:
+        r0, r1 = int(np.floor(h)), int(np.ceil(h))
+        if r0 not in found or r1 not in found:
+            select_pair(r0, r1)
+
+    out = []
+    for q, h in zip(qs, hs):
+        r0, r1 = int(np.floor(h)), int(np.ceil(h))
+        v0, v1 = found[r0], found[r1]
+        out.append(v0 + (v1 - v0) * (h - r0))
+    return out
+
+
 # --------------------------------------------- co-partitioned non-equi joins
 
 def _require_schema(ds, side: str):

@@ -417,3 +417,45 @@ def test_hash_join_right_outer_match_duckdb(ray_session):
         got = got[key].sort_values(key).reset_index(drop=True)
         want = want[key].sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_quantile_exact_matches_numpy(ray_session):
+    """quantile_exact == np.quantile(method='linear') bit-for-bit on a
+    skewed multimodal column with NaNs, across edge and interior qs."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import quantile_exact
+    rng = np.random.RandomState(7)
+    v = np.concatenate([rng.lognormal(0, 2, 20000),
+                        np.full(5000, 3.25),          # heavy tie mass
+                        rng.uniform(-100, 0, 5000)])
+    vn = v.copy()
+    vn[rng.rand(len(vn)) < 0.05] = np.nan
+    ds = rd.from_pandas(pd.DataFrame({"x": vn})).repartition(16)
+    clean = vn[~np.isnan(vn)]
+    qs = [0.0, 0.25, 0.5, 0.75, 0.99, 1.0]
+    got = quantile_exact(ds, "x", qs)
+    want = [float(np.quantile(clean, q, method="linear")) for q in qs]
+    assert got == want
+
+
+def test_quantile_exact_narrowing_rounds(ray_session):
+    """A band budget far below n forces the multi-round narrow path;
+    the result must be identical to the one-round answer."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import quantile_exact
+    rng = np.random.RandomState(11)
+    v = rng.standard_normal(50000)
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(8)
+    got = quantile_exact(ds, "x", [0.5, 0.9], band_budget_rows=200,
+                         max_rounds=12)
+    want = [float(np.quantile(v, q, method="linear")) for q in (0.5, 0.9)]
+    assert got == want
+
+
+def test_quantile_exact_empty_and_tiny(ray_session):
+    import ray.data as rd
+    from pdf_parser_ray.relational import quantile_exact
+    empty = rd.from_pandas(pd.DataFrame({"x": np.array([], dtype=np.float64)}))
+    assert quantile_exact(empty, "x", [0.5]) == [None]
+    one = rd.from_pandas(pd.DataFrame({"x": [42.0]}))
+    assert quantile_exact(one, "x", [0.0, 0.5, 1.0]) == [42.0, 42.0, 42.0]
