@@ -1275,6 +1275,34 @@ def docs_quality_scores(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def events_sorted_export(sf_dir: str) -> pd.DataFrame:
+    """GLOBALLY SORTED range-partitioned export + PRUNED range read
+    (state.shards.write_sorted_export / read_sorted_range): events are
+    exported sorted by (ts, event_id) into 8 quantile-boundary range
+    files with a (vmin, vmax) manifest, then a 5-day window is read
+    back opening ONLY the intersecting files (asserted) — the
+    sorted-serving complement of the hash-sharded trainer export.
+    Oracle: plain SQL BETWEEN over the original table."""
+    import shutil
+    import tempfile
+
+    from .state.shards import read_sorted_range, write_sorted_export
+    ds = read_table(sf_dir, "events",
+                    ["event_id", "user_id", "ts", "value"])
+    out = tempfile.mkdtemp(prefix="sorted_export_")
+    try:
+        man = write_sorted_export(ds, out, sort_col="ts",
+                                  tiebreak_cols=["event_id"], n_ranges=8)
+        got, n_files = read_sorted_range(out, "2024-01-10", "2024-01-15")
+        assert n_files < len(man), \
+            f"manifest pruning read all {n_files} files"
+        pdf = got.to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return (pdf[["event_id", "user_id", "ts", "value"]]
+            .sort_values(["ts", "event_id"]).reset_index(drop=True))
+
+
 def docs_quality_gate(sf_dir: str) -> pd.DataFrame:
     """Quality gate at a GLOBAL exact quantile threshold: keep the
     documents whose alpha-ratio is at or above the corpus-wide exact
@@ -1661,6 +1689,7 @@ QUERIES = {
     "events_top_per_user": events_top_per_user,
     "events_value_delta": events_value_delta,
     "events_sliding_window": events_sliding_window,
+    "events_sorted_export": events_sorted_export,
     "events_hourly_moving_avg": events_hourly_moving_avg,
     "events_asof_join": events_asof_join,
     "events_asof_left": events_asof_left,
@@ -1885,6 +1914,12 @@ ORACLES = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id, ts, event_id
+    """,
+    "events_sorted_export": """
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-10'
+                     AND TIMESTAMP '2024-01-15'
+        ORDER BY ts, event_id
     """,
     "events_sliding_window": """
         SELECT event_id, user_id, ts,

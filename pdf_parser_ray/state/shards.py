@@ -188,3 +188,221 @@ def write_training_shards(ds, out_dir: str, *, key_col: str,
     with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
         json.dump(rows, f, indent=1)
     return mdf
+
+
+# ------------------------------------------------------- sorted range export
+
+def _range_scalar(v):
+    """Manifest-storable scalar for a sort-column value (JSON has no
+    timestamps: datetimes become int64 epoch-microseconds)."""
+    if isinstance(v, (np.datetime64, pd.Timestamp)):
+        return int(np.datetime64(v, "us").view("int64"))
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    return float(v)
+
+
+def _sort_key_array(s: pd.Series) -> np.ndarray:
+    """The sort column as a numeric array manifest bounds compare in
+    (datetime64 -> epoch us), matching `_range_scalar`."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return s.values.astype("datetime64[us]").view("int64")
+    return s.to_numpy()
+
+
+def write_sorted_export(ds, out_dir: str, *, sort_col: str,
+                        tiebreak_cols: Optional[List[str]] = None,
+                        n_ranges: Optional[int] = None,
+                        columns: Optional[List[str]] = None,
+                        shared_fs: bool = False,
+                        row_group_size: int = _ROW_GROUP) -> pd.DataFrame:
+    """GLOBALLY SORTED export: range-partitioned parquet where range
+    directories concatenated in order form one totally sorted dataset,
+    plus a per-range (vmin, vmax) manifest enabling PRUNED range reads
+    (`read_sorted_range`) — the serving-side complement to the
+    hash-sharded trainer export above (same atomic rename commit,
+    resume, and shared-filesystem contract).
+
+    Range boundaries come from a deterministic bounded hash-sample of
+    the sort column (quantile placement — boundary choice only affects
+    balance, never correctness); each range task sorts only its own
+    slice, so memory per task is data_size / n_ranges and a global
+    `ds.sort` all-to-all is never issued. Byte-determinism of each
+    range file requires a total order: pass ``tiebreak_cols`` covering
+    duplicates of ``sort_col`` (e.g. a unique id).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..relational import _sample_order_values, bucketed_map_groups
+
+    if ray.is_initialized() and not shared_fs:
+        alive = [n for n in ray.nodes() if n.get("Alive")]
+        if len(alive) > 1:
+            raise ValueError(
+                f"write_sorted_export writes through the filesystem "
+                f"path {out_dir!r}; on a multi-node cluster it must be "
+                "shared storage — pass shared_fs=True to assert it is")
+
+    from ..relational import default_buckets
+    K = n_ranges or default_buckets()
+    os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "_SORTED.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if prev["n_ranges"] != K or prev["sort_col"] != sort_col:
+            raise ValueError(
+                f"resume mismatch: directory has n_ranges="
+                f"{prev['n_ranges']} sort_col={prev['sort_col']!r}, "
+                f"requested {K}/{sort_col!r}")
+        bounds = np.array(prev["bounds"], dtype=np.float64)
+        kind = prev["kind"]
+    else:
+        sample = _sample_order_values(ds, sort_col)
+        kind = ("datetime" if np.issubdtype(np.asarray(sample).dtype,
+                                            np.datetime64)
+                else "numeric")
+        snum = (np.asarray(sample).astype("datetime64[us]").view("int64")
+                if kind == "datetime" else
+                np.asarray(sample, dtype=np.float64))
+        bounds = (np.quantile(snum.astype(np.float64),
+                              np.linspace(0, 1, K + 1)[1:-1],
+                              method="lower")
+                  if len(snum) >= 2 else np.array([]))
+        with open(meta_path, "w") as f:
+            json.dump({"n_ranges": K, "sort_col": sort_col,
+                       "kind": kind, "bounds": list(map(float, bounds))},
+                      f)
+
+    done = {
+        int(d.split("=")[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("range=") and not d.endswith(".tmp")
+        and os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))}
+
+    if columns is not None:
+        cols = list(dict.fromkeys([sort_col, *(tiebreak_cols or []),
+                                   *columns]))
+        ds = ds.map_batches(lambda b: b[cols], batch_format="pandas")
+
+    def add_rng(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        v = _sort_key_array(b[sort_col]).astype(np.float64)
+        b["__rng"] = np.searchsorted(bounds, v, side="right") \
+            .astype("int32")
+        return b.loc[~b["__rng"].isin(done)]
+
+    sort_by = [sort_col, *(tiebreak_cols or [])]
+
+    def write_range(g: pd.DataFrame) -> dict:
+        rng = int(g["__rng"].iloc[0])
+        sdir = os.path.join(out_dir, f"range={rng:05d}")
+        if os.path.exists(os.path.join(sdir, "_meta.json")):
+            return _read_meta(sdir)
+        g = (g.sort_values(sort_by, kind="mergesort")
+             .drop(columns="__rng").reset_index(drop=True))
+        tmp = f"{sdir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        ppath = os.path.join(tmp, "part.parquet")
+        schema = pa.Schema.from_pandas(g, preserve_index=False)
+        with pq.ParquetWriter(ppath, schema) as w:
+            for i in range(0, max(len(g), 1), row_group_size):
+                w.write_table(pa.Table.from_pandas(
+                    g.iloc[i:i + row_group_size], schema=schema,
+                    preserve_index=False))
+        hasher = hashlib.blake2b(digest_size=16)
+        with open(ppath, "rb") as f:
+            for chunk in iter(lambda: f.read(_HASH_CHUNK), b""):
+                hasher.update(chunk)
+        key = _sort_key_array(g[sort_col])
+        meta = {"range": rng, "rows": int(len(g)),
+                "vmin": _range_scalar(key[0]) if len(g) else None,
+                "vmax": _range_scalar(key[-1]) if len(g) else None,
+                "content_hash": hasher.hexdigest()}
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("")
+        try:
+            os.rename(tmp, sdir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            meta = _read_meta(sdir)
+        return meta
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"range": pd.Series([], dtype="int64"),
+                                 "rows": pd.Series([], dtype="int64"),
+                                 "vmin": pd.Series([], dtype="float64"),
+                                 "vmax": pd.Series([], dtype="float64"),
+                                 "content_hash": pd.Series([],
+                                                           dtype=object)})
+        return pd.DataFrame([write_range(gg)
+                             for _, gg in g.groupby("__rng", sort=False)])
+
+    tagged = ds.map_batches(add_rng, batch_format="pandas")
+    written = bucketed_map_groups(tagged, ["__rng"], run_bucket,
+                                  n_buckets=K).to_pandas()
+    rows = [] if written.empty else written.to_dict("records")
+    for rng in done:
+        rows.append(_read_meta(os.path.join(out_dir, f"range={rng:05d}")))
+    rows = [{"range": int(m["range"]), "rows": int(m["rows"]),
+             "vmin": m["vmin"], "vmax": m["vmax"],
+             "content_hash": str(m["content_hash"])} for m in rows]
+    rows.sort(key=lambda m: m["range"])
+    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
+        json.dump({"kind": kind, "sort_col": sort_col, "ranges": rows},
+                  f, indent=1)
+    mdf = pd.DataFrame(rows).reset_index(drop=True)
+    return mdf.astype({"range": "int64", "rows": "int64"})
+
+
+def read_sorted_range(out_dir: str, lo=None, hi=None,
+                      columns: Optional[List[str]] = None):
+    """Pruned read over a `write_sorted_export` directory: only range
+    files whose manifest [vmin, vmax] intersects [lo, hi] are opened
+    (both bounds inclusive; None = open end). Returns (Dataset,
+    n_files_read) — the count makes pruning observable/testable."""
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
+        man = json.load(f)
+    kind, sort_col = man["kind"], man["sort_col"]
+
+    def conv(v):
+        if v is None:
+            return None
+        if kind == "datetime":
+            return int(np.datetime64(pd.Timestamp(v), "us").view("int64"))
+        return float(v)
+
+    lo_s, hi_s = conv(lo), conv(hi)
+    files = [
+        os.path.join(out_dir, f"range={m['range']:05d}", "part.parquet")
+        for m in man["ranges"]
+        if m["rows"] > 0
+        and (hi_s is None or m["vmin"] <= hi_s)
+        and (lo_s is None or m["vmax"] >= lo_s)]
+    if not files:
+        return None, 0
+    need_trim = not (lo_s is None and hi_s is None)
+    if columns is not None and need_trim and sort_col not in columns:
+        columns = [sort_col, *columns]   # the trim filter needs the key
+    ds = rd.read_parquet(files, columns=columns)
+    if lo_s is None and hi_s is None:
+        return ds, len(files)
+
+    def trim(b: pd.DataFrame) -> pd.DataFrame:
+        v = _sort_key_array(b[sort_col]).astype(np.float64)
+        m = np.ones(len(b), dtype=bool)
+        if lo_s is not None:
+            m &= v >= lo_s
+        if hi_s is not None:
+            m &= v <= hi_s
+        return b.loc[m]
+
+    return ds.map_batches(trim, batch_format="pandas"), len(files)

@@ -95,3 +95,77 @@ def test_shards_multi_row_group_streaming(ray_session, tmp_path):
                                row_group_size=100)
     pd.testing.assert_frame_equal(m1, m2)
     assert m1["rows"].sum() == len(df)
+
+
+# ----------------------------------------------------------- sorted export
+
+def _ev(n=4000):
+    rng = np.random.RandomState(9)
+    ts = (np.datetime64("2024-03-01", "us")
+          + rng.randint(0, 20 * 86400_000_000, n).astype("timedelta64[us]"))
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.Series(ts),
+        "value": rng.rand(n) * 100,
+    })
+
+
+def test_sorted_export_global_order_and_pruning(ray_session, tmp_path):
+    import ray.data as rd
+    from pdf_parser_ray.state.shards import (read_sorted_range,
+                                             write_sorted_export)
+    df = _ev()
+    out = str(tmp_path / "sorted")
+    man = write_sorted_export(rd.from_pandas(df).repartition(7), out,
+                              sort_col="ts", tiebreak_cols=["event_id"],
+                              n_ranges=8)
+    assert man["rows"].sum() == len(df)
+    # concatenating range files in range order = one global sort
+    import pyarrow.parquet as pq
+    parts = []
+    for rng_id in man["range"]:
+        parts.append(pq.read_table(
+            os.path.join(out, f"range={rng_id:05d}", "part.parquet"))
+            .to_pandas())
+    whole = pd.concat(parts, ignore_index=True)
+    expect = df.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(whole, expect[whole.columns.tolist()])
+    # pruned read: a 3-day window opens fewer than all files and
+    # returns exactly the SQL-BETWEEN rows
+    ds, n_files = read_sorted_range(out, "2024-03-05", "2024-03-08")
+    assert 0 < n_files < len(man)
+    got = (ds.to_pandas().sort_values(["ts", "event_id"])
+           .reset_index(drop=True))
+    lo, hi = pd.Timestamp("2024-03-05"), pd.Timestamp("2024-03-08")
+    want = (expect[(expect["ts"] >= lo) & (expect["ts"] <= hi)]
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_sorted_export_deterministic_and_resume(ray_session, tmp_path):
+    import ray.data as rd
+    from pdf_parser_ray.state.shards import write_sorted_export
+    df = _ev(1500)
+    outs = []
+    for i, parts in enumerate((2, 11)):
+        out = str(tmp_path / f"s{i}")
+        m = write_sorted_export(rd.from_pandas(df).repartition(parts),
+                                out, sort_col="ts",
+                                tiebreak_cols=["event_id"], n_ranges=6)
+        outs.append(m)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # bytes invariant
+
+    # resume: wipe one committed range, re-run -> only it is rewritten,
+    # manifest identical
+    out = str(tmp_path / "s0")
+    import shutil
+    victim = os.path.join(out, "range=00002")
+    shutil.rmtree(victim)
+    m2 = write_sorted_export(rd.from_pandas(df).repartition(5), out,
+                             sort_col="ts", tiebreak_cols=["event_id"],
+                             n_ranges=6)
+    pd.testing.assert_frame_equal(m2, outs[0])
+    # re-ranging guard
+    with pytest.raises(ValueError, match="resume mismatch"):
+        write_sorted_export(rd.from_pandas(df), out, sort_col="ts",
+                            n_ranges=4)
