@@ -117,7 +117,8 @@ def run_queries() -> dict:
                 "docs_incremental_dedup", "docs_cap_per_source",
                 "docs_strip_dup_spans", "docs_decontaminate",
                 "docs_tfidf_topk", "docs_shuffle_order",
-                "docs_quality_gate", "events_sliding_window"]
+                "docs_quality_gate", "events_sliding_window",
+                "events_sorted_export"]
     out = {}
     for name in headline:
         t0 = time.perf_counter()

@@ -459,6 +459,33 @@ def events_sliding_window(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def events_ntile(sf_dir: str) -> pd.DataFrame:
+    """Global NTILE(4) over (value, event_id) — a GLOBAL-order window
+    function computed distributed: ordered_global_rank gives each row
+    its 0-based global row number (range partition on value + scalar
+    prefix, no global sort), then the SQL NTILE bucket formula (first
+    n%k buckets one row larger) is a pure vectorized map."""
+    from .relational import ordered_global_rank
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+    n = ds.count()
+    k = 4
+    q, r = divmod(n, k)
+
+    def tile(b: pd.DataFrame) -> pd.DataFrame:
+        rn = b["rank"].to_numpy()
+        big = q + 1
+        # SQL NTILE: first r buckets hold q+1 rows, the rest q
+        t = np.where(rn < r * big, rn // max(big, 1) + 1,
+                     r + (rn - r * big) // max(q, 1) + 1)
+        return pd.DataFrame({"event_id": b["event_id"].values,
+                             "value": b["value"].values,
+                             "quartile": t.astype("int64")})
+
+    ranked = ordered_global_rank(ds, ["value", "event_id"])
+    out = ranked.map_batches(tile, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def events_hourly_moving_avg(sf_dir: str) -> pd.DataFrame:
     """3-hour trailing moving average over the hourly count series:
     the heavy aggregation is distributed; the rolling window runs on
@@ -1690,6 +1717,7 @@ QUERIES = {
     "events_value_delta": events_value_delta,
     "events_sliding_window": events_sliding_window,
     "events_sorted_export": events_sorted_export,
+    "events_ntile": events_ntile,
     "events_hourly_moving_avg": events_hourly_moving_avg,
     "events_asof_join": events_asof_join,
     "events_asof_left": events_asof_left,
@@ -1914,6 +1942,11 @@ ORACLES = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id, ts, event_id
+    """,
+    "events_ntile": """
+        SELECT event_id, value,
+               NTILE(4) OVER (ORDER BY value, event_id) AS quartile
+        FROM events ORDER BY event_id
     """,
     "events_sorted_export": """
         SELECT event_id, user_id, ts, value FROM events

@@ -625,6 +625,64 @@ def ordered_exclusive_cumsum(ds, *, order_col: str, value_col: str,
     return bucketed_map_groups(ds2, ["__rng"], scan)
 
 
+def ordered_global_rank(ds, order_cols: List[str], *,
+                        out_col: str = "rank",
+                        n_ranges: Optional[int] = None):
+    """GLOBAL 0-based ROW_NUMBER in ``order_cols`` order without a
+    global sort all-to-all: value-range partition on the FIRST order
+    column (quantile boundaries from a bounded deterministic sample —
+    placement affects balance only; equal primary values always land
+    in the same range via searchsorted side='right', so a tie can
+    never straddle a range boundary), per-range counts reduce to an
+    exclusive driver prefix over ``n_ranges`` SCALARS, then each range
+    sorts only its own slice by the full ``order_cols`` tiebreak and
+    adds its prefix offset. The composite (order_cols) must be a total
+    order (unique tuples) for the rank to be well-defined — same
+    contract as SQL ROW_NUMBER with a deterministic ORDER BY.
+
+    Returns ``ds`` plus ``out_col`` (int64), distributed; memory per
+    task is one range slice (data_size / n_ranges).
+    """
+    primary = order_cols[0]
+    K = n_ranges or default_buckets()
+    sample = _sample_order_values(ds, primary)
+    if len(sample) < 2:
+        bounds = np.array([])
+    else:
+        bounds = np.quantile(sample.astype(np.float64),
+                             np.linspace(0, 1, K + 1)[1:-1],
+                             method="lower")
+
+    def add_rng(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["__rng"] = np.searchsorted(
+            bounds, b[primary].to_numpy(dtype=np.float64),
+            side="right").astype(np.int32)
+        return b
+
+    ds2 = ds.map_batches(add_rng, batch_format="pandas")
+    cnt = grouped_agg(ds2, ["__rng"], {"n": ("count", None)})
+    cnt = cnt.sort_values("__rng")
+    offsets = np.zeros(K + 1, dtype=np.int64)
+    run = 0
+    for r, c in zip(cnt["__rng"], cnt["n"]):
+        offsets[int(r)] = run
+        run += int(c)
+
+    def rank_range(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for r, gg in g.groupby("__rng", sort=False):
+            gg = gg.sort_values(order_cols, kind="mergesort")
+            out = gg.drop(columns="__rng").copy(deep=False)
+            out[out_col] = offsets[int(r)] + np.arange(len(gg),
+                                                       dtype=np.int64)
+            outs.append(out)
+        return pd.concat(outs, ignore_index=True) if outs else \
+            g.drop(columns="__rng")
+
+    return bucketed_map_groups(ds2, ["__rng"], rank_range)
+
+
 def quantile_exact(ds, col: str, qs: List[float], *,
                    band_budget_rows: int = 2_000_000,
                    max_rounds: int = 8) -> List[float]:

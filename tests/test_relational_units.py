@@ -459,3 +459,27 @@ def test_quantile_exact_empty_and_tiny(ray_session):
     assert quantile_exact(empty, "x", [0.5]) == [None]
     one = rd.from_pandas(pd.DataFrame({"x": [42.0]}))
     assert quantile_exact(one, "x", [0.0, 0.5, 1.0]) == [42.0, 42.0, 42.0]
+
+
+def test_ordered_global_rank_ties_and_partitioning(ray_session):
+    """Global ROW_NUMBER matches a driver argsort exactly, on a column
+    that is 80% one repeated value (ties must never straddle a range
+    boundary) and regardless of input partitioning."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import ordered_global_rank
+    rng = np.random.RandomState(3)
+    v = rng.rand(5000)
+    v[rng.rand(5000) < 0.8] = 0.5          # massive tie block
+    df = pd.DataFrame({"id": np.arange(5000, dtype=np.int64), "v": v})
+    want = (df.sort_values(["v", "id"], kind="mergesort")
+            .assign(rank=np.arange(5000, dtype=np.int64)))
+    for parts in (3, 23):
+        shuffled = df.sample(frac=1, random_state=parts)
+        got = (ordered_global_rank(
+            rd.from_pandas(shuffled).repartition(parts), ["v", "id"],
+            n_ranges=8).to_pandas().sort_values("id")
+            .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["id", "v", "rank"]].reset_index(drop=True),
+            want.sort_values("id")[["id", "v", "rank"]]
+            .reset_index(drop=True))
