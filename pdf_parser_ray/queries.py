@@ -1372,6 +1372,42 @@ def docs_top_tokens(sf_dir: str) -> pd.DataFrame:
             .head(20).reset_index(drop=True))
 
 
+def docs_heavy_tokens(sf_dir: str) -> pd.DataFrame:
+    """Heavy-hitters sketch (distributed Misra-Gries,
+    stages.sketches.heavy_hitters) with a BOUNDS ORACLE: the emitted
+    top-10 tokens/counts are the exact distributed counts (SQL-equal);
+    `sketch_recovered` asserts each is present in the O(m)-state
+    sketch (guaranteed when true count > deficit) and
+    `sketch_bound_ok` asserts est <= true <= est + deficit — the
+    Misra-Gries mergeable-summary guarantee, checked live."""
+    from .relational import grouped_agg
+    from .stages.sketches import heavy_hitters
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def tok_rows(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].str.findall(r"\S+").explode().dropna()
+        vc = s.value_counts()
+        return pd.DataFrame({"token": vc.index, "cnt": vc.values})
+
+    rows = ds.map_batches(tok_rows, batch_format="pandas")
+    exact = grouped_agg(rows, ["token"], {"n": ("sum", "cnt")})
+    exact["n"] = exact["n"].astype("int64")
+    top = (exact.sort_values(["n", "token"], ascending=[False, True])
+           .head(10).reset_index(drop=True))
+
+    summary, deficit = heavy_hitters(rows, token_col="token",
+                                     cnt_col="cnt", m=4096)
+    est = dict(zip(summary["token"], summary["est"]))
+    rec, bound = [], []
+    for t, n in zip(top["token"], top["n"]):
+        e = est.get(t)
+        rec.append(e is not None)
+        bound.append(e is not None and e <= n <= e + deficit)
+    top["sketch_recovered"] = pd.array(rec, dtype="bool")
+    top["sketch_bound_ok"] = pd.array(bound, dtype="bool")
+    return top
+
+
 def docs_lang_counts(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", ["lang"])
     out = grouped_agg(ds, ["lang"], {"n_docs": ("count", None)})
@@ -1753,6 +1789,7 @@ QUERIES = {
     "docs_quality_scores": docs_quality_scores,
     "docs_quality_gate": docs_quality_gate,
     "docs_top_tokens": docs_top_tokens,
+    "docs_heavy_tokens": docs_heavy_tokens,
     "docs_lang_counts": docs_lang_counts,
     "docs_clean_text": docs_clean_text,
     "docs_repetition_ratio": docs_repetition_ratio,
@@ -2317,6 +2354,14 @@ ORACLES = {
           FROM documents)
         SELECT token, COUNT(*) AS n FROM toks
         GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    "docs_heavy_tokens": """
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+          FROM documents)
+        SELECT token, COUNT(*) AS n,
+               TRUE AS sketch_recovered, TRUE AS sketch_bound_ok
+        FROM toks GROUP BY token ORDER BY n DESC, token LIMIT 10
     """,
     "docs_lang_counts": """
         SELECT lang, COUNT(*) AS n_docs FROM documents

@@ -245,3 +245,88 @@ def weighted_sample(ds, *, weight_col: str, id_col: str, k: int = 100,
                            batch_size=batch_size).to_pandas()
     return (parts.sort_values(["__wk", id_col], kind="mergesort").head(k)
             .drop(columns="__wk").reset_index(drop=True))
+
+
+# ------------------------------------------------------ heavy hitters (MG)
+
+_MG_DEFICIT = "\x00__MG_DEFICIT__"   # sentinel token carrying the deficit
+
+
+def mg_cap(df: pd.DataFrame, m: int) -> pd.DataFrame:
+    """Cap a (token, cnt) summary to ``m`` entries Misra-Gries style:
+    subtract the (m+1)-th largest count from everything and keep the
+    strictly positive remainder. The subtracted mass accumulates in a
+    sentinel deficit row, so deficits SUM through any merge tree via
+    the same groupby the counts use — the final bound is
+    ``est <= true <= est + deficit`` for every token, and any token
+    with true count > deficit is guaranteed present (Misra-Gries /
+    mergeable-summaries guarantee, independent of merge order)."""
+    is_def = df["token"] == _MG_DEFICIT
+    deficit = int(df.loc[is_def, "cnt"].sum())
+    d = df.loc[~is_def]
+    if len(d) > m:
+        # deterministic under ties: order by (-cnt, token)
+        d = d.sort_values(["cnt", "token"], ascending=[False, True],
+                          kind="mergesort")
+        thresh = int(d["cnt"].iloc[m])
+        deficit += thresh
+        d = d.assign(cnt=d["cnt"] - thresh)
+        d = d.loc[d["cnt"] > 0]
+    out = pd.concat(
+        [d, pd.DataFrame({"token": [_MG_DEFICIT], "cnt": [deficit]})],
+        ignore_index=True)
+    return out
+
+
+def _mg_sum(df: pd.DataFrame) -> pd.DataFrame:
+    return (df.groupby("token", sort=False, observed=True)["cnt"]
+            .sum().reset_index())
+
+
+def heavy_hitters(ds, *, token_col: str, cnt_col: str, m: int = 4096,
+                  n_reducers: int = 32):
+    """Distributed Misra-Gries heavy-hitters sketch over (token, cnt)
+    rows — the bounded-memory path when the token vocabulary is too
+    large to shuffle/count exactly: per-batch exact counts capped to
+    ``m`` (map side), partial summaries routed to ``n_reducers``
+    reducers by BATCH-content hash (NOT by token — no vocabulary
+    shuffle ever happens), k-way merged per reducer (concat +
+    groupby-sum + one cap: multiset-deterministic), and the
+    ``n_reducers`` bounded summaries folded once on the driver.
+    Driver/reducer state is O(m), independent of vocabulary size.
+
+    Returns (summary DataFrame(token, est) sorted by -est, deficit):
+    for every token, est <= true <= est + deficit; any token with
+    true > deficit is guaranteed in the summary."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"token": b[token_col].values,
+                          "cnt": b[cnt_col].values})
+        d = mg_cap(_mg_sum(d), m)
+        # deterministic batch-content reducer tag (any function of the
+        # batch works for correctness; hashing content keeps it stable
+        # for a given block layout)
+        tag = int(pd.util.hash_pandas_object(d["token"], index=False)
+                  .sum() % n_reducers)
+        return d.assign(__red=np.int32(tag))
+
+    from ..relational import bucketed_map_groups
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for r, gg in g.groupby("__red", sort=False):
+            outs.append(mg_cap(_mg_sum(gg.drop(columns="__red")), m)
+                        .assign(__red=np.int32(r)))
+        return pd.concat(outs, ignore_index=True)
+
+    parts = bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), ["__red"],
+        reduce_bucket, n_buckets=n_reducers).to_pandas()
+    final = mg_cap(_mg_sum(parts.drop(columns="__red")), m)
+    is_def = final["token"] == _MG_DEFICIT
+    deficit = int(final.loc[is_def, "cnt"].sum())
+    summary = (final.loc[~is_def]
+               .sort_values(["cnt", "token"], ascending=[False, True],
+                            kind="mergesort")
+               .rename(columns={"cnt": "est"})
+               .reset_index(drop=True))
+    return summary, deficit

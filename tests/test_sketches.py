@@ -142,3 +142,41 @@ def test_weighted_sample_large_ids_match_sql_oracle(ray_session):
     con.close()
     want["id"] = want["id"].astype("int64")
     pd.testing.assert_frame_equal(got[["id", "w"]], want)
+
+
+def test_heavy_hitters_mg_guarantees(ray_session):
+    """Vocabulary 30x the sketch capacity, Zipf-ish counts: for every
+    token, est <= true <= est + deficit; every token with
+    true > deficit is present; and the top-5 by true count are
+    recovered with exact-enough estimates to rank them — under two
+    different input partitionings."""
+    import ray.data as rd
+    from pdf_parser_ray.stages.sketches import heavy_hitters
+    rng = np.random.RandomState(5)
+    vocab = 30_000
+    true = pd.Series((3_000_000 / (np.arange(1, vocab + 1) ** 1.1))
+                     .astype("int64"),
+                     index=[f"t{i:05d}" for i in range(vocab)])
+    true = true[true > 0]
+    # token rows scattered: each token's count split across 1-4 rows
+    reps = rng.randint(1, 5, len(true))
+    toks = np.repeat(true.index.to_numpy(), reps)
+    per = true.to_numpy() // reps
+    base = np.repeat(per, reps)
+    extra = np.repeat(true.to_numpy() - per * reps, reps)
+    first = np.r_[True, toks[1:] != toks[:-1]]
+    cnts = base + np.where(first, extra, 0)
+    df = pd.DataFrame({"token": toks, "cnt": cnts})
+    for parts in (4, 19):
+        shuffled = df.sample(frac=1, random_state=parts)
+        summary, deficit = heavy_hitters(
+            rd.from_pandas(shuffled).repartition(parts),
+            token_col="token", cnt_col="cnt", m=1000, n_reducers=8)
+        assert deficit > 0          # caps definitely happened
+        est = dict(zip(summary["token"], summary["est"]))
+        for t, e in est.items():
+            assert e <= true[t] <= e + deficit, t
+        guaranteed = true[true > deficit]
+        assert set(guaranteed.index) <= set(est), "guaranteed token lost"
+        top5 = true.nlargest(5)
+        assert all(t in est for t in top5.index)
