@@ -1372,6 +1372,42 @@ def docs_top_tokens(sf_dir: str) -> pd.DataFrame:
             .head(20).reset_index(drop=True))
 
 
+def docs_sliding_chunks(sf_dir: str) -> pd.DataFrame:
+    """Sliding token-window chunker (window 64, stride 48 — the
+    standard long-document splitter for pretraining, complementing
+    docs_pack_sequences' whole-doc packing): a pure flat-map, rows out
+    proportional to tokens in, no shuffle at all. Window index
+    arithmetic is fully vectorized; only the final chunk-string join
+    is per-chunk (inherent string assembly, O(output bytes))."""
+    W, S = 64, 48
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.findall(r"\S+")
+        n = toks.str.len().fillna(0).astype("int64").to_numpy()
+        keep = n > 0
+        nk = n[keep]
+        cnt = -(-nk // S)                      # chunks per doc (ceil)
+        total = int(cnt.sum())
+        doc_ids = np.repeat(b["doc_id"].to_numpy()[keep], cnt)
+        # within-doc chunk index without a per-doc arange
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        starts = idx * S
+        n_chunk = np.minimum(W, np.repeat(nk, cnt) - starts)
+        texts = []
+        for arr, c in zip(toks.to_numpy()[keep], cnt):
+            for j in range(int(c)):
+                texts.append(" ".join(arr[j * S:j * S + W]))
+        return pd.DataFrame({"doc_id": doc_ids, "chunk_idx": idx,
+                             "chunk": texts,
+                             "n_chunk_tokens": n_chunk})
+
+    out = ds.map_batches(chunks, batch_format="pandas").to_pandas()
+    return (out.sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True))
+
+
 def docs_heavy_tokens(sf_dir: str) -> pd.DataFrame:
     """Heavy-hitters sketch (distributed Misra-Gries,
     stages.sketches.heavy_hitters) with a BOUNDS ORACLE: the emitted
@@ -1790,6 +1826,7 @@ QUERIES = {
     "docs_quality_gate": docs_quality_gate,
     "docs_top_tokens": docs_top_tokens,
     "docs_heavy_tokens": docs_heavy_tokens,
+    "docs_sliding_chunks": docs_sliding_chunks,
     "docs_lang_counts": docs_lang_counts,
     "docs_clean_text": docs_clean_text,
     "docs_repetition_ratio": docs_repetition_ratio,
@@ -2354,6 +2391,20 @@ ORACLES = {
           FROM documents)
         SELECT token, COUNT(*) AS n FROM toks
         GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    "docs_sliding_chunks": """
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(text, '\\S+') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, toks,
+                     unnest(generate_series(0, len(toks) - 1, 48))
+                       AS start
+              FROM t WHERE len(toks) > 0)
+        SELECT doc_id, start // 48 AS chunk_idx,
+               array_to_string(toks[start + 1 : start + 64], ' ')
+                 AS chunk,
+               LEAST(64, len(toks) - start) AS n_chunk_tokens
+        FROM s ORDER BY doc_id, chunk_idx
     """,
     "docs_heavy_tokens": """
         WITH toks AS (
