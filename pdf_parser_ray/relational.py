@@ -721,6 +721,11 @@ def quantile_exact(ds, col: str, qs: List[float], *,
 
     hs = [float(q) * (n - 1) for q in qs]
     full_sample = np.sort(_sample_order_values(vals, col))
+    # exact global extrema: brackets stay FINITE even at the sample's
+    # ends, so the tie-run shortcut below can always fire
+    from ray.data.aggregate import Max, Min
+    agg = vals.aggregate(Min(col), Max(col))
+    gmin, gmax = float(agg[f"min({col})"]), float(agg[f"max({col})"])
     found: dict = {}
 
     def band_filter(b: pd.DataFrame, blo: float, bhi: float) -> pd.DataFrame:
@@ -733,6 +738,7 @@ def quantile_exact(ds, col: str, qs: List[float], *,
         what lets far-apart quantiles each converge (one shared band
         could never shrink below their rank separation)."""
         lo_rank, window, sample, wn = 0, vals, full_sample, n
+        wlo, whi = gmin, gmax      # exact value bounds of the window
         for _ in range(max_rounds):
             rel0, rel1 = r0 - lo_rank, r1 - lo_rank
             m = len(sample)
@@ -741,10 +747,10 @@ def quantile_exact(ds, col: str, qs: List[float], *,
             hi_i = min(m - 1,
                        int(np.ceil(rel1 / max(wn, 1) * (m - 1))) + slack)
             while True:
-                # the sample's ends are not the global extrema — open
-                # the bracket when it reaches them
-                blo = -np.inf if lo_i == 0 else float(sample[lo_i])
-                bhi = np.inf if hi_i == m - 1 else float(sample[hi_i])
+                # the sample's ends are not the window extrema — fall
+                # back to the exact (finite) window bounds there
+                blo = wlo if lo_i == 0 else float(sample[lo_i])
+                bhi = whi if hi_i == m - 1 else float(sample[hi_i])
 
                 def counts(b: pd.DataFrame, blo=blo,
                            bhi=bhi) -> pd.DataFrame:
@@ -769,11 +775,17 @@ def quantile_exact(ds, col: str, qs: List[float], *,
                 found[r0] = float(got[r0 - lo_rank - below])
                 found[r1] = float(got[r1 - lo_rank - below])
                 return
+            if blo == bhi:
+                # a tie run larger than the budget: every value in the
+                # band IS the order statistic — no collect needed
+                found[r0] = found[r1] = float(blo)
+                return
             window = window.map_batches(
                 lambda b, blo=blo, bhi=bhi: band_filter(b, blo, bhi),
                 batch_format="pandas")
             lo_rank += below
             wn = band
+            wlo, whi = blo, bhi
             sample = np.sort(_sample_order_values(window, col))
         raise RuntimeError(
             f"quantile_exact did not converge in {max_rounds} rounds "

@@ -483,3 +483,23 @@ def test_ordered_global_rank_ties_and_partitioning(ray_session):
             got[["id", "v", "rank"]].reset_index(drop=True),
             want.sort_values("id")[["id", "v", "rank"]]
             .reset_index(drop=True))
+
+
+def test_quantile_exact_tie_run_beyond_budget(ray_session):
+    """A tie run much larger than the band budget cannot be collected
+    or shrunk — the shortcut must answer from the bracket itself, for
+    ties in the interior AND at the global minimum."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import quantile_exact
+    rng = np.random.RandomState(13)
+    interior = np.r_[rng.uniform(-10, -1, 1000),
+                     np.full(20000, 2.5),
+                     rng.uniform(7, 9, 1000)]
+    at_min = np.r_[np.full(20000, -3.0), rng.uniform(0, 1, 2000)]
+    for v in (interior, at_min):
+        ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(8)
+        got = quantile_exact(ds, "x", [0.25, 0.5],
+                             band_budget_rows=500, max_rounds=6)
+        want = [float(np.quantile(v, q, method="linear"))
+                for q in (0.25, 0.5)]
+        assert got == want
