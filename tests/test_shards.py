@@ -169,3 +169,24 @@ def test_sorted_export_deterministic_and_resume(ray_session, tmp_path):
     with pytest.raises(ValueError, match="resume mismatch"):
         write_sorted_export(rd.from_pandas(df), out, sort_col="ts",
                             n_ranges=4)
+
+
+def test_sorted_export_pruned_column_read(ray_session, tmp_path):
+    """columns= on a bounded read auto-includes the sort key for the
+    trim filter; requested columns come back (plus the key)."""
+    import ray.data as rd
+    from pdf_parser_ray.state.shards import (read_sorted_range,
+                                             write_sorted_export)
+    df = _ev(1200)
+    out = str(tmp_path / "cols")
+    write_sorted_export(rd.from_pandas(df), out, sort_col="ts",
+                        tiebreak_cols=["event_id"], n_ranges=5)
+    ds, n = read_sorted_range(out, "2024-03-04", "2024-03-06",
+                              columns=["value"])
+    assert n >= 1
+    got = ds.to_pandas()
+    assert set(got.columns) == {"ts", "value"}
+    lo, hi = pd.Timestamp("2024-03-04"), pd.Timestamp("2024-03-06")
+    assert ((got["ts"] >= lo) & (got["ts"] <= hi)).all()
+    want = df[(df["ts"] >= lo) & (df["ts"] <= hi)]
+    assert len(got) == len(want)
