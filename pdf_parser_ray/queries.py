@@ -425,7 +425,10 @@ def events_sliding_window(sf_dir: str) -> pd.DataFrame:
     per-user shuffle; inside each bucket the frame bounds come from
     two vectorized searchsorteds per user segment over the sorted
     timestamp array and the sum from an int64-cents prefix cumsum —
-    no per-row loop, no quadratic window expansion."""
+    no per-row loop, no quadratic window expansion. (The outer loop is
+    per user SEGMENT — microseconds each; with millions of users per
+    bucket the composite-key searchsorted variant removes it, at the
+    cost of range-compressing timestamps per segment.)"""
     from .relational import bucketed_map_groups
     ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     ONE_HOUR_US = 3_600_000_000

@@ -706,6 +706,13 @@ def quantile_exact(ds, col: str, qs: List[float], *,
     Driver state is the sample plus the final band — never O(n). NaN /
     null values are excluded (SQL aggregate semantics). Returns one
     value per requested quantile (None when the column is empty).
+
+    Cost model: ~2 scans (count + collect) per WELL-SEPARATED quantile
+    per round — a handful of gates/cuts is the intended use; for full
+    decile tables prefer one pass over `ordered_global_rank` instead.
+    Scans re-execute the upstream pipeline (lazy); materialize a slim
+    (key, value) projection first when the upstream is expensive, as
+    docs_quality_gate does.
     """
     if not qs:
         return []
