@@ -418,6 +418,60 @@ def events_value_delta(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def events_hourly_pivot(sf_dir: str) -> pd.DataFrame:
+    """PIVOT (long -> wide): hourly counts per event type as one wide
+    row per hour. The heavy part — the (hour, type) aggregate — runs
+    distributed with partial combines; the pivot itself reshapes only
+    the aggregated series (hours x 5 types), which is small by
+    construction at any input scale."""
+    ds = read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"hour": b["ts"].dt.floor("h"),
+                          "event_type": b["event_type"]})
+        return (d.groupby(["hour", "event_type"], sort=False,
+                          observed=True).size().reset_index(name="c"))
+
+    g = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                    ["hour", "event_type"], {"n": ("sum", "c")})
+    wide = (g.pivot(index="hour", columns="event_type", values="n")
+            .fillna(0).astype("int64"))
+    wide = wide.reindex(
+        columns=["click", "error", "purchase", "signup", "view"],
+        fill_value=0).reset_index()
+    wide.columns.name = None
+    return wide.sort_values("hour").reset_index(drop=True)
+
+
+def events_hourly_gap_fill(sf_dir: str) -> pd.DataFrame:
+    """Time-series GAP FILL: the hourly 'error' count series densified
+    to EVERY hour between the global min and max hour (missing hours
+    emitted with n_events 0 and filled forward from the last observed
+    count). The spine bounds come from one distributed min/max
+    aggregate; the spine itself is hours-long (tiny by construction),
+    so densify + forward-fill run on the aggregated series."""
+    ds = read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.loc[b["event_type"] == "error"]
+        return (pd.DataFrame({"hour": d["ts"].dt.floor("h")})
+                .groupby("hour", sort=False).size()
+                .reset_index(name="c"))
+
+    g = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                    ["hour"], {"n_events": ("sum", "c")})
+    from ray.data.aggregate import Max, Min
+    agg = ds.aggregate(Min("ts"), Max("ts"))
+    lo = pd.Timestamp(agg["min(ts)"]).floor("h")
+    hi = pd.Timestamp(agg["max(ts)"]).floor("h")
+    spine = pd.DataFrame({"hour": pd.date_range(lo, hi, freq="h")})
+    out = spine.merge(g, on="hour", how="left")
+    out["observed"] = out["n_events"].notna()
+    out["n_events"] = (out["n_events"].ffill().fillna(0)
+                       .astype("int64"))
+    return out.sort_values("hour").reset_index(drop=True)
+
+
 def events_sliding_window(sf_dir: str) -> pd.DataFrame:
     """Per-event trailing RANGE window (count + exact-cents sum of
     value over [ts - 1 hour, ts] within user, peers-at-equal-ts
@@ -1817,6 +1871,8 @@ QUERIES = {
     "events_top_per_user": events_top_per_user,
     "events_value_delta": events_value_delta,
     "events_distinct_users_by_type": events_distinct_users_by_type,
+    "events_hourly_pivot": events_hourly_pivot,
+    "events_hourly_gap_fill": events_hourly_gap_fill,
     "events_sliding_window": events_sliding_window,
     "events_sorted_export": events_sorted_export,
     "events_ntile": events_ntile,
@@ -2046,6 +2102,34 @@ ORACLES = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id, ts, event_id
+    """,
+    "events_hourly_pivot": """
+        SELECT date_trunc('hour', ts) AS hour,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase')
+                 AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY hour ORDER BY hour
+    """,
+    "events_hourly_gap_fill": """
+        WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                          date_trunc('hour', max(ts)) AS hi
+                   FROM events),
+        spine AS (SELECT unnest(generate_series(lo, hi,
+                                                INTERVAL 1 HOUR))
+                    AS hour FROM b),
+        e AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+              FROM events WHERE event_type = 'error' GROUP BY 1)
+        SELECT s.hour,
+               CAST(COALESCE(last_value(e.n IGNORE NULLS)
+                             OVER (ORDER BY s.hour
+                                   ROWS UNBOUNDED PRECEDING), 0)
+                    AS BIGINT) AS n_events,
+               e.n IS NOT NULL AS observed
+        FROM spine s LEFT JOIN e ON s.hour = e.hour
+        ORDER BY s.hour
     """,
     "events_distinct_users_by_type": """
         SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
