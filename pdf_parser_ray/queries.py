@@ -1309,7 +1309,11 @@ def docs_tfidf_topk(sf_dir: str) -> pd.DataFrame:
     tf rows (each doc lives in one row), distributed df via
     grouped_agg_ds over the token vocabulary, partitioned hash_join
     tf x df (vocab is NOT assumed driver-small), then the grouped-
-    top-k combiner pattern per doc. ln via numpy == DuckDB ln."""
+    top-k combiner pattern per doc. The raw float score is NOT in the
+    verified output: numpy's log and DuckDB's ln differ by 1-3 ulp on
+    identical inputs (measured at sf0.01), so the hash-verified
+    surface is the exact integers (tf, df) plus the RANKING itself —
+    which embeds the score ordinally on both sides."""
     from .relational import bucketed_map_groups, grouped_agg_ds, hash_join
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
@@ -1343,7 +1347,7 @@ def docs_tfidf_topk(sf_dir: str) -> pd.DataFrame:
 
     partial = joined.map_batches(topk, batch_format="pandas")
     out = bucketed_map_groups(partial, ["doc_id"], topk).to_pandas()
-    return (out[["doc_id", "token", "tf", "df", "score"]]
+    return (out[["doc_id", "token", "tf", "df"]]
             .astype({"doc_id": "int64", "tf": "int64", "df": "int64"})
             .sort_values(["doc_id", "token"]).reset_index(drop=True))
 
@@ -2470,7 +2474,7 @@ ORACLES = {
                      PARTITION BY doc_id
                      ORDER BY score DESC, token) AS rn
           FROM scored)
-        SELECT doc_id, token, tf, df, score FROM ranked
+        SELECT doc_id, token, tf, df FROM ranked
         WHERE rn <= 3 ORDER BY doc_id, token
     """,
     "docs_shuffle_order": """
