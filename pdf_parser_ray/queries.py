@@ -245,6 +245,59 @@ def orders_customer_join_stats(sf_dir: str) -> pd.DataFrame:
 
 # ------------------------------------------------------------------- events
 
+def orders_version_diff(sf_dir: str) -> pd.DataFrame:
+    """CDC-style DATASET DIFF between two table versions — the
+    incremental-ingest primitive (what changed since the last run?):
+    'new' is a deterministic mutation of orders (keys %97==0 removed,
+    %13==0 repriced +1.00, fresh keys key+10_000_000 for %101==0
+    added), both versions stay distributed, and the diff is one
+    co-partitioned FULL OUTER hash join on the key with per-row
+    classification (added / removed / changed / same) — value equality
+    compared in exact int64 cents. Output: per-status row counts plus
+    key-range fingerprints (classification then aggregates
+    distributed; only 4 summary rows ever reach the driver)."""
+    from .relational import grouped_agg, hash_join
+    old = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep_old(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["o_orderkey"].values,
+                             "old_c": _cents(b["o_totalprice"])})
+
+    def prep_new(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b.loc[b["o_orderkey"] % 97 != 0]
+        c = _cents(keep["o_totalprice"])
+        c = c + np.where(keep["o_orderkey"] % 13 == 0, 100, 0)
+        new = pd.DataFrame({"k": keep["o_orderkey"].values, "new_c": c})
+        adds = b.loc[b["o_orderkey"] % 101 == 0]
+        added = pd.DataFrame({
+            "k": adds["o_orderkey"].values + 10_000_000,
+            "new_c": _cents(adds["o_totalprice"])})
+        return pd.concat([new, added], ignore_index=True)
+
+    j = hash_join(old.map_batches(prep_old, batch_format="pandas"),
+                  read_table(sf_dir, "orders",
+                             ["o_orderkey", "o_totalprice"])
+                  .map_batches(prep_new, batch_format="pandas"),
+                  on="k", how="outer")
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        old_c, new_c = b["old_c"], b["new_c"]
+        status = np.where(old_c.isna(), "added",
+                          np.where(new_c.isna(), "removed",
+                                   np.where(old_c != new_c, "changed",
+                                            "same")))
+        return pd.DataFrame({"status": status, "k": b["k"].values})
+
+    g = grouped_agg(j.map_batches(classify, batch_format="pandas"),
+                    ["status"], {"n": ("count", None),
+                                 "min_key": ("min", "k"),
+                                 "max_key": ("max", "k")})
+    g["n"] = g["n"].astype("int64")
+    g["min_key"] = g["min_key"].astype("int64")
+    g["max_key"] = g["max_key"].astype("int64")
+    return g.sort_values("status").reset_index(drop=True)
+
+
 def events_type_stats(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "events", ["event_type", "value"])
 
@@ -1864,6 +1917,7 @@ QUERIES = {
     "top_customers_by_spend": top_customers_by_spend,
     "q3_shipping_topk": q3_shipping_topk,
     "customer_orders_full_outer": customer_orders_full_outer,
+    "orders_version_diff": orders_version_diff,
     "customer_nation_stats": customer_nation_stats,
     "orders_customer_join_stats": orders_customer_join_stats,
     "events_type_stats": events_type_stats,
@@ -2106,6 +2160,31 @@ ORACLES = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id, ts, event_id
+    """,
+    "orders_version_diff": """
+        WITH old AS (SELECT o_orderkey AS k,
+                            CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS old_c
+                     FROM orders),
+        new AS (
+          SELECT o_orderkey AS k,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   + CASE WHEN o_orderkey % 13 = 0 THEN 100 ELSE 0 END
+                   AS new_c
+          FROM orders WHERE o_orderkey % 97 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000 AS k,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS new_c
+          FROM orders WHERE o_orderkey % 101 = 0),
+        d AS (SELECT COALESCE(old.k, new.k) AS k,
+                     CASE WHEN old.k IS NULL THEN 'added'
+                          WHEN new.k IS NULL THEN 'removed'
+                          WHEN old_c <> new_c THEN 'changed'
+                          ELSE 'same' END AS status
+              FROM old FULL OUTER JOIN new ON old.k = new.k)
+        SELECT status, COUNT(*) AS n, MIN(k) AS min_key,
+               MAX(k) AS max_key
+        FROM d GROUP BY status ORDER BY status
     """,
     "events_hourly_pivot": """
         SELECT date_trunc('hour', ts) AS hour,
