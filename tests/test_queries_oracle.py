@@ -64,3 +64,16 @@ def test_rows_only_queries_run(ray_session, name):
             out2 = out2.to_pandas()
         pd.testing.assert_frame_equal(out.reset_index(drop=True),
                                       out2.reset_index(drop=True))
+
+
+def test_driver_entry_contract(ray_session):
+    """Mirror the driver's smoke check: entry() runs under an
+    externally owned Ray session (must not call ray.init itself),
+    returns >0 rows with a schema, and every oracle key has a query."""
+    import __ray_entry__ as e
+    res = e.entry()
+    assert res.count() > 0
+    assert res.schema() is not None
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+    assert all(callable(f) for f in q.values())
