@@ -361,3 +361,35 @@ def test_ordered_exclusive_cumsum_property(ray_session, seed, parts,
     got = got.sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["k", "v", "cum"]], want,
                                   check_dtype=False)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 2**31 - 1),
+       dist=st.sampled_from(["normal", "ties", "lognormal", "ints"]),
+       q=st.sampled_from([0.0, 0.1, 0.5, 0.75, 0.9, 1.0]),
+       budget=st.sampled_from([50, 100000]))
+def test_quantile_exact_matches_numpy_property(ray_session, seed, dist,
+                                               q, budget):
+    """quantile_exact == np.quantile(method='linear') bit-for-bit on
+    random distributions (including heavy ties and all-int columns),
+    both with a roomy budget and one small enough to force narrowing
+    or the tie shortcut."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import quantile_exact
+    rng = np.random.RandomState(seed)
+    n = rng.randint(50, 3000)
+    if dist == "normal":
+        v = rng.standard_normal(n)
+    elif dist == "ties":
+        v = rng.choice([0.0, 1.5, 1.5, 1.5, 7.25], n)
+    elif dist == "lognormal":
+        v = rng.lognormal(0, 4, n)
+    else:
+        v = rng.randint(-10, 10, n).astype(np.float64)
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(
+        rng.randint(1, 9))
+    got = quantile_exact(ds, "x", [q], band_budget_rows=budget,
+                         max_rounds=12)
+    assert got == [float(np.quantile(v, q, method="linear"))]
