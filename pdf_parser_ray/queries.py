@@ -1548,6 +1548,70 @@ def docs_sliding_chunks(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def docs_bigram_lift(sf_dir: str) -> pd.DataFrame:
+    """Collocation mining: top-20 adjacent-token bigrams by LIFT
+    (c_ab * N / (c_a * c_b) — the PMI ranking with the monotone log
+    dropped, so the score is pure IEEE arithmetic on exact integers
+    and hash-comparable across engines, unlike a transcendental).
+    Bigram and unigram counts aggregate distributed over the token
+    vocabulary (grouped_agg_ds + two partitioned hash_joins — the
+    vocabulary is never assumed driver-small); the final top-20 uses
+    per-batch partial top-k."""
+    from .relational import grouped_agg_ds, hash_join, topk
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def bigram_rows(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.findall(r"\S+")
+        a_parts, b_parts = [], []
+        for arr in toks.to_numpy():
+            if len(arr) > 1:
+                a_parts.append(np.asarray(arr[:-1], dtype=object))
+                b_parts.append(np.asarray(arr[1:], dtype=object))
+        if not a_parts:
+            return pd.DataFrame({"a": [], "b": [], "c": []})
+        d = pd.DataFrame({"a": np.concatenate(a_parts),
+                          "b": np.concatenate(b_parts)})
+        return (d.groupby(["a", "b"], sort=False).size()
+                .reset_index(name="c"))
+
+    def uni_rows(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].str.findall(r"\S+").explode().dropna()
+        vc = s.value_counts()
+        return pd.DataFrame({"tok": vc.index, "c": vc.values})
+
+    cab = grouped_agg_ds(ds.map_batches(bigram_rows,
+                                        batch_format="pandas"),
+                         ["a", "b"], {"c_ab": ("sum", "c")})
+    uni = ds.map_batches(uni_rows, batch_format="pandas")
+    cu = grouped_agg_ds(uni, ["tok"], {"c": ("sum", "c")})
+    n_tokens = int(ds.map_batches(
+        lambda b: pd.DataFrame(
+            {"n": [int(b["text"].str.count(r"\S+").sum())]}),
+        batch_format="pandas").to_pandas()["n"].sum())
+
+    ca = cu.map_batches(lambda b: b.rename(
+        columns={"tok": "a", "c": "c_a"}), batch_format="pandas")
+    cb = cu.map_batches(lambda b: b.rename(
+        columns={"tok": "b", "c": "c_b"}), batch_format="pandas")
+    j = hash_join(hash_join(cab, ca, on="a"), cb, on="b")
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["c_ab"] >= 5].copy(deep=False)
+        # identical expression tree to the oracle:
+        # (double(c_ab) * double(N)) / double(c_a * c_b)
+        b["lift"] = (b["c_ab"].to_numpy(dtype=np.float64)
+                     * float(n_tokens)) \
+            / (b["c_a"].to_numpy() * b["c_b"].to_numpy()) \
+            .astype(np.float64)
+        return b
+
+    out = topk(j.map_batches(score, batch_format="pandas"),
+               ["lift", "a", "b"], [False, True, True], 20)
+    return (out[["a", "b", "c_ab", "c_a", "c_b", "lift"]]
+            .astype({"c_ab": "int64", "c_a": "int64", "c_b": "int64"})
+            .reset_index(drop=True))
+
+
 def docs_heavy_tokens(sf_dir: str) -> pd.DataFrame:
     """Heavy-hitters sketch (distributed Misra-Gries,
     stages.sketches.heavy_hitters) with a BOUNDS ORACLE: the emitted
@@ -1971,6 +2035,7 @@ QUERIES = {
     "docs_top_tokens": docs_top_tokens,
     "docs_heavy_tokens": docs_heavy_tokens,
     "docs_sliding_chunks": docs_sliding_chunks,
+    "docs_bigram_lift": docs_bigram_lift,
     "docs_lang_counts": docs_lang_counts,
     "docs_clean_text": docs_clean_text,
     "docs_repetition_ratio": docs_repetition_ratio,
@@ -2607,6 +2672,28 @@ ORACLES = {
                  AS chunk,
                LEAST(64, len(toks) - start) AS n_chunk_tokens
         FROM s ORDER BY doc_id, chunk_idx
+    """,
+    "docs_bigram_lift": r"""
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        bi AS (SELECT toks[i] AS a, toks[i+1] AS b
+               FROM (SELECT toks,
+                            unnest(generate_series(1, len(toks) - 1))
+                              AS i
+                     FROM t WHERE len(toks) > 1)),
+        cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY a, b),
+        uni AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents),
+        cu AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n FROM uni)
+        SELECT cab.a, cab.b, c_ab, ca.c AS c_a, cb.c AS c_b,
+               c_ab * CAST(n.n AS DOUBLE) / (ca.c * cb.c) AS lift
+        FROM cab JOIN cu ca ON cab.a = ca.tok
+                 JOIN cu cb ON cab.b = cb.tok
+        CROSS JOIN n
+        WHERE c_ab >= 5
+        ORDER BY lift DESC, cab.a, cab.b LIMIT 20
     """,
     "docs_heavy_tokens": """
         WITH toks AS (
