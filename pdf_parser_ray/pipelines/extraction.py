@@ -105,19 +105,21 @@ def heavy_conversations(transcripts, *, threshold: int = 64):
     return dict(zip(heavy["conv_id"], heavy["count"]))
 
 
-def _finish(extracted, out_dir, ordered, n_buckets):
+def _finish(extracted, out_dir, ordered, n_buckets, salt_turns=0):
     if ordered:
         extracted = extracted.sort(["conv_id", "turn_idx"])
     if out_dir is not None:
         from ..state.checkpoint import checkpointed_write
         return checkpointed_write(extracted, out_dir, key="conv_id",
-                                  n_buckets=n_buckets)
+                                  n_buckets=n_buckets,
+                                  salt_turns=salt_turns)
     return extracted
 
 
 def run_extraction(sf_dir: str, out_dir: Optional[str] = None, *,
                    ordered: bool = False, batch_size: int = 512,
-                   concurrency=None, n_buckets: int = 32):
+                   concurrency=None, n_buckets: int = 32,
+                   salt_turns: int = 0):
     """The flagship run over the SYNTHESIZED corpus (documents ->
     transcripts -> extraction). Returns the (lazy) extracted Dataset;
     when ``out_dir`` is given, executes the checkpointed write and
@@ -125,13 +127,14 @@ def run_extraction(sf_dir: str, out_dir: Optional[str] = None, *,
     ts = transcripts_dataset(sf_dir)
     extracted = extract_dataset(ts, batch_size=batch_size,
                                 concurrency=concurrency)
-    return _finish(extracted, out_dir, ordered, n_buckets)
+    return _finish(extracted, out_dir, ordered, n_buckets, salt_turns)
 
 
 def run_extraction_from_parquet(transcripts_path, out_dir: Optional[str] = None,
                                 *, ordered: bool = False,
                                 batch_size: int = 512, concurrency=None,
-                                n_buckets: int = 32, columns=None):
+                                n_buckets: int = 32, columns=None,
+                                salt_turns: int = 0):
     """The PRODUCTION entry: extract an existing transcript Parquet
     table (file, directory of part files, or list of paths — at real
     scale the file count drives read parallelism). Only the columns the
@@ -142,4 +145,4 @@ def run_extraction_from_parquet(transcripts_path, out_dir: Optional[str] = None,
                                              "text", "tool"])
     extracted = extract_dataset(ts, batch_size=batch_size,
                                 concurrency=concurrency)
-    return _finish(extracted, out_dir, ordered, n_buckets)
+    return _finish(extracted, out_dir, ordered, n_buckets, salt_turns)

@@ -190,3 +190,38 @@ def test_sorted_export_pruned_column_read(ray_session, tmp_path):
     assert ((got["ts"] >= lo) & (got["ts"] <= hi)).all()
     want = df[(df["ts"] >= lo) & (df["ts"] <= hi)]
     assert len(got) == len(want)
+
+
+def test_checkpoint_salted_write_equal_and_balanced(ray_session,
+                                                    tmp_path):
+    """Mega-conversation skew: the salted checkpointed write must (a)
+    produce the exact same row set as the unsalted write and (b) bound
+    the largest bucket near salt_turns instead of the mega-conv size."""
+    import ray.data as rd
+    import pyarrow.dataset as pds
+    from pdf_parser_ray.state.checkpoint import checkpointed_write
+    n_mega, n_small = 5000, 500
+    df = pd.concat([
+        pd.DataFrame({"conv_id": "mega", "turn_idx": np.arange(n_mega),
+                      "payload": np.arange(n_mega) * 3}),
+        pd.DataFrame({"conv_id": [f"c{i}" for i in range(n_small)],
+                      "turn_idx": 0,
+                      "payload": np.arange(n_small)}),
+    ], ignore_index=True)
+    outs = {}
+    for salt in (0, 256):
+        out = str(tmp_path / f"salt{salt}")
+        m = checkpointed_write(rd.from_pandas(df).repartition(6), out,
+                               key="conv_id", n_buckets=8,
+                               salt_turns=salt)
+        back = (pds.dataset(out, format="parquet", partitioning="hive",
+                            exclude_invalid_files=True)
+                .to_table().to_pandas()
+                .sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True))
+        outs[salt] = back[["conv_id", "turn_idx", "payload"]]
+        if salt == 0:
+            assert m["rows"].max() >= n_mega      # one straggler bucket
+        else:
+            assert m["rows"].max() < n_mega / 4   # spread out
+    pd.testing.assert_frame_equal(outs[0], outs[256])
