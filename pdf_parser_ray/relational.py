@@ -749,6 +749,13 @@ def quantile_exact(ds, col: str, qs: List[float], *,
         for _ in range(max_rounds):
             rel0, rel1 = r0 - lo_rank, r1 - lo_rank
             m = len(sample)
+            if m == wn:
+                # the bounded sample caps at 4096 rows, so m == wn means
+                # every window row IS in the sample — resolve exactly
+                # with no further scans
+                found[r0] = float(sample[rel0])
+                found[r1] = float(sample[rel1])
+                return
             slack = max(1, m // 32)
             lo_i = max(0, int(np.floor(rel0 / max(wn, 1) * (m - 1))) - slack)
             hi_i = min(m - 1,
@@ -764,17 +771,48 @@ def quantile_exact(ds, col: str, qs: List[float], *,
                     v = b[col].to_numpy()
                     return pd.DataFrame(
                         {"below": [int((v < blo).sum())],
-                         "band": [int(((v >= blo) & (v <= bhi)).sum())]})
+                         "band": [int(((v >= blo) & (v <= bhi)).sum())],
+                         "eq_lo": [int((v == blo).sum())],
+                         "eq_hi": [int((v == bhi).sum())]})
 
                 c = (window.map_batches(counts, batch_format="pandas")
                      .to_pandas().sum())
                 below, band = int(c["below"]), int(c["band"])
+                eq_lo, eq_hi = int(c["eq_lo"]), int(c["eq_hi"])
                 if (below <= rel0 and below + band > rel1) or \
                         (lo_i == 0 and hi_i == m - 1):
                     break
                 lo_i = max(0, lo_i - 2 * slack)    # sample misestimated
                 hi_i = min(m - 1, hi_i + 2 * slack)  # the rank: widen
 
+            if blo == bhi:
+                # a tie run larger than the budget: every value in the
+                # band IS the order statistic — no collect needed
+                found[r0] = found[r1] = float(blo)
+                return
+            # ranks inside the bracket-EDGE tie runs are exact from the
+            # counts alone — this is what makes adjacent giant tie runs
+            # (each > budget, bracket pinned to the two values) converge
+            def edge_val(rel: int):
+                if rel < below + eq_lo:
+                    return float(blo)
+                if rel >= below + band - eq_hi:
+                    return float(bhi)
+                return None
+            v0, v1 = edge_val(rel0), edge_val(rel1)
+            if v0 is not None:
+                found[r0] = v0
+            if v1 is not None:
+                found[r1] = v1
+            if v0 is not None and v1 is not None:
+                return
+            # one of the pair resolved at a bracket edge: chase only the
+            # unresolved rank from here on (the resolved one would fall
+            # outside the narrowed window and go rank-negative)
+            if v0 is not None:
+                r0 = r1
+            elif v1 is not None:
+                r1 = r0
             if band <= band_budget_rows:
                 got = np.sort(window.map_batches(
                     lambda b, blo=blo, bhi=bhi: band_filter(b, blo, bhi),
@@ -782,16 +820,30 @@ def quantile_exact(ds, col: str, qs: List[float], *,
                 found[r0] = float(got[r0 - lo_rank - below])
                 found[r1] = float(got[r1 - lo_rank - below])
                 return
-            if blo == bhi:
-                # a tie run larger than the budget: every value in the
-                # band IS the order statistic — no collect needed
-                found[r0] = found[r1] = float(blo)
+            # unresolved ranks are strictly interior — narrow to the
+            # OPEN interval (blo, bhi): the edge runs (>= 1 row each)
+            # leave the window, so progress is guaranteed even when
+            # they exceed the budget
+            def interior_filter(b: pd.DataFrame, blo=blo,
+                                bhi=bhi) -> pd.DataFrame:
+                v = b[col].to_numpy()
+                return pd.DataFrame({col: v[(v > blo) & (v < bhi)]})
+
+            interior = band - eq_lo - eq_hi
+            if interior <= band_budget_rows:
+                got = np.sort(window.map_batches(
+                    interior_filter,
+                    batch_format="pandas").to_pandas()[col].to_numpy())
+                base = lo_rank + below + eq_lo
+                if v0 is None:
+                    found[r0] = float(got[r0 - base])
+                if v1 is None:
+                    found[r1] = float(got[r1 - base])
                 return
-            window = window.map_batches(
-                lambda b, blo=blo, bhi=bhi: band_filter(b, blo, bhi),
-                batch_format="pandas")
-            lo_rank += below
-            wn = band
+            window = window.map_batches(interior_filter,
+                                        batch_format="pandas")
+            lo_rank += below + eq_lo
+            wn = interior
             wlo, whi = blo, bhi
             sample = np.sort(_sample_order_values(window, col))
         raise RuntimeError(

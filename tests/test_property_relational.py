@@ -5,7 +5,7 @@ cardinality, nulls in value columns, single- and multi-key groupbys)."""
 import numpy as np
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 import hypothesis.strategies as st
 
 _SETTINGS = dict(max_examples=12, deadline=None,
@@ -370,6 +370,7 @@ def test_ordered_exclusive_cumsum_property(ray_session, seed, parts,
        dist=st.sampled_from(["normal", "ties", "lognormal", "ints"]),
        q=st.sampled_from([0.0, 0.1, 0.5, 0.75, 0.9, 1.0]),
        budget=st.sampled_from([50, 100000]))
+@example(seed=146, dist='ints', q=0.1, budget=50)
 def test_quantile_exact_matches_numpy_property(ray_session, seed, dist,
                                                q, budget):
     """quantile_exact == np.quantile(method='linear') bit-for-bit on
@@ -393,3 +394,29 @@ def test_quantile_exact_matches_numpy_property(ray_session, seed, dist,
     got = quantile_exact(ds, "x", [q], band_budget_rows=budget,
                          max_rounds=12)
     assert got == [float(np.quantile(v, q, method="linear"))]
+
+
+def test_quantile_exact_adjacent_giant_tie_runs(ray_session):
+    """Regression: ranks at the BOUNDARY of two tie runs each far
+    larger than the band budget. The bracket pins to the two distinct
+    values and the closed-interval narrowing makes no progress; the
+    edge-tie-run count resolution (and the exhaustive-sample shortcut
+    for small windows) must converge exactly."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import quantile_exact
+
+    rng = np.random.RandomState(7)
+    v = np.repeat([1.0, 2.0, 3.0], 40_000)[rng.permutation(120_000)]
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(6)
+    for q in (0.0, 1 / 3, 0.5, 2 / 3, 0.99, 1.0):
+        got = quantile_exact(ds, "x", [q], band_budget_rows=50,
+                             max_rounds=12)
+        assert got == [float(np.quantile(v, q, method="linear"))], q
+
+    # rank exactly at the junction of a 70k run and a 50k run
+    v2 = np.concatenate([np.full(70_000, 5.0), np.full(50_000, 9.0)])
+    ds2 = rd.from_pandas(pd.DataFrame({"x": v2})).repartition(5)
+    for q in (70_000 / 120_000, (70_000 - 1) / (120_000 - 1), 0.58334):
+        got = quantile_exact(ds2, "x", [q], band_budget_rows=50,
+                             max_rounds=12)
+        assert got == [float(np.quantile(v2, q, method="linear"))], q
