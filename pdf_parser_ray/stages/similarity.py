@@ -60,6 +60,10 @@ def train_ivf_centroids(ds, *, n_clusters: int = 16, sample_size: int = 2048,
     sample = ds.random_sample(1.0, seed=seed).limit(sample_size).to_pandas()
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    # Block arrival order varies under a busy cluster; sort the sample
+    # rows lexicographically so k-means init (and thus the trained
+    # centroids) is invariant to physical block ordering.
+    X = X[np.lexsort(X.T[::-1])]
     rng = np.random.RandomState(seed)
     cents = X[rng.choice(len(X), size=min(n_clusters, len(X)),
                          replace=False)]
