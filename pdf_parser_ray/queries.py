@@ -1783,6 +1783,17 @@ def dedup_ngram_char(sf_dir: str) -> pd.DataFrame:
     return minhash_dedup_pairs(ds, shingle="char5", threshold=0.7)
 
 
+def docs_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """EXACT set-similarity join (no MinHash approximation): all doc
+    pairs with word-3-shingle Jaccard >= 0.5 over the df<=256-filtered
+    shingle space, via the distributed inverted-index plan
+    (stages.dedup.jaccard_pairs_exact) — the SQL-oracle-able anchor for
+    the approximate dedup family."""
+    from .stages.dedup import jaccard_pairs_exact
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_pairs_exact(ds, k=3, threshold=0.5, max_df=256)
+
+
 def dedup_minhash_keep(sf_dir: str) -> pd.DataFrame:
     """Near-dup dedup as a FILTER: connected components over verified
     pairs, min-id representative kept per component."""
@@ -2045,6 +2056,7 @@ QUERIES = {
     "embeddings_knn_lsh": embeddings_knn_lsh,
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "embeddings_near_dup": embeddings_near_dup,
+    "docs_jaccard_pairs": docs_jaccard_pairs,
     "dedup_minhash_word": dedup_minhash_word,
     "dedup_minhash_keep": dedup_minhash_keep,
     "dedup_ngram_char": dedup_ngram_char,
@@ -2385,6 +2397,45 @@ ORACLES = {
                      o_orderdate, o_totalprice
               FROM h ORDER BY -ln(u) / l_extendedprice, li_id LIMIT 50)
         SELECT * FROM s ORDER BY l_orderkey, l_linenumber
+    """,
+    "docs_jaccard_pairs": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM documents),
+        g AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+              FROM w, UNNEST(range(1, len(words) - 1)) AS r(i)
+              WHERE len(words) >= 3),
+        s AS (SELECT DISTINCT doc_id, sh FROM g),
+        df AS (SELECT sh, COUNT(*) AS df FROM s GROUP BY sh),
+        f AS (SELECT s.doc_id, s.sh FROM s JOIN df USING (sh)
+              WHERE df.df <= 256),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id),
+        co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      COUNT(*) AS n_shared
+               FROM f a JOIN f b USING (sh)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT co.id_a, co.id_b, co.n_shared,
+               CAST(co.n_shared AS DOUBLE)
+                 / (sa.n + sb.n - co.n_shared) AS jaccard
+        FROM co JOIN sz sa ON sa.doc_id = co.id_a
+                JOIN sz sb ON sb.doc_id = co.id_b
+        WHERE CAST(co.n_shared AS DOUBLE)
+                / (sa.n + sb.n - co.n_shared) >= 0.5
+        ORDER BY co.id_a, co.id_b
+    """,
+    "docs_repetition_ratio": """
+        WITH toks AS (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+        t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        cnt AS (SELECT doc_id, tok, COUNT(*) AS c
+                FROM t GROUP BY doc_id, tok),
+        agg AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE)
+                               / CAST(SUM(c) AS DOUBLE) AS top_token_ratio
+                FROM cnt GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(a.top_token_ratio, 0.0)
+                 AS top_token_ratio
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
     """,
     "docs_commonness": """
         WITH toks AS (SELECT doc_id,

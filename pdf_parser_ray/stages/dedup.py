@@ -1016,3 +1016,178 @@ def embedding_dedup_pairs(ds, **kwargs) -> pd.DataFrame:
     """embedding_dedup_pairs_ds collected to sorted driver pandas."""
     return _collect_pairs(embedding_dedup_pairs_ds(ds, **kwargs),
                           {"cosine": "float64"})
+
+
+# ------------------------------------ exact similarity join (set Jaccard)
+
+def _shingle_postings(batch: pd.DataFrame, *, k: int, id_col: str,
+                      text_col: str) -> pd.DataFrame:
+    """Explode each doc into its DISTINCT word-k-shingle postings
+    (doc_id, sh). Per-doc string work is inherent text parsing (same
+    note as MinHash shingling), amortized across the batch."""
+    ids: list = []
+    shs: list = []
+    for doc_id, text in zip(batch[id_col], batch[text_col]):
+        toks = text.split()
+        if len(toks) < k:
+            continue
+        seen = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+        ids.extend([doc_id] * len(seen))
+        shs.extend(seen)
+    return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                         "sh": pd.Series(shs, dtype="object")})
+
+
+def _jaccard_postings_bucket(g: pd.DataFrame, *, max_df: int
+                             ) -> pd.DataFrame:
+    """Per shingle-hash bucket: exact document frequency per shingle
+    (all postings of a shingle land in ONE bucket), stop-shingle drop
+    (df > max_df), then two partial outputs in one union frame:
+
+    - size partials  (id_a=doc, id_b=-1, n=retained shingles here)
+    - pair partials  (id_a<id_b, n=co-occurring shingles here),
+      vectorized offset-diagonal expansion (_pair_positions) and
+      pre-aggregated before the pair shuffle.
+    """
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64")})
+    codes, _u = pd.factorize(g["sh"].to_numpy())
+    df = np.bincount(codes)
+    keep = df[codes] <= max_df
+    ids = g["doc_id"].to_numpy()[keep]
+    codes = codes[keep]
+    if not len(ids):
+        return empty
+    u, cnt = np.unique(ids, return_counts=True)
+    sizes = pd.DataFrame({"id_a": u.astype(np.int64),
+                          "id_b": np.int64(-1),
+                          "n": cnt.astype(np.int64)})
+    order = np.lexsort((ids, codes))
+    c, sids = codes[order], ids[order]
+    i, j = _pair_positions(c)
+    if not len(i):
+        return pd.concat([empty, sizes], ignore_index=True)
+    pairs = (pd.DataFrame({"id_a": sids[i], "id_b": sids[j]})
+             .groupby(["id_a", "id_b"], sort=False).size()
+             .rename("n").reset_index())
+    return pd.concat([pairs, sizes], ignore_index=True)
+
+
+def jaccard_pairs_exact_ds(ds, *, k: int = 3, threshold: float = 0.5,
+                           max_df: int = 256, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           batch_size: int = 4096):
+    """EXACT all-pairs Jaccard similarity join — the SQL-oracle-able
+    complement of the MinHash approximation — via a distributed
+    inverted index (the classic exact set-similarity-join plan):
+
+      1. explode docs to DISTINCT (shingle, doc_id) postings
+      2. one bucketed shuffle BY SHINGLE: per group, drop stop-shingles
+         (document frequency > max_df), emit per-doc retained-size
+         partials and co-occurrence pair partials
+      3. one bucketed shuffle BY KEY combines both partial kinds
+         (pair co-counts and per-doc sizes share the shuffle: sizes
+         ride as (doc, -1) keys)
+      4. attach sizes to pairs — broadcast (sorted id + count arrays,
+         np.searchsorted) under the byte budget, two co-partitioned
+         hash_joins above it — and filter
+         J = shared / (|A| + |B| - shared) >= threshold.
+
+    EXACT over the df-filtered shingle space: any pair with J > 0 in
+    that space shares >= 1 retained shingle, so every qualifying pair
+    is generated. max_df bounds the per-shingle pair blow-up (a
+    boilerplate shingle on a 100-TB crawl would otherwise emit df^2
+    pairs); the SQL oracle applies the identical df filter, so the
+    semantic is pinned, not approximated.
+    """
+    import functools as _ft
+
+    import ray
+
+    from ..relational import bucketed_map_groups, guard_broadcast_bytes
+
+    postings = ds.map_batches(
+        _ft.partial(_shingle_postings, k=k, id_col=id_col,
+                    text_col=text_col),
+        batch_format="pandas", batch_size=batch_size)
+    parts = bucketed_map_groups(
+        postings, ["sh"],
+        _ft.partial(_jaccard_postings_bucket, max_df=max_df))
+
+    def _sum_n(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["id_a", "id_b"], sort=False)["n"].sum()
+                .reset_index())
+
+    combined = bucketed_map_groups(parts, ["id_a", "id_b"],
+                                   _sum_n).materialize()
+    sizes_ds = combined.map_batches(
+        lambda b: b[b["id_b"] == -1][["id_a", "n"]],
+        batch_format="pandas").materialize()
+    pairs_ds = combined.map_batches(lambda b: b[b["id_b"] != -1],
+                                    batch_format="pandas")
+
+    size_bytes = sizes_ds.size_bytes() or 0
+    if size_bytes <= _BROADCAST_VERIFY_BYTES:
+        sdf = sizes_ds.to_pandas()
+        if sdf.empty:
+            sid = np.empty(0, dtype=np.int64)
+            scnt = np.empty(0, dtype=np.int64)
+        else:
+            order = np.argsort(sdf["id_a"].to_numpy(), kind="stable")
+            sid = sdf["id_a"].to_numpy()[order]
+            scnt = sdf["n"].to_numpy()[order]
+        guard_broadcast_bytes(sid.nbytes + scnt.nbytes,
+                              "jaccard size arrays",
+                              "raise _BROADCAST_VERIFY_BYTES or rely on "
+                              "the hash_join path")
+        ref = ray.put((sid, scnt))
+
+        def attach(b: pd.DataFrame) -> pd.DataFrame:
+            sid, scnt = ray.get(ref)
+            a = b["id_a"].to_numpy()
+            bb = b["id_b"].to_numpy()
+            n = b["n"].to_numpy()
+            na = scnt[np.searchsorted(sid, a)]
+            nb = scnt[np.searchsorted(sid, bb)]
+            j = n / (na + nb - n)
+            out = pd.DataFrame({"id_a": a, "id_b": bb,
+                                "n_shared": n.astype(np.int64),
+                                "jaccard": j})
+            return out[out["jaccard"] >= threshold]
+
+        return pairs_ds.map_batches(attach, batch_format="pandas")
+
+    # sizes outgrew the broadcast budget: two co-partitioned hash joins
+    # (every pair id is present in sizes — a paired doc retained >= 1
+    # shingle — so inner joins lose nothing)
+    from ..relational import hash_join
+    sa = sizes_ds.map_batches(
+        lambda b: b.rename(columns={"n": "n_a"}), batch_format="pandas")
+    sb = sizes_ds.map_batches(
+        lambda b: b.rename(columns={"id_a": "id_b", "n": "n_b"}),
+        batch_format="pandas")
+    joined = hash_join(hash_join(pairs_ds, sa, on="id_a"), sb, on="id_b")
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy()
+        j = n / (b["n_a"].to_numpy() + b["n_b"].to_numpy() - n)
+        out = pd.DataFrame({"id_a": b["id_a"].to_numpy(),
+                            "id_b": b["id_b"].to_numpy(),
+                            "n_shared": n.astype(np.int64),
+                            "jaccard": j})
+        return out[out["jaccard"] >= threshold]
+
+    return joined.map_batches(score, batch_format="pandas")
+
+
+def jaccard_pairs_exact(ds, **kwargs) -> pd.DataFrame:
+    """jaccard_pairs_exact_ds collected to sorted driver pandas."""
+    out = jaccard_pairs_exact_ds(ds, **kwargs).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "n_shared": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return (out.sort_values(["id_a", "id_b"], kind="mergesort")
+            .reset_index(drop=True))

@@ -196,3 +196,94 @@ def test_signatures_batch_matches_scalar_oracle():
         batch = mh.signatures_batch(texts)
         for i, t in enumerate(texts):
             np.testing.assert_array_equal(batch[i], mh.signature(t))
+
+
+# ------------------------------------ exact Jaccard similarity join
+
+def _brute_jaccard(df, k=3, max_df=None, threshold=0.0):
+    """Scalar oracle: per-doc shingle sets, optional global df filter,
+    all-pairs Jaccard."""
+    sets = {}
+    for _, r in df.iterrows():
+        toks = r["text"].split()
+        if len(toks) >= k:
+            sets[r["doc_id"]] = {
+                " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    if max_df is not None:
+        from collections import Counter
+        dfc = Counter(s for v in sets.values() for s in v)
+        sets = {d: {s for s in v if dfc[s] <= max_df}
+                for d, v in sets.items()}
+    rows = []
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold and inter > 0:
+                rows.append((a, b, inter, inter / union))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "n_shared",
+                                       "jaccard"])
+
+
+def test_jaccard_pairs_exact_vs_brute(ray_session):
+    import ray.data as rd
+    from pdf_parser_ray.stages.dedup import jaccard_pairs_exact
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        n = rng.randint(3, 30)
+        rows.append({"doc_id": i,
+                     "text": " ".join(rng.choice(vocab, n))})
+    # clones and near-clones to guarantee high-J pairs
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    rows.append({"doc_id": 101, "text": rows[0]["text"] + " extra"})
+    df = pd.DataFrame(rows)
+    want = _brute_jaccard(df, k=3, max_df=256, threshold=0.4)
+    got = jaccard_pairs_exact(rd.from_pandas(df).repartition(5),
+                              k=3, threshold=0.4, max_df=256)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_jaccard_pairs_df_cap_semantics(ray_session):
+    """The df cap changes the shingle SPACE, not just candidates: a
+    shingle in > max_df docs contributes to neither intersection nor
+    union, exactly as the brute-force oracle defines it."""
+    import ray.data as rd
+    from pdf_parser_ray.stages.dedup import jaccard_pairs_exact
+    common = "alpha beta gamma"  # one shingle shared by every doc
+    df = pd.DataFrame([
+        {"doc_id": i, "text": f"{common} tail{i} tail{i} end{i}"}
+        for i in range(5)])
+    want = _brute_jaccard(df, k=3, max_df=3, threshold=0.0)
+    got = jaccard_pairs_exact(rd.from_pandas(df).repartition(2),
+                              k=3, threshold=0.0001, max_df=3)
+    w = want[want["jaccard"] >= 0.0001]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        w.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_jaccard_pairs_shuffle_path_pins_broadcast(ray_session,
+                                                   monkeypatch):
+    """Force the hash_join fallback (sizes 'over' budget) and pin its
+    output byte-equal to the broadcast path."""
+    import ray.data as rd
+    from pdf_parser_ray.stages import dedup
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(30)]
+    df = pd.DataFrame([
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, 15))}
+        for i in range(40)])
+    df.loc[39, "text"] = df.loc[0, "text"]
+    ds = rd.from_pandas(df).repartition(4)
+    base = dedup.jaccard_pairs_exact(ds, k=3, threshold=0.3)
+    monkeypatch.setattr(dedup, "_BROADCAST_VERIFY_BYTES", 0)
+    forced = dedup.jaccard_pairs_exact(ds, k=3, threshold=0.3)
+    pd.testing.assert_frame_equal(base, forced)
