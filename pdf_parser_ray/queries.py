@@ -525,6 +525,90 @@ def events_hourly_gap_fill(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("hour").reset_index(drop=True)
 
 
+def events_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS / ROLLUP over (event_type, hour): counts and
+    exact-cents value sums at all three levels. The FINEST level is
+    the one distributed aggregation (grouped_agg partial+final); the
+    coarser levels re-aggregate its cardinality-bounded result (types
+    x hours rows) — int64-cents sums re-sum exactly, so every level is
+    bit-equal to DuckDB's ROLLUP at any parallelism. GROUPING flags
+    (g_type, g_hour) disambiguate rolled-up NULLs from data NULLs."""
+    ds = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"].values,
+                             "hour": b["ts"].dt.floor("h"),
+                             "v_c": _cents(b["value"])})
+
+    fine = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                       ["event_type", "hour"],
+                       {"n_events": ("count", None), "s": ("sum", "v_c")})
+
+    hour_dtype = fine["hour"].dtype
+
+    def lvl(df, g_type, g_hour):
+        out = pd.DataFrame({
+            "event_type": (df["event_type"] if not g_type
+                           else pd.Series([None] * len(df),
+                                          dtype="object")),
+            "hour": (df["hour"] if not g_hour
+                     else pd.Series([pd.NaT] * len(df),
+                                    dtype=hour_dtype)),
+            "n_events": df["n_events"].astype("int64").to_numpy(),
+            "sum_value": _d(df["s"]) / 100.0,
+            "g_type": np.int64(g_type), "g_hour": np.int64(g_hour)})
+        return out
+
+    by_type = (fine.groupby("event_type", sort=False)
+               .agg(n_events=("n_events", "sum"), s=("s", "sum"))
+               .reset_index())
+    total = pd.DataFrame({"event_type": [None],
+                          "n_events": [fine["n_events"].sum()],
+                          "s": [fine["s"].sum()]})
+    out = pd.concat([lvl(fine, 0, 0), lvl(by_type, 0, 1),
+                     lvl(total, 1, 1)], ignore_index=True)
+    return (out.sort_values(["g_type", "g_hour", "event_type", "hour"])
+            .reset_index(drop=True))
+
+
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Per-user staged-conversion FUNNEL (view -> click -> purchase,
+    each stage strictly after the previous one's first occurrence).
+    One bucketed per-user shuffle; inside each bucket the three stage
+    timestamps come from vectorized grouped mins + merges (no per-user
+    Python loop). SQL-exact vs a chain of filtered MIN() joins."""
+    from .relational import bucketed_map_groups
+    ds = read_table(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = (g[g["event_type"] == "view"]
+              .groupby("user_id")["ts"].min().rename("first_view"))
+        c = g[g["event_type"] == "click"].merge(
+            t1, left_on="user_id", right_index=True)
+        t2 = (c[c["ts"] > c["first_view"]]
+              .groupby("user_id")["ts"].min()
+              .rename("first_click_after"))
+        p = g[g["event_type"] == "purchase"].merge(
+            t2, left_on="user_id", right_index=True)
+        t3 = (p[p["ts"] > p["first_click_after"]]
+              .groupby("user_id")["ts"].min()
+              .rename("first_purchase_after"))
+        out = pd.DataFrame({"user_id": np.unique(g["user_id"])})
+        out = (out.merge(t1, left_on="user_id", right_index=True,
+                         how="left")
+               .merge(t2, left_on="user_id", right_index=True, how="left")
+               .merge(t3, left_on="user_id", right_index=True, how="left"))
+        out["funnel_stage"] = np.where(
+            out["first_purchase_after"].notna(), 3,
+            np.where(out["first_click_after"].notna(), 2,
+                     np.where(out["first_view"].notna(), 1, 0))
+        ).astype("int64")
+        return out
+
+    out = bucketed_map_groups(ds, ["user_id"], funnel).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def events_sliding_window(sf_dir: str) -> pd.DataFrame:
     """Per-event trailing RANGE window (count + exact-cents sum of
     value over [ts - 1 hour, ts] within user, peers-at-equal-ts
@@ -2007,6 +2091,8 @@ QUERIES = {
     "events_hourly_pivot": events_hourly_pivot,
     "events_hourly_gap_fill": events_hourly_gap_fill,
     "events_sliding_window": events_sliding_window,
+    "events_rollup": events_rollup,
+    "events_funnel": events_funnel,
     "events_sorted_export": events_sorted_export,
     "events_ntile": events_ntile,
     "events_hourly_moving_avg": events_hourly_moving_avg,
@@ -2397,6 +2483,41 @@ ORACLES = {
                      o_orderdate, o_totalprice
               FROM h ORDER BY -ln(u) / l_extendedprice, li_id LIMIT 50)
         SELECT * FROM s ORDER BY l_orderkey, l_linenumber
+    """,
+    "events_rollup": """
+        WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                          CAST(ROUND(value * 100) AS BIGINT) AS v_c
+                   FROM events)
+        SELECT event_type, hour, COUNT(*) AS n_events,
+               CAST(SUM(v_c) AS DOUBLE) / 100.0 AS sum_value,
+               CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+               CAST(GROUPING(hour) AS BIGINT) AS g_hour
+        FROM c GROUP BY ROLLUP (event_type, hour)
+        ORDER BY g_type, g_hour, event_type, hour
+    """,
+    "events_funnel": """
+        WITH t1 AS (SELECT user_id, MIN(ts) AS first_view
+                    FROM events WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (SELECT e.user_id, MIN(e.ts) AS first_click_after
+               FROM events e JOIN t1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > t1.first_view
+               GROUP BY 1),
+        t3 AS (SELECT e.user_id, MIN(e.ts) AS first_purchase_after
+               FROM events e JOIN t2 USING (user_id)
+               WHERE e.event_type = 'purchase'
+                 AND e.ts > t2.first_click_after
+               GROUP BY 1),
+        u AS (SELECT DISTINCT user_id FROM events)
+        SELECT u.user_id, t1.first_view, t2.first_click_after,
+               t3.first_purchase_after,
+               CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                         WHEN t2.user_id IS NOT NULL THEN 2
+                         WHEN t1.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS funnel_stage
+        FROM u LEFT JOIN t1 USING (user_id)
+               LEFT JOIN t2 USING (user_id)
+               LEFT JOIN t3 USING (user_id)
+        ORDER BY u.user_id
     """,
     "docs_jaccard_pairs": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
