@@ -2917,3 +2917,52 @@ ORACLES = {
         ORDER BY cos_sim DESC, e.vec_id LIMIT 10
     """,
 }
+
+
+def _lang_id_sql() -> str:
+    """docs_lang_id oracle, generated from the SAME _STOPWORDS /_CJK
+    patterns the engine uses (no drift): per-language stopword-hit
+    ratios, first-max-in-declaration-order tie-break (the CASE chain
+    mirrors pandas idxmax), CJK override, 0.05 confidence floor. The
+    patterns are ASCII-\\b-anchored alternations, so Python re
+    (leftmost-first) and DuckDB RE2 (leftmost-longest) find the same
+    non-overlapping match set."""
+    from .stages.text_analysis import _CJK, _STOPWORDS
+    langs = list(_STOPWORDS)
+    scores = ",\n               ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) * 1.0"
+        f" / GREATEST(len(regexp_extract_all(text, '\\S+')), 1)"
+        f" AS s_{lang}"
+        for lang, pat in _STOPWORDS.items())
+    # first max in declaration order == pandas idxmax(axis=1)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(f"s_{lang} >= s_{other}"
+                             for other in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'" if conds
+                     else f"ELSE '{lang}'")
+    case_chain = "\n                      ".join(cases)
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+               {scores},
+               len(regexp_extract_all(text, '{_CJK}')) * 1.0
+                 / GREATEST(length(text), 1) AS cjk_ratio
+          FROM documents),
+        b AS (
+          SELECT doc_id,
+                 GREATEST({', '.join('s_' + lg for lg in langs)})
+                   AS confidence,
+                 CASE {case_chain} END AS best,
+                 cjk_ratio
+          FROM s)
+        SELECT doc_id,
+               CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+                    WHEN confidence >= 0.05 THEN best
+                    ELSE 'unknown' END AS pred_lang,
+               confidence
+        FROM b ORDER BY doc_id
+    """
+
+
+ORACLES["docs_lang_id"] = _lang_id_sql()

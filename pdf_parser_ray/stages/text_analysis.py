@@ -83,10 +83,14 @@ class LangId:
         pred = np.where(cjk / batch["text"].str.len().clip(lower=1) > 0.2,
                         "zh",
                         np.where(best_score >= 0.05, best, "unknown"))
+        # confidence stays the raw stopword-hit ratio: int/int true
+        # division is correctly-rounded IEEE, so the DuckDB oracle's
+        # CAST(c AS DOUBLE)/n is bit-identical (a round(4) here would
+        # reintroduce half-even-vs-half-up ambiguity)
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
             "pred_lang": pred,
-            "confidence": best_score.round(4),
+            "confidence": best_score,
         })
 
 
