@@ -2966,3 +2966,36 @@ def _lang_id_sql() -> str:
 
 
 ORACLES["docs_lang_id"] = _lang_id_sql()
+
+# winnowing is SQL-expressible because the engine's gram hash IS
+# DuckDB's md5_number_upper (text_analysis.winnow_batch); the window
+# min is a ROWS-frame window function. Docs shorter than one full
+# window keep the min over all their grams (the i = cnt row's partial
+# window), mirroring the engine's keepdims fallback.
+ORACLES["docs_winnow_fingerprints"] = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+    g AS (SELECT doc_id, i,
+                 md5_number_upper(array_to_string(words[i:i+4], ' '))
+                   AS h
+          FROM w, UNNEST(range(1, len(words) - 3)) AS r(i)
+          WHERE len(words) >= 5),
+    c AS (SELECT doc_id, COUNT(*) AS cnt FROM g GROUP BY doc_id),
+    m AS (SELECT g.doc_id, g.i, c.cnt,
+                 MIN(h) OVER (PARTITION BY g.doc_id ORDER BY g.i
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                   AS fp
+          FROM g JOIN c USING (doc_id)),
+    fps AS (SELECT DISTINCT doc_id, fp FROM m
+            WHERE (cnt >= 4 AND i >= 4) OR (cnt < 4 AND i = cnt)),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+                   CAST(MIN(fp) AS DOUBLE) AS fp_min,
+                   CAST(MAX(fp) AS DOUBLE) AS fp_max
+            FROM fps GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.n_fingerprints, 0) AS n_fingerprints,
+           COALESCE(a.fp_min, 0.0) AS fp_min,
+           COALESCE(a.fp_max, 0.0) AS fp_max
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+"""

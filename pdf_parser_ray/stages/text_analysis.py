@@ -144,7 +144,12 @@ def winnow_batch(batch: pd.DataFrame, *, k: int = 5, window: int = 4
                  ) -> pd.DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     rolling k-gram hashes, min per sliding window, distinct mins kept.
-    Vectorized with numpy sliding windows per doc."""
+    Vectorized with numpy sliding windows per doc.
+
+    The gram hash is DuckDB's md5_number_upper (the first 8 md5 digest
+    bytes, little-endian) so the whole operator is SQL-oracle-able —
+    any other 64-bit hash gives the same winnowing guarantees, this one
+    is reproducible on both sides."""
     doc_ids, n_fps, min_fps, max_fps = [], [], [], []
     for doc_id, text in zip(batch["doc_id"], batch["text"]):
         toks = text.split()
@@ -154,7 +159,7 @@ def winnow_batch(batch: pd.DataFrame, *, k: int = 5, window: int = 4
             continue
         grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
         h = np.array([int.from_bytes(
-            hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+            hashlib.md5(g.encode()).digest()[:8], "little")
             for g in grams], dtype=np.uint64)
         if len(h) >= window:
             win = np.lib.stride_tricks.sliding_window_view(h, window)
