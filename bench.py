@@ -119,7 +119,8 @@ def run_queries() -> dict:
                 "docs_tfidf_topk", "docs_shuffle_order",
                 "docs_quality_gate", "events_sliding_window",
                 "events_sorted_export", "events_ntile",
-                "docs_heavy_tokens", "docs_sliding_chunks"]
+                "docs_heavy_tokens", "docs_sliding_chunks",
+                "docs_jaccard_pairs", "events_rollup", "events_funnel"]
     out = {}
     for name in headline:
         t0 = time.perf_counter()

@@ -1038,6 +1038,30 @@ def _shingle_postings(batch: pd.DataFrame, *, k: int, id_col: str,
                          "sh": pd.Series(shs, dtype="object")})
 
 
+def _packed_pair_sum(a: np.ndarray, b: np.ndarray, n: np.ndarray
+                     ) -> pd.DataFrame:
+    """Sum n per (id_a, id_b) — packed-uint64 np.unique + bincount when
+    ids fit 32 bits (5-10x pandas groupby on millions of skinny pair
+    rows; the combine CPU line of the exact similarity join), pandas
+    fallback otherwise. id_b == -1 size-marker rows pack fine via +1."""
+    if (np.issubdtype(a.dtype, np.integer)
+            and np.issubdtype(b.dtype, np.integer)
+            and len(a) and a.min() >= 0 and b.min() >= -1
+            and max(a.max(), b.max()) < (1 << 32) - 1):
+        key = ((a + 1).astype(np.uint64) << np.uint64(32)) \
+            | (b + 1).astype(np.uint64)
+        u, inv = np.unique(key, return_inverse=True)
+        # bincount sums in float64: exact for co-counts < 2^53
+        s = np.bincount(inv, weights=n).astype(np.int64)
+        return pd.DataFrame({
+            "id_a": (u >> np.uint64(32)).astype(np.int64) - 1,
+            "id_b": (u & np.uint64(0xFFFFFFFF)).astype(np.int64) - 1,
+            "n": s})
+    return (pd.DataFrame({"id_a": a, "id_b": b, "n": n})
+            .groupby(["id_a", "id_b"], sort=False)["n"].sum()
+            .reset_index())
+
+
 def _jaccard_postings_bucket(g: pd.DataFrame, *, max_df: int
                              ) -> pd.DataFrame:
     """Per shingle-hash bucket: exact document frequency per shingle
@@ -1068,9 +1092,8 @@ def _jaccard_postings_bucket(g: pd.DataFrame, *, max_df: int
     i, j = _pair_positions(c)
     if not len(i):
         return pd.concat([empty, sizes], ignore_index=True)
-    pairs = (pd.DataFrame({"id_a": sids[i], "id_b": sids[j]})
-             .groupby(["id_a", "id_b"], sort=False).size()
-             .rename("n").reset_index())
+    pairs = _packed_pair_sum(sids[i], sids[j],
+                             np.ones(len(i), dtype=np.int64))
     return pd.concat([pairs, sizes], ignore_index=True)
 
 
@@ -1116,8 +1139,9 @@ def jaccard_pairs_exact_ds(ds, *, k: int = 3, threshold: float = 0.5,
         _ft.partial(_jaccard_postings_bucket, max_df=max_df))
 
     def _sum_n(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.groupby(["id_a", "id_b"], sort=False)["n"].sum()
-                .reset_index())
+        return _packed_pair_sum(g["id_a"].to_numpy(),
+                                g["id_b"].to_numpy(),
+                                g["n"].to_numpy())
 
     combined = bucketed_map_groups(parts, ["id_a", "id_b"],
                                    _sum_n).materialize()
