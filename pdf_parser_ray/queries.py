@@ -15,8 +15,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .relational import (broadcast_join, distinct, grouped_agg, hash_join,
-                         read_table)
+from .relational import (broadcast_join, distinct, grouped_agg,
+                         grouped_agg_ds, hash_join, read_table)
 
 # Money columns in the testdata are 2-decimal fixed point. Aggregating
 # doubles in parallel makes the result depend on summation order, and
@@ -1596,6 +1596,29 @@ def docs_top_tokens(sf_dir: str) -> pd.DataFrame:
             .head(20).reset_index(drop=True))
 
 
+def docs_freq_spectrum(sf_dir: str) -> pd.DataFrame:
+    """Token-frequency SPECTRUM (Zipf QA: for each occurrence count n,
+    how many distinct tokens occur exactly n times — the corpus-health
+    curve dedup/boilerplate bugs bend first). Two-level distributed
+    aggregation: per-batch token counts -> bucketed vocabulary combine
+    that STAYS a Dataset (grouped_agg_ds — the vocabulary never visits
+    the driver) -> tiny per-count regroup."""
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].str.findall(r"\S+").explode().dropna()
+        vc = s.value_counts()
+        return pd.DataFrame({"token": vc.index, "cnt": vc.values})
+
+    vocab = grouped_agg_ds(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["token"], {"n": ("sum", "cnt")})
+    spec = grouped_agg(vocab, ["n"], {"n_tokens": ("count", None)})
+    spec["n"] = spec["n"].astype("int64")
+    spec["n_tokens"] = spec["n_tokens"].astype("int64")
+    return spec.sort_values("n").reset_index(drop=True)
+
+
 def docs_sliding_chunks(sf_dir: str) -> pd.DataFrame:
     """Sliding token-window chunker (window 64, stride 48 — the
     standard long-document splitter for pretraining, complementing
@@ -2130,6 +2153,7 @@ QUERIES = {
     "docs_quality_scores": docs_quality_scores,
     "docs_quality_gate": docs_quality_gate,
     "docs_top_tokens": docs_top_tokens,
+    "docs_freq_spectrum": docs_freq_spectrum,
     "docs_heavy_tokens": docs_heavy_tokens,
     "docs_sliding_chunks": docs_sliding_chunks,
     "docs_bigram_lift": docs_bigram_lift,
@@ -2542,6 +2566,15 @@ ORACLES = {
         WHERE CAST(co.n_shared AS DOUBLE)
                 / (sa.n + sb.n - co.n_shared) >= 0.5
         ORDER BY co.id_a, co.id_b
+    """,
+    "docs_freq_spectrum": r"""
+        WITH toks AS (SELECT unnest(regexp_extract_all(text, '\S+'))
+                        AS token
+                      FROM documents),
+        v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+              FROM toks GROUP BY token)
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM v GROUP BY n ORDER BY n
     """,
     "docs_repetition_ratio": """
         WITH toks AS (SELECT doc_id,
