@@ -1183,6 +1183,54 @@ def events_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).reset_index(drop=True)
 
 
+def events_value_mad_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact median-absolute-deviation per event_type — the robust
+    dispersion statistic quality-gating pipelines use where stddev is
+    skew-poisoned. BOTH medians (the center and the deviation median)
+    come from the SAME cardinality-bounded int-cents histogram, so the
+    data is scanned once and the second median costs no shuffle at all:
+    the deviation histogram is a driver-side relabeling
+    (dev_hc = |2*v_c - med_hc|, half-cent units keep the possibly-.5
+    median integral) of the tiny (type, value) -> count table.
+    Integer arithmetic until two final exact float divisions, mirrored
+    verbatim in the SQL oracle."""
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"].values,
+                             "v_c": _cents(b["value"])})
+
+    hist = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                       ["event_type", "v_c"], {"cnt": ("count", None)})
+
+    def _hist_median_x2(values: np.ndarray, counts: np.ndarray) -> int:
+        """2x the continuous median of a sorted int histogram (exact
+        int: lo + hi order statistics)."""
+        n = int(counts.sum())
+        cum = counts.cumsum()
+        lo = int(values[np.searchsorted(cum, (n - 1) // 2 + 1)])
+        hi = int(values[np.searchsorted(cum, n // 2 + 1)])
+        return lo + hi
+
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("v_c")
+        counts = g["cnt"].to_numpy()
+        values = g["v_c"].to_numpy(dtype=np.int64)
+        med_hc = _hist_median_x2(values, counts)      # half-cent units
+        dev = np.abs(2 * values - med_hc)             # still half-cents
+        order = np.argsort(dev, kind="stable")
+        dev_s, cnt_s = dev[order], counts[order]
+        # collapse duplicate deviation labels (v below and above the
+        # median can map to the same |dev|)
+        uniq, start = np.unique(dev_s, return_index=True)
+        sums = np.add.reduceat(cnt_s, start)
+        mad_x2_hc = _hist_median_x2(uniq, sums)
+        rows.append({"event_type": etype,
+                     "mad_value": float(mad_x2_hc) / 2.0 / 200.0})
+    return pd.DataFrame(rows).reset_index(drop=True)
+
+
 def events_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog distinct-count sketch (p=12, ~1.6% stderr) with a
     BOUNDS ORACLE: the output carries the exact distinct count
@@ -2138,6 +2186,7 @@ QUERIES = {
     "events_props_stats": events_props_stats,
     "events_median_by_type": events_median_by_type,
     "events_quantiles_by_type": events_quantiles_by_type,
+    "events_value_mad_by_type": events_value_mad_by_type,
     "events_approx_distinct_users": events_approx_distinct_users,
     "parts_bloom_prefilter": parts_bloom_prefilter,
     "events_distinct_types": events_distinct_types,
@@ -2683,6 +2732,18 @@ ORACLES = {
                CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k,
                CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
         FROM k GROUP BY event_type ORDER BY event_type
+    """,
+    "events_value_mad_by_type": """
+        WITH c AS (SELECT event_type,
+                          CAST(ROUND(value * 100) AS BIGINT) AS v_c
+                   FROM events),
+        m AS (SELECT event_type,
+                     CAST(quantile_cont(v_c, 0.5) * 2 AS BIGINT) AS med_hc
+              FROM c GROUP BY event_type),
+        d AS (SELECT c.event_type, ABS(2 * c.v_c - m.med_hc) AS dev_hc
+              FROM c JOIN m USING (event_type))
+        SELECT event_type, quantile_cont(dev_hc, 0.5) / 200.0 AS mad_value
+        FROM d GROUP BY event_type ORDER BY event_type
     """,
     "events_quantiles_by_type": """
         WITH v AS (SELECT event_type,
