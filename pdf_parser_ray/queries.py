@@ -1602,6 +1602,51 @@ def events_sorted_export(sf_dir: str) -> pd.DataFrame:
             .sort_values(["ts", "event_id"]).reset_index(drop=True))
 
 
+def events_zorder_pruned_read(sf_dir: str) -> pd.DataFrame:
+    """Z-ORDER clustered export + TWO-COLUMN pruned read
+    (state.shards.write_zorder_export / read_zorder_range): events are
+    clustered by the Morton interleaving of (user_id, value) rank codes
+    into 16 range files carrying per-file per-column [vmin, vmax], then
+    a rectangle predicate (user_id <= max/5, value <= 60) is answered
+    opening only the intersecting files — multi-dimensional pruning a
+    single-column sort cannot give (a ts-sorted layout prunes nothing
+    for this predicate). The pruned result is aggregated and matched
+    bit-exact against plain SQL over the original table; `pruned`
+    asserts files were actually skipped, so the oracle validates both
+    the clustering's correctness and its usefulness."""
+    import shutil
+    import tempfile
+
+    from .state.shards import read_zorder_range, write_zorder_export
+    ds = read_table(sf_dir, "events",
+                    ["event_id", "user_id", "event_type", "value"])
+    hi_user = int(ds.map_batches(
+        lambda b: pd.DataFrame({"m": [b["user_id"].max()]}),
+        batch_format="pandas").to_pandas()["m"].max()) // 5
+    out = tempfile.mkdtemp(prefix="zorder_export_")
+    try:
+        man = write_zorder_export(ds, out, cols=["user_id", "value"],
+                                  tiebreak_cols=["event_id"],
+                                  n_ranges=16)
+        got, n_files = read_zorder_range(
+            out, {"user_id": (None, hi_user), "value": (None, 60.0)})
+        pruned = n_files < len(man)
+        agg = grouped_agg(
+            got.map_batches(
+                lambda b: pd.DataFrame({
+                    "event_type": b["event_type"].values,
+                    "v_c": _cents(b["value"])}),
+                batch_format="pandas"),
+            ["event_type"], {"n": ("count", None),
+                             "sum_value_c": ("sum", "v_c")})
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    agg["n"] = agg["n"].astype("int64")
+    agg["sum_value_c"] = agg["sum_value_c"].astype("int64")
+    agg["pruned"] = bool(pruned)
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
 def docs_quality_gate(sf_dir: str) -> pd.DataFrame:
     """Quality gate at a GLOBAL exact quantile threshold: keep the
     documents whose alpha-ratio is at or above the corpus-wide exact
@@ -2165,6 +2210,7 @@ QUERIES = {
     "events_rollup": events_rollup,
     "events_funnel": events_funnel,
     "events_sorted_export": events_sorted_export,
+    "events_zorder_pruned_read": events_zorder_pruned_read,
     "events_ntile": events_ntile,
     "events_hourly_moving_avg": events_hourly_moving_avg,
     "events_asof_join": events_asof_join,
@@ -2459,6 +2505,18 @@ ORACLES = {
         SELECT event_id, value,
                NTILE(4) OVER (ORDER BY value, event_id) AS quartile
         FROM events ORDER BY event_id
+    """,
+    "events_zorder_pruned_read": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_value_c,
+               TRUE AS pruned
+        FROM events
+        WHERE user_id <= (SELECT CAST(MAX(user_id) AS BIGINT) // 5
+                          FROM events)
+          AND value <= 60.0
+        GROUP BY event_type ORDER BY event_type
     """,
     "events_sorted_export": """
         SELECT event_id, user_id, ts, value FROM events

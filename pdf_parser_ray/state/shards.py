@@ -361,6 +361,20 @@ def write_sorted_export(ds, out_dir: str, *, sort_col: str,
     return mdf.astype({"range": "int64", "rows": "int64"})
 
 
+def _read_part_files(files: List[str], columns: Optional[List[str]]):
+    """read_parquet over explicit part files with hive-partition
+    inference defused: the range=NNNNN directory names would otherwise
+    materialize a spurious partition column (and Ray 2.49's
+    partitioning=None path crashes when columns= is also given), so
+    when the caller wants all columns we pass the part schema's names
+    explicitly."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    if columns is None:
+        columns = list(pq.read_schema(files[0]).names)
+    return rd.read_parquet(files, columns=columns)
+
+
 def read_sorted_range(out_dir: str, lo=None, hi=None,
                       columns: Optional[List[str]] = None):
     """Pruned read over a `write_sorted_export` directory: only range
@@ -392,7 +406,7 @@ def read_sorted_range(out_dir: str, lo=None, hi=None,
     need_trim = not (lo_s is None and hi_s is None)
     if columns is not None and need_trim and sort_col not in columns:
         columns = [sort_col, *columns]   # the trim filter needs the key
-    ds = rd.read_parquet(files, columns=columns)
+    ds = _read_part_files(files, columns)
     if lo_s is None and hi_s is None:
         return ds, len(files)
 
@@ -403,6 +417,268 @@ def read_sorted_range(out_dir: str, lo=None, hi=None,
             m &= v >= lo_s
         if hi_s is not None:
             m &= v <= hi_s
+        return b.loc[m]
+
+    return ds.map_batches(trim, batch_format="pandas"), len(files)
+
+
+# ------------------------------------------------------------- z-order export
+
+def _morton16(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Interleave two 8-bit code arrays into 16-bit Morton (Z-order)
+    codes, vectorized magic-number bit spreading; ``a`` takes the odd
+    (higher) bit positions."""
+    def spread(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.uint16)
+        x = (x | (x << np.uint16(4))) & np.uint16(0x0F0F)
+        x = (x | (x << np.uint16(2))) & np.uint16(0x3333)
+        x = (x | (x << np.uint16(1))) & np.uint16(0x5555)
+        return x
+    return ((spread(a) << np.uint16(1)) | spread(b)).astype(np.uint16)
+
+
+def _col_kind(s: pd.Series) -> str:
+    return ("datetime"
+            if pd.api.types.is_datetime64_any_dtype(s) else "numeric")
+
+
+def _quantize(v: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Value -> 8-bit rank code against sampled quantile boundaries
+    (monotone: order-preserving, so per-file [vmin, vmax] stay valid
+    pruning bounds for the ORIGINAL values)."""
+    return np.searchsorted(bounds, v.astype(np.float64),
+                           side="right").astype(np.uint8)
+
+
+def _sample_rows(ds, cols: List[str], k: int = 4096) -> pd.DataFrame:
+    """Deterministic bounded JOINT sample of ``cols`` (bottom-k by
+    fixed-key row hash): per-batch partial bottom-k, driver final
+    bottom-k — O(k) driver memory under any partitioning."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[cols].copy(deep=False)
+        # hash the WHOLE row tuple: equal hashes then imply equal
+        # (c0, c1) pairs, so bottom-k boundary ties cannot make the
+        # sampled grid depend on input partitioning
+        v["__h"] = pd.util.hash_pandas_object(
+            b[cols], index=False).to_numpy()
+        return v.nsmallest(k, "__h")
+
+    s = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return s.nsmallest(k, "__h") if len(s) else s
+
+
+def write_zorder_export(ds, out_dir: str, *, cols: List[str],
+                        tiebreak_cols: Optional[List[str]] = None,
+                        n_ranges: Optional[int] = None,
+                        shared_fs: bool = False,
+                        row_group_size: int = _ROW_GROUP) -> pd.DataFrame:
+    """Z-ORDER clustered export: rows are range-partitioned by the
+    Morton interleaving of two columns' sampled-quantile rank codes,
+    so files are simultaneously clustered on BOTH columns and a
+    predicate on EITHER prunes file reads via the manifest's per-file
+    per-column [vmin, vmax] — the multi-dimensional complement of
+    `write_sorted_export` (single-column total order). Same atomic
+    rename commit, resume, manifest and shared-filesystem contract.
+
+    Clustering quality, never correctness, depends on the sampled
+    quantile grids (256 levels per column from a bounded joint
+    sample); pruning bounds in the manifest are true min/max of the
+    original values, so a skewed sample only costs balance.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..relational import bucketed_map_groups, default_buckets
+
+    if len(cols) != 2:
+        raise ValueError("write_zorder_export clusters exactly 2 columns")
+    if ray.is_initialized() and not shared_fs:
+        alive = [n for n in ray.nodes() if n.get("Alive")]
+        if len(alive) > 1:
+            raise ValueError(
+                f"write_zorder_export writes through the filesystem "
+                f"path {out_dir!r}; on a multi-node cluster it must be "
+                "shared storage — pass shared_fs=True to assert it is")
+
+    K = n_ranges or default_buckets()
+    os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "_ZORDER.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if prev["n_ranges"] != K or prev["cols"] != list(cols):
+            raise ValueError(
+                f"resume mismatch: directory has n_ranges="
+                f"{prev['n_ranges']} cols={prev['cols']}, "
+                f"requested {K}/{list(cols)}")
+        kinds = prev["kinds"]
+        grids = [np.array(g, dtype=np.float64) for g in prev["grids"]]
+        zbounds = np.array(prev["zbounds"], dtype=np.int64)
+    else:
+        sample = _sample_rows(ds, list(cols))
+        kinds = [(_col_kind(sample[c]) if len(sample) else "numeric")
+                 for c in cols]
+        grids, codes = [], []
+        for c in cols:
+            v = (_sort_key_array(sample[c]).astype(np.float64)
+                 if len(sample) else np.array([], dtype=np.float64))
+            g = (np.quantile(v, np.linspace(0, 1, 256)[1:-1],
+                             method="lower")
+                 if len(v) >= 2 else np.array([], dtype=np.float64))
+            g = np.unique(g)
+            grids.append(g)
+            codes.append(_quantize(v, g))
+        z = (_morton16(codes[0], codes[1]).astype(np.int64)
+             if len(sample) else np.array([], dtype=np.int64))
+        zbounds = (np.quantile(z, np.linspace(0, 1, K + 1)[1:-1],
+                               method="lower").astype(np.int64)
+                   if len(z) >= 2 else np.array([], dtype=np.int64))
+        with open(meta_path, "w") as f:
+            json.dump({"n_ranges": K, "cols": list(cols), "kinds": kinds,
+                       "grids": [list(map(float, g)) for g in grids],
+                       "zbounds": [int(b) for b in zbounds]}, f)
+
+    done = {
+        int(d.split("=")[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("range=") and not d.endswith(".tmp")
+        and os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))}
+
+    def add_rng(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        c0 = _quantize(_sort_key_array(b[cols[0]]), grids[0])
+        c1 = _quantize(_sort_key_array(b[cols[1]]), grids[1])
+        z = _morton16(c0, c1).astype(np.int64)
+        b["__z"] = z
+        b["__rng"] = np.searchsorted(zbounds, z,
+                                     side="right").astype("int32")
+        return b.loc[~b["__rng"].isin(done)]
+
+    sort_by = ["__z", *cols, *(tiebreak_cols or [])]
+
+    def write_range(g: pd.DataFrame) -> dict:
+        rng = int(g["__rng"].iloc[0])
+        sdir = os.path.join(out_dir, f"range={rng:05d}")
+        if os.path.exists(os.path.join(sdir, "_meta.json")):
+            return _read_meta(sdir)
+        g = (g.sort_values(sort_by, kind="mergesort")
+             .drop(columns=["__z", "__rng"]).reset_index(drop=True))
+        tmp = f"{sdir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        ppath = os.path.join(tmp, "part.parquet")
+        schema = pa.Schema.from_pandas(g, preserve_index=False)
+        with pq.ParquetWriter(ppath, schema) as w:
+            for i in range(0, max(len(g), 1), row_group_size):
+                w.write_table(pa.Table.from_pandas(
+                    g.iloc[i:i + row_group_size], schema=schema,
+                    preserve_index=False))
+        hasher = hashlib.blake2b(digest_size=16)
+        with open(ppath, "rb") as f:
+            for chunk in iter(lambda: f.read(_HASH_CHUNK), b""):
+                hasher.update(chunk)
+        meta = {"range": rng, "rows": int(len(g)),
+                "content_hash": hasher.hexdigest()}
+        for c in cols:
+            key = _sort_key_array(g[c])
+            meta[f"vmin__{c}"] = _range_scalar(key.min()) if len(g) else None
+            meta[f"vmax__{c}"] = _range_scalar(key.max()) if len(g) else None
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("")
+        try:
+            os.rename(tmp, sdir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            meta = _read_meta(sdir)
+        return meta
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"range": pd.Series([], dtype="int64"),
+                                 "rows": pd.Series([], dtype="int64"),
+                                 "content_hash": pd.Series([],
+                                                           dtype=object)})
+        return pd.DataFrame([write_range(gg)
+                             for _, gg in g.groupby("__rng", sort=False)])
+
+    tagged = ds.map_batches(add_rng, batch_format="pandas")
+    written = bucketed_map_groups(tagged, ["__rng"], run_bucket,
+                                  n_buckets=K).to_pandas()
+    rows = [] if written.empty else written.to_dict("records")
+    for rng in done:
+        rows.append(_read_meta(os.path.join(out_dir, f"range={rng:05d}")))
+    rows.sort(key=lambda m: int(m["range"]))
+    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
+        json.dump({"cols": list(cols), "kinds": kinds, "ranges": rows},
+                  f, indent=1)
+    mdf = pd.DataFrame(rows).reset_index(drop=True)
+    return mdf.astype({"range": "int64", "rows": "int64"})
+
+
+def read_zorder_range(out_dir: str, preds: dict,
+                      columns: Optional[List[str]] = None):
+    """Pruned read over a `write_zorder_export` directory.
+
+    ``preds``: {col: (lo, hi)} inclusive bounds (None = open end) on
+    either or both clustered columns; only range files whose manifest
+    per-column [vmin, vmax] intersects EVERY predicate are opened.
+    Returns (Dataset filtered to the exact predicate rows,
+    n_files_read).
+    """
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
+        man = json.load(f)
+    cols, kinds = man["cols"], man["kinds"]
+    kind_of = dict(zip(cols, kinds))
+
+    def conv(c, v):
+        if v is None:
+            return None
+        if kind_of[c] == "datetime":
+            return int(np.datetime64(pd.Timestamp(v), "us").view("int64"))
+        return float(v)
+
+    norm = {c: (conv(c, lo), conv(c, hi)) for c, (lo, hi) in preds.items()
+            if c in kind_of}
+    if set(preds) - set(kind_of):
+        raise ValueError(f"predicate on non-clustered column(s) "
+                         f"{sorted(set(preds) - set(kind_of))}; "
+                         f"clustered: {cols}")
+
+    def keep(m) -> bool:
+        if m["rows"] == 0:
+            return False
+        for c, (lo, hi) in norm.items():
+            if hi is not None and m[f"vmin__{c}"] > hi:
+                return False
+            if lo is not None and m[f"vmax__{c}"] < lo:
+                return False
+        return True
+
+    files = [os.path.join(out_dir, f"range={m['range']:05d}",
+                          "part.parquet")
+             for m in man["ranges"] if keep(m)]
+    if not files:
+        return None, 0
+    read_cols = columns
+    if read_cols is not None:
+        read_cols = list(dict.fromkeys([*norm.keys(), *read_cols]))
+    ds = _read_part_files(files, read_cols)
+    if not norm:
+        return ds, len(files)
+
+    def trim(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.ones(len(b), dtype=bool)
+        for c, (lo, hi) in norm.items():
+            v = _sort_key_array(b[c]).astype(np.float64)
+            if lo is not None:
+                m &= v >= lo
+            if hi is not None:
+                m &= v <= hi
         return b.loc[m]
 
     return ds.map_batches(trim, batch_format="pandas"), len(files)

@@ -225,3 +225,77 @@ def test_checkpoint_salted_write_equal_and_balanced(ray_session,
         else:
             assert m["rows"].max() < n_mega / 4   # spread out
     pd.testing.assert_frame_equal(outs[0], outs[256])
+
+
+# ----------------------------------------------------------- z-order export
+
+def _zorder_frame(n=6000):
+    rng = np.random.RandomState(11)
+    return pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "a": rng.randint(0, 1000, n).astype(np.int64),
+        "b": np.round(rng.uniform(0, 100, n), 2),
+    })
+
+
+def test_zorder_prunes_both_columns_and_is_exact(ray_session, tmp_path):
+    import ray.data as rd
+    from pdf_parser_ray.state.shards import (read_zorder_range,
+                                             write_zorder_export)
+    df = _zorder_frame()
+    out = str(tmp_path / "z")
+    man = write_zorder_export(rd.from_pandas(df), out, cols=["a", "b"],
+                              tiebreak_cols=["rid"], n_ranges=16)
+    assert int(man["rows"].sum()) == len(df)
+    for preds in ({"a": (0, 99)}, {"b": (0.0, 9.0)},
+                  {"a": (0, 99), "b": (0.0, 9.0)}):
+        got, nf = read_zorder_range(out, preds)
+        got = (got.to_pandas() if got is not None
+               else df.iloc[0:0])
+        mask = np.ones(len(df), bool)
+        for c, (lo, hi) in preds.items():
+            mask &= (df[c] >= lo) & (df[c] <= hi)
+        want = df[mask]
+        # a ~10% slice of one dimension must prune files (z-order
+        # clusters BOTH dims; a single-column sort would prune only one)
+        assert nf < 16, preds
+        got = got.sort_values("rid").reset_index(drop=True)
+        want = want.sort_values("rid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                      want[sorted(want.columns)])
+
+
+def test_zorder_deterministic_and_resume(ray_session, tmp_path):
+    import ray.data as rd
+    from pdf_parser_ray.state.shards import write_zorder_export
+    df = _zorder_frame()
+    a, b = str(tmp_path / "za"), str(tmp_path / "zb")
+    m1 = write_zorder_export(rd.from_pandas(df), a, cols=["a", "b"],
+                             tiebreak_cols=["rid"], n_ranges=8)
+    m2 = write_zorder_export(rd.from_pandas(df).repartition(5), b,
+                             cols=["a", "b"], tiebreak_cols=["rid"],
+                             n_ranges=8)
+    assert list(m1["content_hash"]) == list(m2["content_hash"])
+    # resume: wipe two ranges, re-run -> identical manifest
+    import shutil
+    for r in (2, 5):
+        shutil.rmtree(os.path.join(a, f"range={r:05d}"))
+    m3 = write_zorder_export(rd.from_pandas(df), a, cols=["a", "b"],
+                             tiebreak_cols=["rid"], n_ranges=8)
+    assert list(m3["content_hash"]) == list(m1["content_hash"])
+    # re-clustering guard
+    with pytest.raises(ValueError, match="resume mismatch"):
+        write_zorder_export(rd.from_pandas(df), a, cols=["a", "b"],
+                            tiebreak_cols=["rid"], n_ranges=16)
+
+
+def test_zorder_rejects_unclustered_predicate(ray_session, tmp_path):
+    import ray.data as rd
+    from pdf_parser_ray.state.shards import (read_zorder_range,
+                                             write_zorder_export)
+    out = str(tmp_path / "zc")
+    write_zorder_export(rd.from_pandas(_zorder_frame(500)), out,
+                        cols=["a", "b"], tiebreak_cols=["rid"],
+                        n_ranges=4)
+    with pytest.raises(ValueError, match="non-clustered"):
+        read_zorder_range(out, {"rid": (0, 10)})
