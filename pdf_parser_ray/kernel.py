@@ -52,6 +52,7 @@ pipeline amortizes them across Arrow batches in map_batches; the
 from __future__ import annotations
 
 import json
+from operator import attrgetter
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
 DEFAULT_PAGE_WIDTH = 612.0
@@ -77,6 +78,12 @@ class TextBlock(NamedTuple):
     y1: float
     font_size: float
     font_name: str
+
+
+# C-level sort keys for the hot reading-order sorts (attrgetter avoids a
+# Python-frame lambda call per element; ordering is identical)
+_KEY_Y0_X0 = attrgetter("y0", "x0")
+_KEY_X0 = attrgetter("x0")
 
 
 class ParsedPage(NamedTuple):
@@ -114,7 +121,7 @@ def parse_layout_payload(text: str) -> ParsedPage:
         line = raw_line.strip()
         if not line:
             continue
-        if line.startswith("#"):
+        if line[0] == "#":
             if line.startswith("#CORRUPT"):
                 raise CorruptPayload("corrupt page payload")
             if line.startswith("#PAGE "):
@@ -153,7 +160,10 @@ def parse_layout_payload(text: str) -> ParsedPage:
         if len(coords) != 4:
             continue
         try:
-            x0, y0, x1, y1 = (float(c) for c in coords)
+            x0 = float(coords[0])
+            y0 = float(coords[1])
+            x1 = float(coords[2])
+            y1 = float(coords[3])
             font_size = float(parts[1])
         except ValueError:
             continue
@@ -227,9 +237,19 @@ def find_column_separator(
         return page_width / 2
 
     for separator_x in range(int(page_width * 0.3), int(page_width * 0.7), 10):
-        left_count = sum(1 for b in blocks if b.x1 < separator_x)
-        right_count = sum(1 for b in blocks if b.x0 > separator_x)
-        if left_count > 0 and right_count > 0:
+        # single pass with early exit — equivalent to the two counts'
+        # >0 checks (existence on each side), not a behavior change
+        has_left = has_right = False
+        for b in blocks:
+            if not has_left and b.x1 < separator_x:
+                has_left = True
+                if has_right:
+                    break
+            elif not has_right and b.x0 > separator_x:
+                has_right = True
+                if has_left:
+                    break
+        if has_left and has_right:
             return float(separator_x)
 
     return page_width / 2
@@ -467,7 +487,7 @@ def blocks_to_text_a000(blocks: List[TextBlock]) -> str:
     line's max y1 + 10."""
     if not blocks:
         return ""
-    sorted_blocks = sorted(blocks, key=lambda b: (b.y0, b.x0))
+    sorted_blocks = sorted(blocks, key=_KEY_Y0_X0)
     lines = []
     current_line_blocks: List[TextBlock] = []
     current_line_y_max = -1.0
@@ -482,7 +502,7 @@ def blocks_to_text_a000(blocks: List[TextBlock]) -> str:
     if current_line_blocks:
         lines.append(current_line_blocks)
     return "\n".join(
-        " ".join(b.text for b in sorted(line, key=lambda b: b.x0))
+        " ".join(b.text for b in sorted(line, key=_KEY_X0))
         for line in lines)
 
 
@@ -539,7 +559,7 @@ def blocks_to_text(blocks: List[TextBlock]) -> str:
     join with " "; join lines with "\\n"."""
     if not blocks:
         return ""
-    sorted_blocks = sorted(blocks, key=lambda b: (b.y0, b.x0))
+    sorted_blocks = sorted(blocks, key=_KEY_Y0_X0)
     lines: List[List[TextBlock]] = []
     current_line: List[TextBlock] = []
     current_y: Optional[float] = None
@@ -557,7 +577,7 @@ def blocks_to_text(blocks: List[TextBlock]) -> str:
         lines.append(current_line)
     text_lines = []
     for line in lines:
-        text_lines.append(" ".join(b.text for b in sorted(line, key=lambda b: b.x0)))
+        text_lines.append(" ".join(b.text for b in sorted(line, key=_KEY_X0)))
     return "\n".join(text_lines)
 
 
