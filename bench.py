@@ -131,6 +131,7 @@ def run_queries() -> dict:
                 "docs_heavy_tokens", "docs_sliding_chunks",
                 "docs_jaccard_pairs", "events_rollup", "events_funnel",
                 "events_zorder_pruned_read", "events_value_mad_by_type",
+                "docs_bm25_topk",
                 "docs_freq_spectrum"]
     out = {}
     for name in headline:

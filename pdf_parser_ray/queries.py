@@ -1537,6 +1537,64 @@ def docs_tfidf_topk(sf_dir: str) -> pd.DataFrame:
             .sort_values(["doc_id", "token"]).reset_index(drop=True))
 
 
+def docs_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-3 BM25 terms (k1=1.2, b=0.75) — the IR-grade
+    salience scorer that adds document-length normalization on top of
+    TF-IDF. Same distributed shape as docs_tfidf_topk (tf rows ->
+    vocab df via grouped_agg_ds -> partitioned joins; nothing assumes
+    a driver-small vocabulary) plus a per-doc length join. As with
+    TF-IDF, ln() differs from DuckDB by ulps, so the verified surface
+    is the exact integers (tf, df, dl) and the top-3 MEMBERSHIP under
+    (score desc, token asc) ranking, mirrored expression-for-
+    expression in the oracle so both sides evaluate the identical
+    IEEE double tree."""
+    from .relational import bucketed_map_groups, grouped_agg_ds, hash_join
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.findall(r"\S+")
+        ids = np.repeat(b["doc_id"].to_numpy(dtype=np.int64),
+                        toks.str.len().to_numpy(dtype=np.int64))
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks.to_numpy()]) \
+            if len(b) else np.array([], dtype=object)
+        d = pd.DataFrame({"doc_id": ids, "token": flat})
+        return (d.groupby(["doc_id", "token"], sort=False)
+                .size().reset_index(name="tf"))
+
+    tf = ds.map_batches(tf_rows, batch_format="pandas").materialize()
+    df = grouped_agg_ds(tf, ["token"], {"df": ("count", None)})
+    dl = grouped_agg_ds(tf, ["doc_id"], {"dl": ("sum", "tf")})
+    n_toks = int(dl.map_batches(
+        lambda b: pd.DataFrame({"s": [b["dl"].sum()]}),
+        batch_format="pandas").to_pandas()["s"].sum())
+    joined = hash_join(hash_join(tf, df, on="token"), dl, on="doc_id")
+
+    K = 3
+    avgdl = float(n_toks) / float(n_docs)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy(deep=False)
+        tfv = g["tf"].to_numpy(dtype=np.float64)
+        dfv = g["df"].to_numpy(dtype=np.float64)
+        dlv = g["dl"].to_numpy(dtype=np.float64)
+        idf = np.log((float(n_docs) - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        g["score"] = idf * (tfv * 2.2) \
+            / (tfv + 1.2 * (0.25 + 0.75 * (dlv / avgdl)))
+        g = g.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        return g.groupby("doc_id", sort=False).head(K)
+
+    partial = joined.map_batches(topk, batch_format="pandas")
+    out = bucketed_map_groups(partial, ["doc_id"], topk).to_pandas()
+    return (out[["doc_id", "token", "tf", "df", "dl"]]
+            .astype({"doc_id": "int64", "tf": "int64", "df": "int64",
+                     "dl": "int64"})
+            .sort_values(["doc_id", "token"]).reset_index(drop=True))
+
+
 def docs_shuffle_order(sf_dir: str) -> pd.DataFrame:
     """Deterministic global training-order shuffle: every doc gets a
     dense position 0..N-1 in multiplicative-hash order — the epoch
@@ -2244,6 +2302,7 @@ QUERIES = {
     "docs_strip_dup_spans": docs_strip_dup_spans,
     "docs_decontaminate": docs_decontaminate,
     "docs_tfidf_topk": docs_tfidf_topk,
+    "docs_bm25_topk": docs_bm25_topk,
     "docs_shuffle_order": docs_shuffle_order,
     "docs_quality_scores": docs_quality_scores,
     "docs_quality_gate": docs_quality_gate,
@@ -2943,6 +3002,36 @@ ORACLES = {
                      ORDER BY score DESC, token) AS rn
           FROM scored)
         SELECT doc_id, token, tf, df FROM ranked
+        WHERE rn <= 3 ORDER BY doc_id, token
+    """,
+    "docs_bm25_topk": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+               FROM toks GROUP BY doc_id, token),
+        df AS (SELECT token, COUNT(*) AS df
+               FROM tf GROUP BY token),
+        dl AS (SELECT doc_id, SUM(tf) AS dl
+               FROM tf GROUP BY doc_id),
+        t AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT SUM(dl) FROM dl) AS n_toks),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, df.df, dl.dl,
+                 ln((CAST(t.n_docs AS DOUBLE) - df.df + 0.5)
+                    / (df.df + 0.5) + 1.0)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75
+                    * (dl.dl / (CAST(t.n_toks AS DOUBLE) / t.n_docs))))
+                   AS score
+          FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+               CROSS JOIN t),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY score DESC, token) AS rn
+          FROM scored)
+        SELECT doc_id, token, tf, df, dl FROM ranked
         WHERE rn <= 3 ORDER BY doc_id, token
     """,
     "docs_shuffle_order": """
