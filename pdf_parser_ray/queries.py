@@ -2231,6 +2231,33 @@ def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     return frames.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+def multimodal_audio_chunks(sf_dir: str) -> pd.DataFrame:
+    """Windowed audio segmentation (the ASR pre-step) — the one
+    multimodal path that is FULLY REAL in this container: it slices
+    raw payload bytes (no codec), rewriting each chunk's header so it
+    stands alone. Checked invariants: stride/window coverage is exact
+    (every body byte appears in ceil((len-window)/stride)+1 windows'
+    union), chunk headers re-decode, and the output is deterministic
+    under repartitioning. Returned without the binary column (hash
+    surface: ids, offsets, lengths, chunk blake2b)."""
+    import hashlib
+
+    import ray.data as rd
+    from .stages.multimodal import chunk_audio_dataset, synth_media_table
+    media = rd.from_arrow(synth_media_table(60)).repartition(8)
+    chunks = chunk_audio_dataset(media, window=64, stride=48).to_pandas()
+    # re-decode every chunk header (standalone-clip invariant)
+    from .stages.multimodal import DecodeMedia
+    dec = DecodeMedia("fake")
+    for p in chunks["payload"]:
+        dec._decode(p)
+    chunks["chunk_hash"] = chunks["payload"].map(
+        lambda p: hashlib.blake2b(p, digest_size=8).hexdigest())
+    return (chunks.drop(columns="payload")
+            .sort_values(["media_id", "chunk_idx"])
+            .reset_index(drop=True))
+
+
 def multimodal_decode(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
     from .stages.multimodal import synth_media_table, decode_media_dataset
@@ -2338,6 +2365,7 @@ QUERIES = {
     "transcript_turnspec_filter": transcript_turnspec_filter,
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
+    "multimodal_audio_chunks": multimodal_audio_chunks,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"

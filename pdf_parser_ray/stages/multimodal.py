@@ -226,3 +226,72 @@ def sample_frames_dataset(media_ds, *, n_frames: int = 4,
         SampleFrames, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency if concurrency is not None else pool_size(),
         fn_constructor_kwargs={"n_frames": n_frames})
+
+
+CHUNKS_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("chunk_idx", pa.int32()),
+    ("start_byte", pa.int64()),
+    ("n_bytes", pa.int64()),
+    ("payload", pa.large_binary()),
+])
+
+
+class ChunkAudio:
+    """Windowed audio segmentation (flat map: one 'au' row -> one row
+    per overlapping window) — the ASR-pipeline pre-step that needs NO
+    codec: it operates on the raw payload bytes, so unlike the decode/
+    resize stages this path is fully real in this container. Each
+    chunk keeps a valid header (n_samples rewritten to the window's
+    byte count) so a downstream decoder treats it as a standalone
+    clip. Non-audio rows are dropped (chunking pixel data is
+    meaningless); window/stride are BYTES of body, overlap =
+    window - stride."""
+
+    def __init__(self, window: int = 64, stride: int = 48,
+                 decoder: str = "fake"):
+        if stride <= 0 or window <= 0:
+            raise ValueError("window and stride must be positive")
+        self.window, self.stride = window, stride
+        self.decoder = DecodeMedia(decoder)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, cidx, starts, lens, chunks = [], [], [], [], []
+        kinds = batch.column("kind").to_pylist()
+        mids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        for mid, kind, p in zip(mids, kinds, payloads):
+            if kind != "au":
+                continue
+            self.decoder._decode(p)        # validates magic/header
+            head, body = p[:17], p[17:]
+            rate = head[7:11]
+            i = 0
+            pos = 0
+            while pos < len(body) or (pos == 0 and not body):
+                sl = body[pos:pos + self.window]
+                ids.append(mid)
+                cidx.append(i)
+                starts.append(pos)
+                lens.append(len(sl))
+                chunks.append(head[:7] + rate
+                              + struct.pack("<I", len(sl))
+                              + head[15:17] + sl)
+                if pos + self.window >= len(body):
+                    break                  # final (possibly short) window
+                pos += self.stride
+                i += 1
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(cidx, pa.int32()),
+             pa.array(starts, pa.int64()), pa.array(lens, pa.int64()),
+             pa.array(chunks, pa.large_binary())],
+            schema=CHUNKS_SCHEMA)
+
+
+def chunk_audio_dataset(media_ds, *, window: int = 64, stride: int = 48,
+                        batch_size: int = 16, concurrency=None):
+    from ..pipelines.extraction import pool_size
+    return media_ds.map_batches(
+        ChunkAudio, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else pool_size(),
+        fn_constructor_kwargs={"window": window, "stride": stride})

@@ -240,3 +240,40 @@ def test_real_codec_seam_single_construction_per_actor(ray_session):
     assert (out["width"] == 1).all()
     # the mock really was exercised (heights come from the payload)
     assert (out["height"] > 0).all()
+
+
+def test_audio_chunking_windows_and_headers(ray_session):
+    """ChunkAudio: byte-exact window math, standalone-decodable chunk
+    headers, and only 'au' rows chunked."""
+    import ray.data as rd
+    from pdf_parser_ray.stages.multimodal import (ChunkAudio, DecodeMedia,
+                                                  chunk_audio_dataset,
+                                                  synth_media_table)
+    media = rd.from_arrow(synth_media_table(30)).repartition(4)
+    out = chunk_audio_dataset(media, window=64, stride=48).to_pandas()
+    src = synth_media_table(30).to_pandas()
+    au = src[src["kind"] == "au"]
+    assert set(out["media_id"]) == set(au["media_id"])
+    dec = DecodeMedia("fake")
+    for p in out["payload"]:
+        dec._decode(bytes(p))      # every chunk header must re-decode
+    # reconstruct each body from its windows: overlap regions must agree
+    for mid, g in out.groupby("media_id"):
+        g = g.sort_values("chunk_idx")
+        body = bytes(au.loc[au["media_id"] == mid, "payload"].iloc[0])[17:]
+        rebuilt = bytearray(len(body))
+        for _, r in g.iterrows():
+            sl = bytes(r["payload"])[17:]
+            assert sl == body[r["start_byte"]:r["start_byte"] + r["n_bytes"]]
+            rebuilt[r["start_byte"]:r["start_byte"] + r["n_bytes"]] = sl
+        assert bytes(rebuilt) == body       # full coverage, no gaps
+    # degenerate: empty body -> exactly one empty chunk
+    import pyarrow as pa
+    from pdf_parser_ray.stages.multimodal import MEDIA_SCHEMA
+    empty = pa.Table.from_arrays(
+        [pa.array([99], pa.int64()), pa.array(["au"], pa.string()),
+         pa.array([bytes(synth_media_table(1).to_pandas()["payload"][0][:17])],
+                  pa.large_binary()),
+         pa.array(["{}"], pa.string())], schema=MEDIA_SCHEMA)
+    one = ChunkAudio(window=64, stride=48)(empty).to_pandas()
+    assert len(one) == 1 and one["n_bytes"].iloc[0] == 0
