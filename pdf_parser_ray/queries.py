@@ -792,6 +792,65 @@ def docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def embeddings_label_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-label centroid QA — the mislabeled-sample detector a
+    training-data pipeline runs over an embedded corpus: each label's
+    centroid direction is the per-dim SUM of its members (cosine is
+    scale-invariant, and the sum — unlike the mean — is mirrored
+    exactly by SQL SUM), every point is scored by cosine to its OWN
+    label's centroid, and the per-label report counts negative-cosine
+    members (pointing away from their class). Two passes, kmeans
+    layout: per-batch sufficient statistics combined driver-side in
+    deterministic (label, blk) order, centroids broadcast once via
+    ray.put, scoring fully distributed. avg_cos is rounded to 3dp so
+    dim-summation-order ulps can't break the hash compare."""
+    import ray
+    ds = read_table(sf_dir, "embeddings",
+                    ["vec_id", "embedding", "label"]).materialize()
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in b["embedding"]])
+        lab = b["label"].to_numpy(dtype=np.int64)
+        blk = int(b["vec_id"].min())
+        rows = []
+        for lb in np.unique(lab):
+            rows.append({"label": int(lb),
+                         "s": X[lab == lb].sum(axis=0).tolist(),
+                         "blk": blk})
+        return pd.DataFrame(rows)
+
+    part = (ds.map_batches(stats, batch_format="pandas")
+            .to_pandas().sort_values(["label", "blk"], kind="mergesort"))
+    cen = {int(lb): np.sum(np.stack([np.asarray(s) for s in g["s"]]),
+                           axis=0)
+           for lb, g in part.groupby("label")}
+    ref = ray.put(cen)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        C_map = ray.get(ref)
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in b["embedding"]])
+        lab = b["label"].to_numpy(dtype=np.int64)
+        C = np.stack([C_map[int(lb)] for lb in lab])
+        cos = (X * C).sum(1) / (np.linalg.norm(X, axis=1)
+                                * np.linalg.norm(C, axis=1))
+        return pd.DataFrame({"label": lab,
+                             "is_out": (cos < 0.0).astype(np.int64),
+                             "cos": cos})
+
+    agg = grouped_agg(ds.map_batches(score, batch_format="pandas"),
+                      ["label"], {"n": ("count", None),
+                                  "n_outliers": ("sum", "is_out"),
+                                  "sum_cos": ("sum", "cos")})
+    agg["avg_cos"] = np.round(agg["sum_cos"].to_numpy(dtype=np.float64)
+                              / agg["n"].to_numpy(dtype=np.float64), 3)
+    return (agg[["label", "n", "n_outliers", "avg_cos"]]
+            .astype({"label": "int64", "n": "int64",
+                     "n_outliers": "int64"})
+            .sort_values("label").reset_index(drop=True))
+
+
 def embeddings_kmeans(sf_dir: str) -> pd.DataFrame:
     """Distributed k-means (k=8, 5 fixed iterations, deterministic
     seed = the k lowest vec_ids): per-batch vectorized assign +
@@ -2303,6 +2362,7 @@ QUERIES = {
     "events_session_attrib": events_session_attrib,
     "docs_stratified_sample": docs_stratified_sample,
     "embeddings_kmeans": embeddings_kmeans,
+    "embeddings_label_outliers": embeddings_label_outliers,
     "docs_training_mix": docs_training_mix,
     "events_median_sketch": events_median_sketch,
     "docs_chunk_dedup": docs_chunk_dedup,
@@ -3174,6 +3234,25 @@ ORACLES = {
     "docs_fingerprint": """
         SELECT doc_id, md5(text) AS fingerprint
         FROM documents ORDER BY doc_id
+    """,
+    "embeddings_label_outliers": """
+        WITH dims AS (
+          SELECT label, i, SUM(embedding[i]::DOUBLE) AS sd
+          FROM embeddings, range(1, 65) t(i)
+          GROUP BY label, i),
+        cen AS (
+          SELECT label, list(sd ORDER BY i) AS cen
+          FROM dims GROUP BY label),
+        scored AS (
+          SELECT e.label,
+                 list_cosine_similarity(e.embedding::DOUBLE[], c.cen)
+                   AS cos
+          FROM embeddings e JOIN cen c USING (label))
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN cos < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers,
+               ROUND(AVG(cos), 3) AS avg_cos
+        FROM scored GROUP BY label ORDER BY label
     """,
     "embeddings_knn_bruteforce": """
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
