@@ -1419,6 +1419,53 @@ def docs_token_counts(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_length_buckets(sf_dir: str) -> pd.DataFrame:
+    """Sequence-length bucketing (8 exact octile buckets over n_chars)
+    with per-bucket padding-waste accounting — the batching-efficiency
+    op an LLM data pipeline runs before padding fixed-shape batches.
+    The octile thresholds are EXACT quantile_cont order statistics
+    computed from the cardinality-bounded value histogram in
+    eighth-units (t_e8 = v_lo*(8-f8) + v_hi*f8 stays int64), bucket
+    membership is count(8*x > t_e8) via one broadcast searchsorted,
+    and waste = n*max - sum per bucket — integer arithmetic end to
+    end, mirrored term-for-term in the oracle."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    hist = (grouped_agg(ds, ["n_chars"], {"cnt": ("count", None)})
+            .sort_values("n_chars").reset_index(drop=True))
+    counts = hist["cnt"].to_numpy(dtype=np.int64)
+    values = hist["n_chars"].to_numpy(dtype=np.int64)
+    n = int(counts.sum())
+    cum = counts.cumsum()
+    ths = []
+    for i in range(1, 8):
+        h8 = (n - 1) * i                      # rank in eighth-units
+        lo_rank, f8 = divmod(h8, 8)
+        hi_rank = lo_rank + (1 if f8 else 0)
+        v_lo = int(values[np.searchsorted(cum, lo_rank + 1)])
+        v_hi = int(values[np.searchsorted(cum, hi_rank + 1)])
+        ths.append(v_lo * (8 - f8) + v_hi * f8)
+    th = np.sort(np.array(ths, dtype=np.int64))
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["n_chars"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "bucket": np.searchsorted(th, 8 * x, side="left")
+            .astype(np.int64),
+            "n_chars": x})
+
+    agg = grouped_agg(ds.map_batches(bucketize, batch_format="pandas"),
+                      ["bucket"], {"n_docs": ("count", None),
+                                   "max_chars": ("max", "n_chars"),
+                                   "sum_chars": ("sum", "n_chars")})
+    agg["padding_waste"] = (agg["n_docs"].to_numpy(dtype=np.int64)
+                            * agg["max_chars"].to_numpy(dtype=np.int64)
+                            - agg["sum_chars"].to_numpy(dtype=np.int64))
+    return (agg[["bucket", "n_docs", "max_chars", "padding_waste"]]
+            .astype({"bucket": "int64", "n_docs": "int64",
+                     "max_chars": "int64", "padding_waste": "int64"})
+            .sort_values("bucket").reset_index(drop=True))
+
+
 def docs_pack_sequences(sf_dir: str) -> pd.DataFrame:
     """Token-budget sequence packing (split-allowed streaming packing
     for LLM pretraining shards): documents in doc_id order fill fixed
@@ -2384,6 +2431,7 @@ QUERIES = {
     "events_dedup_user_type": events_dedup_user_type,
     "docs_token_counts": docs_token_counts,
     "docs_pack_sequences": docs_pack_sequences,
+    "docs_length_buckets": docs_length_buckets,
     "docs_incremental_dedup": docs_incremental_dedup,
     "docs_cap_per_source": docs_cap_per_source,
     "docs_strip_dup_spans": docs_strip_dup_spans,
@@ -3091,6 +3139,25 @@ ORACLES = {
           FROM scored)
         SELECT doc_id, token, tf, df FROM ranked
         WHERE rn <= 3 ORDER BY doc_id, token
+    """,
+    "docs_length_buckets": """
+        WITH ql AS (
+          SELECT quantile_cont(n_chars, [0.125, 0.25, 0.375, 0.5,
+                                         0.625, 0.75, 0.875]) AS q
+          FROM documents),
+        th AS (SELECT CAST(unnest(q) * 8 AS BIGINT) AS t_e8 FROM ql),
+        b AS (
+          SELECT d.doc_id, d.n_chars,
+                 (SELECT CAST(SUM(CASE WHEN 8 * d.n_chars > t.t_e8
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                  FROM th t) AS bucket
+          FROM documents d)
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+               CAST(COUNT(*) * MAX(n_chars) - SUM(n_chars) AS BIGINT)
+                 AS padding_waste
+        FROM b GROUP BY bucket ORDER BY bucket
     """,
     "docs_bm25_topk": r"""
         WITH toks AS (
