@@ -2196,6 +2196,36 @@ def flagship_extract(sf_dir: str) -> pd.DataFrame:
     return ds.to_pandas()
 
 
+def transcript_strip_boilerplate(sf_dir: str) -> pd.DataFrame:
+    """Extraction composed with CROSS-TURN boilerplate stripping: after
+    the per-turn geometric header/footer strip, lines that still repeat
+    across >=50%% of a conversation's turns (template chrome the
+    geometry can't see) are removed per conversation — two
+    cardinality-bounded aggregates plus one conv_id-co-partitioned
+    shuffle, never a whole conversation in one task
+    (stages/boilerplate.py). Returns per-conversation totals (rows-only
+    check: the transcript corpus is synthesized, not SQL-visible;
+    semantics are pinned by tests/test_boilerplate.py)."""
+    from .pipelines.extraction import run_extraction
+    from .stages.boilerplate import strip_conv_boilerplate
+    ds = run_extraction(sf_dir, ordered=False)
+    stripped = strip_conv_boilerplate(ds)
+    out = grouped_agg(
+        stripped.map_batches(
+            lambda b: pd.DataFrame({
+                "conv_id": b["conv_id"].values,
+                "n_stripped_lines": b["n_stripped_lines"].values,
+                "n_chars": b["extracted_text"].str.len()
+                .to_numpy(dtype=np.int64)}),
+            batch_format="pandas"),
+        ["conv_id"], {"turns": ("count", None),
+                      "stripped_lines": ("sum", "n_stripped_lines"),
+                      "kept_chars": ("sum", "n_chars")})
+    return (out.astype({"turns": "int64", "stripped_lines": "int64",
+                        "kept_chars": "int64"})
+            .sort_values("conv_id").reset_index(drop=True))
+
+
 def transcript_train_shards(sf_dir: str) -> pd.DataFrame:
     """Full pipeline to TRAINING-READY OUTPUT: extraction -> select the
     text payload -> deterministic hash-sharded export (16 shards,
@@ -2463,6 +2493,7 @@ QUERIES = {
     "docs_lang_id": docs_lang_id,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
     "flagship_extract": flagship_extract,
+    "transcript_strip_boilerplate": transcript_strip_boilerplate,
     "transcript_questions": transcript_questions,
     "conversation_markdown": conversation_markdown,
     "transcript_exact_dedup": transcript_exact_dedup,
