@@ -471,6 +471,36 @@ def events_value_delta(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def events_transition_matrix(sf_dir: str) -> pd.DataFrame:
+    """Per-user event-type TRANSITION MATRIX (the Markov/path-analysis
+    aggregate behind funnel mining): LAG(event_type) within each user's
+    (ts, event_id) order, then a grouped count over (prev_type, type).
+    One bucketed per-user shuffle computes every lag vectorized; the
+    transition counts combine partially (25-cell result at any scale).
+    Session starts (no previous event) are counted under
+    prev_type='(start)'."""
+    from .relational import bucketed_map_groups
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts",
+                                       "event_type"])
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        prev = (df.groupby("user_id", sort=False, observed=True)
+                ["event_type"].shift(1).fillna("(start)"))
+        return (pd.DataFrame({"prev_type": prev.values,
+                              "event_type": df["event_type"].values})
+                .groupby(["prev_type", "event_type"], sort=False)
+                .size().reset_index(name="n"))
+
+    part = bucketed_map_groups(ds, ["user_id"], win)
+    out = grouped_agg(part, ["prev_type", "event_type"],
+                      {"n_transitions": ("sum", "n")})
+    return (out.astype({"n_transitions": "int64"})
+            .sort_values(["prev_type", "event_type"])
+            .reset_index(drop=True))
+
+
 def events_hourly_pivot(sf_dir: str) -> pd.DataFrame:
     """PIVOT (long -> wide): hourly counts per event type as one wide
     row per hour. The heavy part — the (hour, type) aggregate — runs
@@ -2425,6 +2455,7 @@ QUERIES = {
     "events_top_per_user": events_top_per_user,
     "events_value_delta": events_value_delta,
     "events_distinct_users_by_type": events_distinct_users_by_type,
+    "events_transition_matrix": events_transition_matrix,
     "events_hourly_pivot": events_hourly_pivot,
     "events_hourly_gap_fill": events_hourly_gap_fill,
     "events_sliding_window": events_sliding_window,
@@ -3016,6 +3047,18 @@ ORACLES = {
                CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k,
                CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
         FROM k GROUP BY event_type ORDER BY event_type
+    """,
+    "events_transition_matrix": """
+        WITH w AS (
+          SELECT COALESCE(LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id),
+                 '(start)') AS prev_type,
+                 event_type
+          FROM events)
+        SELECT prev_type, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM w GROUP BY prev_type, event_type
+        ORDER BY prev_type, event_type
     """,
     "events_value_mad_by_type": """
         WITH c AS (SELECT event_type,
