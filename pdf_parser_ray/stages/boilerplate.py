@@ -54,10 +54,19 @@ def strip_conv_boilerplate(ds, *, min_ratio: float = 0.5,
     appears in; it is boilerplate when that turn count >=
     ``min_ratio`` * n_turns.
     """
-    from ..relational import _cogroup, _split_sides, grouped_agg_ds
+    import ray
+
+    from ..relational import (_BROADCAST_JOIN_BYTES, _cogroup,
+                              _split_sides, grouped_agg_ds)
 
     if not (0.0 < min_ratio <= 1.0):
         raise ValueError("min_ratio must be in (0, 1]")
+
+    # the input feeds three consumers (line counting, turn counting,
+    # the final strip join); pin it in the (spillable) object store so
+    # a lazy upstream — e.g. the whole extraction pipeline — does not
+    # re-execute once per consumer
+    ds = ds.materialize()
 
     def lines_of(b: pd.DataFrame) -> pd.DataFrame:
         lines = b[text_col].str.split("\n")
@@ -80,19 +89,36 @@ def strip_conv_boilerplate(ds, *, min_ratio: float = 0.5,
     nturns = grouped_agg_ds(
         ds.map_batches(lambda b: b[["conv_id", "turn_idx"]],
                        batch_format="pandas"),
-        ["conv_id"], {"n_turns": ("count", None)})
+        ["conv_id"], {"n_turns": ("count", None)}).materialize()
 
-    def bp_bucket(t) -> pd.DataFrame:
-        c, nt = _split_sides(t, ["conv_id", "line_h", "cnt"],
-                             ["conv_id", "n_turns"])
+    kw = {} if n_buckets is None else {"n_buckets": n_buckets}
+
+    def _bp_filter(c: pd.DataFrame, nt: pd.DataFrame) -> pd.DataFrame:
         m = c.merge(nt, on="conv_id", how="inner")
         m = m[(m["n_turns"] >= min_turns)
               & (m["cnt"].to_numpy(dtype=np.float64)
                  >= min_ratio * m["n_turns"].to_numpy(dtype=np.float64))]
         return m[["conv_id", "line_h"]]
 
-    kw = {} if n_buckets is None else {"n_buckets": n_buckets}
-    bp = _cogroup(counts, nturns, ["conv_id"], bp_bucket, **kw)
+    # adaptive (broadcast-small-sides rule): the per-conv turn-count
+    # table is one row per conversation — under the broadcast budget
+    # it ships once and the line counts filter map-side with NO second
+    # shuffle of the (much larger) line-count rows; past the budget it
+    # falls back to a conv_id-co-partitioned join
+    if (nturns.size_bytes() or 0) <= _BROADCAST_JOIN_BYTES:
+        nt_ref = ray.put(nturns.to_pandas())
+
+        def flt(c: pd.DataFrame) -> pd.DataFrame:
+            return _bp_filter(c, ray.get(nt_ref))
+
+        bp = counts.map_batches(flt, batch_format="pandas")
+    else:
+        def bp_bucket(t) -> pd.DataFrame:
+            c, nt = _split_sides(t, ["conv_id", "line_h", "cnt"],
+                                 ["conv_id", "n_turns"])
+            return _bp_filter(c, nt)
+
+        bp = _cogroup(counts, nturns, ["conv_id"], bp_bucket, **kw)
 
     out_cols = list(ds.schema().names)
 
