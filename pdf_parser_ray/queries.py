@@ -1156,6 +1156,94 @@ def docs_commonness(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_bigram_novelty(sf_dir: str) -> pd.DataFrame:
+    """Per-document bigram NOVELTY rate — the memorization/template QA
+    statistic: the fraction of a doc's adjacent token pairs that occur
+    exactly once in the whole corpus (template chrome scores ~0, fresh
+    prose ~1). Two passes, integer-exact: (1) distributed corpus
+    bigram counts keyed by the 64-bit row hash of the (a, b) pair
+    (collisions ~1e-9, same budget as docs_commonness), (2) the
+    count==1 hash set broadcast as ONE sorted numpy array (guarded;
+    top-V + tail default at web scale) and membership tested by
+    searchsorted inside map_batches. Docs with fewer than 2 tokens
+    have no bigram and are excluded, mirroring the SQL's len > 1."""
+    import ray
+
+    from .relational import grouped_agg_ds, guard_broadcast_bytes
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _pairs(b: pd.DataFrame):
+        toks = b["text"].str.findall(r"\S+")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        if int(lens.sum()) == 0:
+            return None
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks.to_numpy()])
+        ends = np.cumsum(lens)
+        valid = np.ones(max(len(flat) - 1, 0), dtype=bool)
+        # cross-document seams; empty leading docs give end=0 -> -1,
+        # which must not wrap to the last pair
+        seams = ends[:-1] - 1
+        seams = seams[(seams >= 0) & (seams < len(valid))]
+        valid[seams] = False
+        a = flat[:-1][valid]
+        b2 = flat[1:][valid]
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame({"a": a, "b": b2}), index=False).to_numpy()
+        docs = np.repeat(b["doc_id"].to_numpy(dtype=np.int64),
+                         np.maximum(lens - 1, 0))
+        return h, docs
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = _pairs(b)
+        if p is None:
+            return pd.DataFrame({"ph": pd.array([], dtype="uint64"),
+                                 "c": pd.array([], dtype="int64")})
+        h, _ = p
+        vc = pd.Series(h).value_counts()
+        return pd.DataFrame({"ph": vc.index.to_numpy(),
+                             "c": vc.to_numpy()})
+
+    counts = grouped_agg_ds(
+        ds.map_batches(count_partial, batch_format="pandas"),
+        ["ph"], {"c": ("sum", "c")})
+    novel = (counts.map_batches(
+        lambda b: b.loc[b["c"] == 1, ["ph"]], batch_format="pandas")
+        .to_pandas()["ph"].to_numpy())
+    novel = np.sort(novel)
+    guard_broadcast_bytes(novel.nbytes, "novel-bigram hash set",
+                          "broadcast only the top-V frequent-pair "
+                          "table and treat the unseen tail as novel")
+    novel_ref = ray.put(novel)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        p = _pairs(b)
+        if p is None:
+            return pd.DataFrame({
+                "doc_id": pd.array([], dtype="int64"),
+                "n_bigrams": pd.array([], dtype="int64"),
+                "n_novel": pd.array([], dtype="int64"),
+                "novelty_rate": pd.array([], dtype="float64")})
+        h, docs = p
+        nv = ray.get(novel_ref)
+        pos = np.searchsorted(nv, h)
+        is_novel = (pos < len(nv)) & (nv[np.minimum(pos, len(nv) - 1)]
+                                      == h)
+        g = pd.DataFrame({"doc_id": docs,
+                          "one": np.int64(1),
+                          "nov": is_novel.astype(np.int64)}) \
+            .groupby("doc_id", as_index=False, sort=False).sum()
+        g = g.rename(columns={"one": "n_bigrams", "nov": "n_novel"})
+        g["novelty_rate"] = (g["n_novel"].to_numpy(dtype=np.float64)
+                             * 1.0
+                             / g["n_bigrams"].to_numpy(dtype=np.float64))
+        return g.astype({"doc_id": "int64", "n_bigrams": "int64",
+                         "n_novel": "int64"})
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _heavy_partkeys(sf_dir: str) -> set:
     """Distinct partkeys appearing in a quantity > 49 lineitem (the
     shared probe-key set for the semi/anti join pair)."""
@@ -2507,6 +2595,7 @@ QUERIES = {
     "docs_heavy_tokens": docs_heavy_tokens,
     "docs_sliding_chunks": docs_sliding_chunks,
     "docs_bigram_lift": docs_bigram_lift,
+    "docs_bigram_novelty": docs_bigram_novelty,
     "docs_lang_counts": docs_lang_counts,
     "docs_clean_text": docs_clean_text,
     "docs_repetition_ratio": docs_repetition_ratio,
@@ -3314,6 +3403,25 @@ ORACLES = {
                  AS chunk,
                LEAST(64, len(toks) - start) AS n_chunk_tokens
         FROM s ORDER BY doc_id, chunk_idx
+    """,
+    "docs_bigram_novelty": r"""
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        bi AS (SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+               FROM (SELECT doc_id, toks,
+                            unnest(generate_series(1, len(toks) - 1))
+                              AS i
+                     FROM t WHERE len(toks) > 1)),
+        cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY a, b)
+        SELECT bi.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN cab.c_ab = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               SUM(CASE WHEN cab.c_ab = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*) AS novelty_rate
+        FROM bi JOIN cab USING (a, b)
+        GROUP BY bi.doc_id ORDER BY bi.doc_id
     """,
     "docs_bigram_lift": r"""
         WITH t AS (SELECT doc_id,
