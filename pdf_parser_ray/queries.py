@@ -1738,7 +1738,9 @@ def docs_tfidf_topk(sf_dir: str) -> pd.DataFrame:
         return (d.groupby(["doc_id", "token"], sort=False)
                 .size().reset_index(name="tf"))
 
-    tf = ds.map_batches(tf_rows, batch_format="pandas")
+    # tf feeds BOTH the df aggregate and the join probe: pin it once
+    # so the tokenization pass does not re-execute per consumer
+    tf = ds.map_batches(tf_rows, batch_format="pandas").materialize()
     df = grouped_agg_ds(tf, ["token"], {"df": ("count", None)})
     joined = hash_join(tf, df, on="token")
 
