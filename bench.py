@@ -132,7 +132,9 @@ def run_queries() -> dict:
                 "docs_jaccard_pairs", "events_rollup", "events_funnel",
                 "events_zorder_pruned_read", "events_value_mad_by_type",
                 "docs_bm25_topk",
-                "docs_freq_spectrum"]
+                "docs_freq_spectrum", "docs_length_buckets",
+                "embeddings_label_outliers", "events_transition_matrix",
+                "docs_bigram_novelty"]
     out = {}
     for name in headline:
         t0 = time.perf_counter()

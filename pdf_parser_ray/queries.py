@@ -2278,6 +2278,19 @@ def docs_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     return jaccard_pairs_exact(ds, k=3, threshold=0.5, max_df=256)
 
 
+def docs_containment_pairs(sf_dir: str) -> pd.DataFrame:
+    """EXACT containment join (shared / min(|A|, |B|) >= 0.8 over the
+    same df-filtered word-3-shingle space): finds docs embedded inside
+    larger ones — quote blocks, concatenated crawls — that symmetric
+    Jaccard misses because the big doc dilutes the union. Same
+    inverted-index plan as docs_jaccard_pairs, different denominator;
+    SQL-exact."""
+    from .stages.dedup import jaccard_pairs_exact
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_pairs_exact(ds, k=3, threshold=0.8, max_df=256,
+                               metric="containment")
+
+
 def dedup_minhash_keep(sf_dir: str) -> pd.DataFrame:
     """Near-dup dedup as a FILTER: connected components over verified
     pairs, min-id representative kept per component."""
@@ -2608,6 +2621,7 @@ QUERIES = {
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "embeddings_near_dup": embeddings_near_dup,
     "docs_jaccard_pairs": docs_jaccard_pairs,
+    "docs_containment_pairs": docs_containment_pairs,
     "dedup_minhash_word": dedup_minhash_word,
     "dedup_minhash_keep": dedup_minhash_keep,
     "dedup_ngram_char": dedup_ngram_char,
@@ -2997,6 +3011,30 @@ ORACLES = {
                LEFT JOIN t2 USING (user_id)
                LEFT JOIN t3 USING (user_id)
         ORDER BY u.user_id
+    """,
+    "docs_containment_pairs": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM documents),
+        g AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+              FROM w, UNNEST(range(1, len(words) - 1)) AS r(i)
+              WHERE len(words) >= 3),
+        s AS (SELECT DISTINCT doc_id, sh FROM g),
+        df AS (SELECT sh, COUNT(*) AS df FROM s GROUP BY sh),
+        f AS (SELECT s.doc_id, s.sh FROM s JOIN df USING (sh)
+              WHERE df.df <= 256),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id),
+        co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      COUNT(*) AS n_shared
+               FROM f a JOIN f b USING (sh)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT co.id_a, co.id_b, co.n_shared,
+               CAST(co.n_shared AS DOUBLE)
+                 / LEAST(sa.n, sb.n) AS containment
+        FROM co JOIN sz sa ON sa.doc_id = co.id_a
+                JOIN sz sb ON sb.doc_id = co.id_b
+        WHERE CAST(co.n_shared AS DOUBLE)
+                / LEAST(sa.n, sb.n) >= 0.8
+        ORDER BY co.id_a, co.id_b
     """,
     "docs_jaccard_pairs": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS words

@@ -1097,10 +1097,19 @@ def _jaccard_postings_bucket(g: pd.DataFrame, *, max_df: int
     return pd.concat([pairs, sizes], ignore_index=True)
 
 
+def _pair_score(n, na, nb, metric: str):
+    if metric == "jaccard":
+        return n / (na + nb - n)
+    if metric == "containment":
+        return n / np.minimum(na, nb)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
 def jaccard_pairs_exact_ds(ds, *, k: int = 3, threshold: float = 0.5,
                            max_df: int = 256, id_col: str = "doc_id",
                            text_col: str = "text",
-                           batch_size: int = 4096):
+                           batch_size: int = 4096,
+                           metric: str = "jaccard"):
     """EXACT all-pairs Jaccard similarity join — the SQL-oracle-able
     complement of the MinHash approximation — via a distributed
     inverted index (the classic exact set-similarity-join plan):
@@ -1115,7 +1124,11 @@ def jaccard_pairs_exact_ds(ds, *, k: int = 3, threshold: float = 0.5,
       4. attach sizes to pairs — broadcast (sorted id + count arrays,
          np.searchsorted) under the byte budget, two co-partitioned
          hash_joins above it — and filter
-         J = shared / (|A| + |B| - shared) >= threshold.
+         J = shared / (|A| + |B| - shared) >= threshold
+         (``metric="containment"`` scores shared / min(|A|, |B|)
+         instead — the subset/near-subset join that catches a doc
+         embedded inside a larger one, which symmetric Jaccard
+         misses).
 
     EXACT over the df-filtered shingle space: any pair with J > 0 in
     that space shares >= 1 retained shingle, so every qualifying pair
@@ -1174,11 +1187,11 @@ def jaccard_pairs_exact_ds(ds, *, k: int = 3, threshold: float = 0.5,
             n = b["n"].to_numpy()
             na = scnt[np.searchsorted(sid, a)]
             nb = scnt[np.searchsorted(sid, bb)]
-            j = n / (na + nb - n)
+            j = _pair_score(n, na, nb, metric)
             out = pd.DataFrame({"id_a": a, "id_b": bb,
                                 "n_shared": n.astype(np.int64),
-                                "jaccard": j})
-            return out[out["jaccard"] >= threshold]
+                                metric: j})
+            return out[out[metric] >= threshold]
 
         return pairs_ds.map_batches(attach, batch_format="pandas")
 
@@ -1195,23 +1208,25 @@ def jaccard_pairs_exact_ds(ds, *, k: int = 3, threshold: float = 0.5,
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
         n = b["n"].to_numpy()
-        j = n / (b["n_a"].to_numpy() + b["n_b"].to_numpy() - n)
+        j = _pair_score(n, b["n_a"].to_numpy(), b["n_b"].to_numpy(),
+                        metric)
         out = pd.DataFrame({"id_a": b["id_a"].to_numpy(),
                             "id_b": b["id_b"].to_numpy(),
                             "n_shared": n.astype(np.int64),
-                            "jaccard": j})
-        return out[out["jaccard"] >= threshold]
+                            metric: j})
+        return out[out[metric] >= threshold]
 
     return joined.map_batches(score, batch_format="pandas")
 
 
 def jaccard_pairs_exact(ds, **kwargs) -> pd.DataFrame:
     """jaccard_pairs_exact_ds collected to sorted driver pandas."""
+    metric = kwargs.get("metric", "jaccard")
     out = jaccard_pairs_exact_ds(ds, **kwargs).to_pandas()
     if out.empty:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
                              "n_shared": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
+                             metric: pd.Series([], dtype="float64")})
     return (out.sort_values(["id_a", "id_b"], kind="mergesort")
             .reset_index(drop=True))
