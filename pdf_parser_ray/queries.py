@@ -471,6 +471,63 @@ def events_value_delta(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def events_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users are cohorted by the Monday week
+    of their FIRST event; each (cohort_week, week_offset) cell counts
+    distinct users active that many weeks later. Distributed: grouped
+    min per user (partial+final), the small user->cohort map broadcast
+    (at web scale: co-partitioned join by user_id — the broadcast is
+    guarded), then per-batch distinct partials feed one bucketed
+    distinct-count combine. Date arithmetic in exact integer days."""
+    import ray
+
+    from .relational import guard_broadcast_bytes
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def first_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("user_id", as_index=False, sort=False)["ts"].min()
+        return g
+
+    firsts = grouped_agg(ds.map_batches(first_partial,
+                                        batch_format="pandas"),
+                         ["user_id"], {"first_ts": ("min", "ts")})
+    cohort = firsts["first_ts"].dt.floor("D") - pd.to_timedelta(
+        firsts["first_ts"].dt.weekday, unit="D")
+    uid = firsts["user_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(uid, kind="stable")
+    cw = cohort.to_numpy().astype("datetime64[D]").view("int64")
+    guard_broadcast_bytes(2 * uid.nbytes, "user->cohort map",
+                          "co-partition the cohort attach by user_id "
+                          "instead of broadcasting")
+    ref = ray.put((uid[order], cw[order]))
+
+    def cells(b: pd.DataFrame) -> pd.DataFrame:
+        uids, cws = ray.get(ref)
+        u = b["user_id"].to_numpy(dtype=np.int64)
+        c = cws[np.searchsorted(uids, u)]
+        week = (b["ts"].dt.floor("D")
+                - pd.to_timedelta(b["ts"].dt.weekday, unit="D")) \
+            .to_numpy().astype("datetime64[D]").view("int64")
+        off = (week - c) // 7
+        return (pd.DataFrame({"cohort_week": c, "week_offset": off,
+                              "user_id": u})
+                .drop_duplicates())
+
+    from .relational import bucketed_map_groups
+    cell_rows = ds.map_batches(cells, batch_format="pandas")
+    out = bucketed_map_groups(
+        cell_rows, ["cohort_week", "week_offset"],
+        lambda g: (g.drop_duplicates()
+                   .groupby(["cohort_week", "week_offset"],
+                            as_index=False, sort=False)
+                   .agg(n_users=("user_id", "nunique")))).to_pandas()
+    out["cohort_week"] = pd.to_datetime(
+        out["cohort_week"].to_numpy().astype("datetime64[D]"))
+    return (out.astype({"week_offset": "int64", "n_users": "int64"})
+            .sort_values(["cohort_week", "week_offset"])
+            .reset_index(drop=True))
+
+
 def events_transition_matrix(sf_dir: str) -> pd.DataFrame:
     """Per-user event-type TRANSITION MATRIX (the Markov/path-analysis
     aggregate behind funnel mining): LAG(event_type) within each user's
@@ -2558,6 +2615,7 @@ QUERIES = {
     "events_top_per_user": events_top_per_user,
     "events_value_delta": events_value_delta,
     "events_distinct_users_by_type": events_distinct_users_by_type,
+    "events_cohort_retention": events_cohort_retention,
     "events_transition_matrix": events_transition_matrix,
     "events_hourly_pivot": events_hourly_pivot,
     "events_hourly_gap_fill": events_hourly_gap_fill,
@@ -3176,6 +3234,22 @@ ORACLES = {
                CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k,
                CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
         FROM k GROUP BY event_type ORDER BY event_type
+    """,
+    "events_cohort_retention": """
+        WITH f AS (SELECT user_id,
+                          date_trunc('week', MIN(ts)) AS cohort_week
+                   FROM events GROUP BY user_id),
+        act AS (SELECT DISTINCT e.user_id, f.cohort_week,
+                       CAST(date_diff('day',
+                            CAST(f.cohort_week AS DATE),
+                            CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                            AS BIGINT) AS week_offset
+                FROM events e JOIN f USING (user_id))
+        SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+               week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM act GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
     """,
     "events_transition_matrix": """
         WITH w AS (
