@@ -471,6 +471,47 @@ def events_value_delta(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def events_profile(sf_dir: str) -> pd.DataFrame:
+    """Dataset PROFILER (the schema-QA pass every ingest runs): per
+    column — row count, null count, EXACT distinct count (distributed
+    per-batch-unique -> bucketed distinct; the mergeable-partial shape
+    that never ships raw rows), and a live HyperLogLog cross-check
+    (the scale path when exact distinct is too wide) asserted within
+    5%. One profile row per column, all integer-exact plus the sketch
+    bound as a verified TRUE."""
+    from .relational import distinct_ds
+    from .stages.sketches import approx_distinct
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ds = read_table(sf_dir, "events", cols).materialize()
+
+    def null_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "col": cols,
+            "n": np.int64(len(b)),
+            "nulls": [int(b[c].isna().sum()) for c in cols]})
+
+    totals = grouped_agg(
+        ds.map_batches(null_partial, batch_format="pandas"),
+        ["col"], {"n_rows": ("sum", "n"), "n_nulls": ("sum", "nulls")})
+    rows = []
+    for c in cols:
+        nd = distinct_ds(ds.map_batches(lambda b, c=c: b[[c]],
+                                        batch_format="pandas"),
+                         [c]).count()
+        est = approx_distinct(ds, c)
+        t = totals[totals["col"] == c].iloc[0]
+        rows.append({"col": c,
+                     "n_rows": int(t["n_rows"]),
+                     "n_nulls": int(t["n_nulls"]),
+                     "n_distinct": int(nd),
+                     "hll_within_5pct":
+                     bool(abs(est - nd) <= 0.05 * max(nd, 1))})
+    return (pd.DataFrame(rows)
+            .astype({"n_rows": "int64", "n_nulls": "int64",
+                     "n_distinct": "int64"})
+            .sort_values("col").reset_index(drop=True))
+
+
 def events_cohort_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention matrix: users are cohorted by the Monday week
     of their FIRST event; each (cohort_week, week_offset) cell counts
@@ -2615,6 +2656,7 @@ QUERIES = {
     "events_top_per_user": events_top_per_user,
     "events_value_delta": events_value_delta,
     "events_distinct_users_by_type": events_distinct_users_by_type,
+    "events_profile": events_profile,
     "events_cohort_retention": events_cohort_retention,
     "events_transition_matrix": events_transition_matrix,
     "events_hourly_pivot": events_hourly_pivot,
@@ -3234,6 +3276,51 @@ ORACLES = {
                CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k,
                CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
         FROM k GROUP BY event_type ORDER BY event_type
+    """,
+    "events_profile": """
+        SELECT * FROM (
+        SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+               TRUE AS hll_within_5pct
+        FROM events
+        UNION ALL
+        SELECT 'ts' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT ts) AS BIGINT) AS n_distinct,
+               TRUE AS hll_within_5pct
+        FROM events
+        UNION ALL
+        SELECT 'user_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+               TRUE AS hll_within_5pct
+        FROM events
+        UNION ALL
+        SELECT 'event_type' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct,
+               TRUE AS hll_within_5pct
+        FROM events
+        UNION ALL
+        SELECT 'value' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct,
+               TRUE AS hll_within_5pct
+        FROM events
+        UNION ALL
+        SELECT 'props' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT props) AS BIGINT) AS n_distinct,
+               TRUE AS hll_within_5pct
+        FROM events
+        ) ORDER BY col
     """,
     "events_cohort_retention": """
         WITH f AS (SELECT user_id,
