@@ -920,6 +920,60 @@ def docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def embeddings_knn_confusion(sf_dir: str) -> pd.DataFrame:
+    """k-NN label-prediction CONFUSION MATRIX (k=5, majority vote) —
+    the label-quality audit run before trusting a labeled corpus: each
+    point is classified by its 5 nearest neighbors (self excluded) and
+    the (actual, predicted) counts expose systematically confusable
+    label pairs. Distributed as broadcast-candidate-matrix + per-batch
+    vectorized scoring (matmul, one argsort per query row); at web
+    scale the candidate side is the IVF-bucketed index
+    (stages.similarity), the vote logic unchanged. Ranking runs on
+    cosine ROUNDED to 4dp with vec_id tiebreak — the same
+    ulp-stability surface as the knn oracle — so the SQL window
+    ranking is identical; vote ties break to the smallest label."""
+    import ray
+    ds = read_table(sf_dir, "embeddings",
+                    ["vec_id", "embedding", "label"]).materialize()
+    pdf = ds.to_pandas()
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    labels = pdf["label"].to_numpy(dtype=np.int64)
+    from .relational import guard_broadcast_bytes
+    guard_broadcast_bytes(X.nbytes, "knn candidate matrix",
+                          "swap the broadcast matrix for the "
+                          "IVF-bucketed index (stages.similarity)")
+    norms = np.linalg.norm(X, axis=1)
+    ref = ray.put((X, ids, labels, norms))
+    K = 5
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        Xc, cid, clab, cnorm = ray.get(ref)
+        Q = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in b["embedding"]])
+        qid = b["vec_id"].to_numpy(dtype=np.int64)
+        qlab = b["label"].to_numpy(dtype=np.int64)
+        cos = (Q @ Xc.T) / (np.linalg.norm(Q, axis=1)[:, None]
+                            * cnorm[None, :])
+        cos4 = np.round(cos, 4)
+        preds = np.empty(len(b), dtype=np.int64)
+        for i in range(len(b)):
+            row = cos4[i].copy()
+            row[cid == qid[i]] = -np.inf          # exclude self
+            order = np.lexsort((cid, -row))[:K]
+            nl = clab[order]
+            cnt = np.bincount(nl)
+            preds[i] = int(np.flatnonzero(cnt == cnt.max())[0])
+        return pd.DataFrame({"actual": qlab, "predicted": preds})
+
+    out = grouped_agg(ds.map_batches(classify, batch_format="pandas"),
+                      ["actual", "predicted"], {"n": ("count", None)})
+    return (out.astype({"actual": "int64", "predicted": "int64",
+                        "n": "int64"})
+            .sort_values(["actual", "predicted"]).reset_index(drop=True))
+
+
 def embeddings_label_outliers(sf_dir: str) -> pd.DataFrame:
     """Per-label centroid QA — the mislabeled-sample detector a
     training-data pipeline runs over an embedded corpus: each label's
@@ -2674,6 +2728,7 @@ QUERIES = {
     "docs_stratified_sample": docs_stratified_sample,
     "embeddings_kmeans": embeddings_kmeans,
     "embeddings_label_outliers": embeddings_label_outliers,
+    "embeddings_knn_confusion": embeddings_knn_confusion,
     "docs_training_mix": docs_training_mix,
     "events_median_sketch": events_median_sketch,
     "docs_chunk_dedup": docs_chunk_dedup,
@@ -3684,6 +3739,28 @@ ORACLES = {
     "docs_fingerprint": """
         SELECT doc_id, md5(text) AS fingerprint
         FROM documents ORDER BY doc_id
+    """,
+    "embeddings_knn_confusion": """
+        WITH p AS (
+          SELECT a.vec_id AS qid, a.label AS actual,
+                 b.vec_id AS nid, b.label AS nlabel,
+                 ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]), 4)
+                   AS cos4
+          FROM embeddings a JOIN embeddings b
+               ON a.vec_id <> b.vec_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (
+                         PARTITION BY qid
+                         ORDER BY cos4 DESC, nid) AS rk FROM p),
+        v AS (SELECT qid, actual, nlabel, COUNT(*) AS c
+              FROM r WHERE rk <= 5 GROUP BY qid, actual, nlabel),
+        pred AS (SELECT qid, actual, nlabel AS predicted,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY qid
+                          ORDER BY c DESC, nlabel) AS vr FROM v)
+        SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred WHERE vr = 1
+        GROUP BY actual, predicted ORDER BY actual, predicted
     """,
     "embeddings_label_outliers": """
         WITH dims AS (
