@@ -1407,6 +1407,44 @@ def _heavy_partkeys(sf_dir: str) -> set:
     return set(heavy["l_partkey"])
 
 
+def tpch_fk_audit(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity AUDIT across the schema's FK graph — the
+    ingest-gate check a warehouse runs before trusting joins: for each
+    child->parent edge, how many child rows reference a missing
+    parent. Each edge is a distributed distinct of the child key
+    column (per-batch unique partial) anti-joined against the parent
+    key set; dimension parents broadcast, the lineitem->orders edge
+    counts orphan KEYS (bounded by distinct cardinality) the same way.
+    All counts integer-exact."""
+    from .relational import distinct_ds
+
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    rows = []
+    for child, ck, parent, pk in edges:
+        # two consumers (orphan scan + count): pin the distinct once
+        child_keys = distinct_ds(read_table(sf_dir, child, [ck]),
+                                 [ck]).materialize()
+        parent_keys = set(
+            distinct(read_table(sf_dir, parent, [pk]), [pk])[pk])
+        orphans = child_keys.map_batches(
+            lambda b, ck=ck, pks=parent_keys:
+            pd.DataFrame({"k": [int((~b[ck].isin(pks)).sum())]}),
+            batch_format="pandas").to_pandas()["k"].sum()
+        rows.append({"fk_edge": f"{child}.{ck}->{parent}.{pk}",
+                     "n_child_keys": None,  # filled below
+                     "n_orphan_keys": int(orphans)})
+        rows[-1]["n_child_keys"] = int(child_keys.count())
+    return (pd.DataFrame(rows)
+            .astype({"n_child_keys": "int64", "n_orphan_keys": "int64"})
+            .sort_values("fk_edge").reset_index(drop=True))
+
+
 def parts_anti_join(sf_dir: str) -> pd.DataFrame:
     """Anti join via broadcast key set: parts never shipped in a
     quantity > 49 lineitem."""
@@ -2739,6 +2777,7 @@ QUERIES = {
     "docs_exact_dedup_indexed": docs_exact_dedup_indexed,
     "transcript_train_shards": transcript_train_shards,
     "parts_anti_join": parts_anti_join,
+    "tpch_fk_audit": tpch_fk_audit,
     "parts_semi_join": parts_semi_join,
     "events_props_stats": events_props_stats,
     "events_median_by_type": events_median_by_type,
@@ -2813,6 +2852,44 @@ ORACLES = {
                  AS exact_distinct_users,
                TRUE AS within_5pct
         FROM events
+    """,
+    "tpch_fk_audit": """
+        SELECT * FROM (
+        SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_edge,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_child_keys,
+               CAST(COUNT(DISTINCT CASE WHEN l_orderkey NOT IN
+                    (SELECT o_orderkey FROM orders) THEN l_orderkey END) AS BIGINT)
+                 AS n_orphan_keys
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_custkey->customer.c_custkey' AS fk_edge,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_child_keys,
+               CAST(COUNT(DISTINCT CASE WHEN o_custkey NOT IN
+                    (SELECT c_custkey FROM customer) THEN o_custkey END) AS BIGINT)
+                 AS n_orphan_keys
+        FROM orders
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation.n_nationkey' AS fk_edge,
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_child_keys,
+               CAST(COUNT(DISTINCT CASE WHEN c_nationkey NOT IN
+                    (SELECT n_nationkey FROM nation) THEN c_nationkey END) AS BIGINT)
+                 AS n_orphan_keys
+        FROM customer
+        UNION ALL
+        SELECT 'supplier.s_nationkey->nation.n_nationkey' AS fk_edge,
+               CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS n_child_keys,
+               CAST(COUNT(DISTINCT CASE WHEN s_nationkey NOT IN
+                    (SELECT n_nationkey FROM nation) THEN s_nationkey END) AS BIGINT)
+                 AS n_orphan_keys
+        FROM supplier
+        UNION ALL
+        SELECT 'nation.n_regionkey->region.r_regionkey' AS fk_edge,
+               CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS n_child_keys,
+               CAST(COUNT(DISTINCT CASE WHEN n_regionkey NOT IN
+                    (SELECT r_regionkey FROM region) THEN n_regionkey END) AS BIGINT)
+                 AS n_orphan_keys
+        FROM nation
+        ) ORDER BY fk_edge
     """,
     "parts_bloom_prefilter": """
         SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows,
