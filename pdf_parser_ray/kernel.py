@@ -599,8 +599,37 @@ def _round2(v: Optional[float]) -> Optional[float]:
 
 
 def canonical_metadata_json(metadata: Dict) -> str:
-    """Sorted-key canonical JSON (pdf_extractor_protocol.py:181-183)."""
-    return json.dumps(metadata, sort_keys=True, ensure_ascii=False)
+    """Sorted-key canonical JSON (pdf_extractor_protocol.py:181-183).
+
+    Fast path for the hot per-turn shape (ASCII identifier keys;
+    int/bool/float-list values — json encodes bools as true/false and
+    floats via float.__repr__, both matched exactly here); anything
+    else (error strings, nested dicts) falls back to json.dumps, so
+    output is byte-identical either way (pinned by the equality
+    suites)."""
+    parts = []
+    for k in sorted(metadata):
+        v = metadata[k]
+        if v is True:
+            sv = "true"
+        elif v is False:
+            sv = "false"
+        elif type(v) is int:
+            sv = repr(v)
+        elif type(v) is list and all(
+                type(x) is float and -1e308 < x < 1e308 for x in v):
+            # (json spells non-finite floats NaN/Infinity; repr says
+            # nan/inf — non-finite lists take the fallback)
+            sv = "[" + ", ".join(repr(x) for x in v) + "]"
+        else:
+            return json.dumps(metadata, sort_keys=True,
+                              ensure_ascii=False)
+        if not (type(k) is str and k.isascii()
+                and '"' not in k and "\\" not in k):
+            return json.dumps(metadata, sort_keys=True,
+                              ensure_ascii=False)
+        parts.append('"%s": %s' % (k, sv))
+    return "{" + ", ".join(parts) + "}"
 
 
 def assemble_extracted_text(header: str, left: str, right: str, footer: str) -> str:
