@@ -839,6 +839,35 @@ def events_asof_join(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def events_asof_window(sf_dir: str) -> pd.DataFrame:
+    """AS-OF join with an ATTRIBUTION WINDOW (ads-style last-touch
+    within 1 hour): the most recent prior view only counts when it is
+    at most an hour old — since the as-of match is the closest prior
+    event, windowing is an exact post-filter on the match lag, applied
+    distributed inside the same pipeline (no extra shuffle)."""
+    from .relational import asof_join
+    W_US = 3_600_000_000
+    ds = read_table(sf_dir, "events",
+                    ["event_id", "user_id", "event_type", "ts"])
+    left = ds.map_batches(
+        lambda b: b[b["event_type"] == "purchase"]
+        [["event_id", "user_id", "ts"]], batch_format="pandas")
+    right = ds.map_batches(
+        lambda b: b[b["event_type"] == "view"][["user_id", "ts"]]
+        .rename(columns={"ts": "view_ts"}), batch_format="pandas")
+
+    def windowed(b: pd.DataFrame) -> pd.DataFrame:
+        lag = ((b["ts"] - b["view_ts"])
+               // pd.Timedelta(microseconds=1)).astype("int64")
+        b = b.assign(lag_us=lag)
+        return b[b["lag_us"] <= W_US]
+
+    out = (asof_join(left, right, by="user_id",
+                     left_ts="ts", right_ts="view_ts")
+           .map_batches(windowed, batch_format="pandas").to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def events_asof_left(sf_dir: str) -> pd.DataFrame:
     """LEFT-outer AS-OF join: every purchase kept, with the most recent
     prior view timestamp or NULL — matching DuckDB ASOF LEFT JOIN
@@ -2761,6 +2790,7 @@ QUERIES = {
     "events_ntile": events_ntile,
     "events_hourly_moving_avg": events_hourly_moving_avg,
     "events_asof_join": events_asof_join,
+    "events_asof_window": events_asof_window,
     "events_asof_left": events_asof_left,
     "events_session_attrib": events_session_attrib,
     "docs_stratified_sample": docs_stratified_sample,
@@ -3153,6 +3183,18 @@ ORACLES = {
                    WHERE event_type = 'view') b
           ON a.user_id = b.user_id AND a.ts >= b.view_ts
         ORDER BY a.event_id
+    """,
+    "events_asof_window": """
+        SELECT * FROM (
+          SELECT a.event_id, a.user_id, a.ts, b.view_ts,
+                 date_diff('microsecond', b.view_ts, a.ts) AS lag_us
+          FROM (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase') a
+          ASOF JOIN (SELECT user_id, ts AS view_ts FROM events
+                     WHERE event_type = 'view') b
+            ON a.user_id = b.user_id AND a.ts >= b.view_ts)
+        WHERE lag_us <= 3600000000
+        ORDER BY event_id
     """,
     "events_asof_left": """
         SELECT a.event_id, a.user_id, a.ts, b.view_ts
