@@ -1388,9 +1388,15 @@ def docs_bigram_novelty(sf_dir: str) -> pd.DataFrame:
     counts = grouped_agg_ds(
         ds.map_batches(count_partial, batch_format="pandas"),
         ["ph"], {"c": ("sum", "c")})
-    novel = (counts.map_batches(
-        lambda b: b.loc[b["c"] == 1, ["ph"]], batch_format="pandas")
-        .to_pandas()["ph"].to_numpy())
+    def _novel_of(b: pd.DataFrame) -> pd.DataFrame:
+        if "ph" not in b.columns:     # an all-empty combine bucket
+            return pd.DataFrame({"ph": pd.array([], dtype="uint64")})
+        return b.loc[b["c"] == 1, ["ph"]]
+
+    novel_pdf = (counts.map_batches(_novel_of, batch_format="pandas")
+                 .to_pandas())
+    novel = (novel_pdf["ph"].to_numpy() if "ph" in novel_pdf.columns
+             else np.empty(0, dtype=np.uint64))
     novel = np.sort(novel)
     guard_broadcast_bytes(novel.nbytes, "novel-bigram hash set",
                           "broadcast only the top-V frequent-pair "
@@ -1407,9 +1413,12 @@ def docs_bigram_novelty(sf_dir: str) -> pd.DataFrame:
                 "novelty_rate": pd.array([], dtype="float64")})
         h, docs = p
         nv = ray.get(novel_ref)
-        pos = np.searchsorted(nv, h)
-        is_novel = (pos < len(nv)) & (nv[np.minimum(pos, len(nv) - 1)]
-                                      == h)
+        if len(nv) == 0:        # corpus with no unique pair at all
+            is_novel = np.zeros(len(h), dtype=bool)
+        else:
+            pos = np.searchsorted(nv, h)
+            is_novel = (pos < len(nv)) \
+                & (nv[np.minimum(pos, len(nv) - 1)] == h)
         g = pd.DataFrame({"doc_id": docs,
                           "one": np.int64(1),
                           "nov": is_novel.astype(np.int64)}) \
