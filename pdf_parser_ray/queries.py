@@ -2019,17 +2019,22 @@ def docs_bm25_topk(sf_dir: str) -> pd.DataFrame:
 
     tf = ds.map_batches(tf_rows, batch_format="pandas").materialize()
     df = grouped_agg_ds(tf, ["token"], {"df": ("count", None)})
-    dl = grouped_agg_ds(tf, ["doc_id"], {"dl": ("sum", "tf")})
-    n_toks = int(dl.map_batches(
-        lambda b: pd.DataFrame({"s": [b["dl"].sum()]}),
+    n_toks = int(tf.map_batches(
+        lambda b: pd.DataFrame({"s": [b["tf"].sum()]}),
         batch_format="pandas").to_pandas()["s"].sum())
-    joined = hash_join(hash_join(tf, df, on="token"), dl, on="doc_id")
+    # one join attaches df (vocabulary-keyed — never assumed
+    # driver-small); the doc-length attach needs NO join at all: the
+    # per-doc bucket below holds every (doc, token, tf) row of its
+    # docs, so dl is a groupby-sum inside the same shuffle that the
+    # top-k combine already pays
+    joined = hash_join(tf, df, on="token")
 
     K = 3
     avgdl = float(n_toks) / float(n_docs)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy(deep=False)
+        g["dl"] = g.groupby("doc_id", sort=False)["tf"].transform("sum")
         tfv = g["tf"].to_numpy(dtype=np.float64)
         dfv = g["df"].to_numpy(dtype=np.float64)
         dlv = g["dl"].to_numpy(dtype=np.float64)
@@ -2041,8 +2046,7 @@ def docs_bm25_topk(sf_dir: str) -> pd.DataFrame:
                           kind="mergesort")
         return g.groupby("doc_id", sort=False).head(K)
 
-    partial = joined.map_batches(topk, batch_format="pandas")
-    out = bucketed_map_groups(partial, ["doc_id"], topk).to_pandas()
+    out = bucketed_map_groups(joined, ["doc_id"], topk).to_pandas()
     return (out[["doc_id", "token", "tf", "df", "dl"]]
             .astype({"doc_id": "int64", "tf": "int64", "df": "int64",
                      "dl": "int64"})
