@@ -103,6 +103,127 @@ def orders_priority_count(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — the pushdown
+    showcase (only 4 columns leave storage, the date/discount/quantity
+    filters run vectorized per batch, one scalar leaves each task).
+    Integer e4 cents end to end."""
+    ds = read_table(sf_dir, "lineitem",
+                    ["l_shipdate", "l_discount", "l_quantity",
+                     "l_extendedprice"])
+    # the synthetic corpus spans 1995-2001, so the classic 1994 window
+    # is shifted one year in (same shape, nonzero selectivity)
+    lo, hi = pd.Timestamp("1995-06-01"), pd.Timestamp("1996-06-01")
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        disc_c = _cents(b["l_discount"])
+        m = ((b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+             & (disc_c >= 5) & (disc_c <= 7)
+             & (b["l_quantity"] < 24))
+        return pd.DataFrame({
+            "rev_e4": _cents(b["l_extendedprice"])[m.to_numpy()]
+            * disc_c[m.to_numpy()]})
+
+    g = grouped_agg(
+        ds.map_batches(prep, batch_format="pandas")
+        .map_batches(lambda b: b.assign(k=np.int64(0)),
+                     batch_format="pandas"),
+        ["k"], {"s": ("sum", "rev_e4")})
+    total = int(g["s"].iloc[0]) if len(g) and "s" in g.columns else 0
+    return pd.DataFrame({"revenue": [float(total) / 10000.0]})
+
+
+def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape — the six-table join graph (region -> nation ->
+    customer -> orders -> lineitem -> supplier, with the
+    supplier-nation = customer-nation equality): every dimension side
+    (region/nation/customer key maps, supplier->nation map) is a
+    BROADCAST lookup applied inside map_batches, so the only shuffles
+    are the orders semi-attach and one co-partitioned hash join of the
+    two fact-sized datasets (lineitem x orders). Revenue in exact
+    integer e4 cents."""
+    import ray
+
+    from .relational import guard_broadcast_bytes, hash_join
+    # ASIA nations
+    region = read_table(sf_dir, "region",
+                        ["r_regionkey", "r_name"]).to_pandas()
+    asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+    nation = read_table(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"]) \
+        .to_pandas()
+    nat = nation[nation["n_regionkey"].isin(asia)]
+    nkey_to_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    # customers in those nations: custkey -> nationkey (broadcast)
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cmap = (cust.map_batches(
+        lambda b: b[b["c_nationkey"].isin(set(nkey_to_name))],
+        batch_format="pandas").to_pandas())
+    guard_broadcast_bytes(16 * len(cmap), "q5 customer->nation map",
+                          "co-partition the orders x customer attach")
+    ck = cmap["c_custkey"].to_numpy(dtype=np.int64)
+    cn = cmap["c_nationkey"].to_numpy(dtype=np.int64)
+    order_ck = np.argsort(ck, kind="stable")
+    cust_ref = ray.put((ck[order_ck], cn[order_ck]))
+    # suppliers: suppkey -> nationkey (broadcast)
+    supp = read_table(sf_dir, "supplier",
+                      ["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    sn = supp["s_nationkey"].to_numpy(dtype=np.int64)
+    order_sk = np.argsort(sk, kind="stable")
+    supp_ref = ray.put((sk[order_sk], sn[order_sk]))
+
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1996-01-01")
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        cks, cns = ray.get(cust_ref)
+        ok = b["o_custkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(cks, ok)
+        hit = (pos < len(cks)) & (cks[np.minimum(pos, len(cks) - 1)]
+                                  == ok) if len(cks) else \
+            np.zeros(len(ok), dtype=bool)
+        b = b[hit]
+        b = b.assign(cust_nation=cns[np.searchsorted(
+            cks, b["o_custkey"].to_numpy(dtype=np.int64))])
+        return b[["o_orderkey", "cust_nation"]].rename(
+            columns={"o_orderkey": "l_orderkey"})
+
+    orders_f = orders.map_batches(ord_prep, batch_format="pandas")
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"])
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        sks, sns = ray.get(supp_ref)
+        pos = np.searchsorted(sks, b["l_suppkey"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].values,
+            "supp_nation": sns[np.minimum(pos, len(sks) - 1)],
+            "rev_e4": _cents(b["l_extendedprice"])
+            * (100 - _cents(b["l_discount"]))})
+
+    joined = hash_join(li.map_batches(li_prep, batch_format="pandas"),
+                       orders_f, on="l_orderkey", how="inner")
+
+    def local_only(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["supp_nation"] == b["cust_nation"]]
+        return pd.DataFrame({"n_nationkey": b["supp_nation"].values,
+                             "rev_e4": b["rev_e4"].values})
+
+    g = grouped_agg(joined.map_batches(local_only,
+                                       batch_format="pandas"),
+                    ["n_nationkey"], {"s": ("sum", "rev_e4")})
+    g["n_name"] = g["n_nationkey"].map(nkey_to_name)
+    g["revenue"] = _d(g["s"]) / 10000.0
+    return (g[["n_name", "revenue"]]
+            .sort_values(["revenue", "n_name"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
 def top_customers_by_spend(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -2777,6 +2898,8 @@ QUERIES = {
     "orders_priority_count": orders_priority_count,
     "top_customers_by_spend": top_customers_by_spend,
     "q3_shipping_topk": q3_shipping_topk,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "customer_orders_full_outer": customer_orders_full_outer,
     "orders_version_diff": orders_version_diff,
     "customer_nation_stats": customer_nation_stats,
@@ -2940,6 +3063,30 @@ ORACLES = {
         FROM lineitem
         WHERE l_partkey IN (SELECT DISTINCT l_partkey FROM lineitem
                             WHERE l_quantity > 49)
+    """,
+    "q6_forecast_revenue": """
+        SELECT COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * CAST(ROUND(l_discount * 100) AS BIGINT)),
+                        0) / 10000.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-06-01'
+          AND l_shipdate <  DATE '1996-06-01'
+          AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                 / 10000.0 AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate <  DATE '1996-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
     """,
     "q1_pricing_summary": """
         WITH c AS (
