@@ -224,6 +224,48 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape — GROUP-HAVING driving a semi join: orders
+    whose lineitem quantity total exceeds 150, with customer and
+    order details attached. The heavy side (lineitem) partial-sums
+    per order BEFORE any join; only the HAVING winners (a tiny set by
+    construction) flow into the joins, with the orders attach
+    co-partitioned and the customer attach a broadcast of just the
+    winning custkeys. Quantities in int cents, top 20 by
+    (total_qty desc, o_orderkey)."""
+    from .relational import grouped_agg_ds, hash_join, semi_join
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"l_orderkey": b["l_orderkey"].values,
+                             "qty_c": _cents(b["l_quantity"])})
+
+    sums = grouped_agg_ds(li.map_batches(prep, batch_format="pandas"),
+                          ["l_orderkey"], {"qty_c": ("sum", "qty_c")})
+    winners = sums.map_batches(
+        lambda b: b[b["qty_c"] > 150 * 100] if "qty_c" in b.columns
+        else b, batch_format="pandas")
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate",
+                         "o_totalprice"])
+    j = hash_join(
+        orders.map_batches(lambda b: b.rename(
+            columns={"o_orderkey": "l_orderkey"}),
+            batch_format="pandas"),
+        winners, on="l_orderkey", how="inner").to_pandas()
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    cmap = (semi_join(cust, set(j["o_custkey"]), on="c_custkey")
+            .to_pandas())
+    out = j.merge(cmap, left_on="o_custkey", right_on="c_custkey")
+    out["total_qty"] = _d(out["qty_c"]) / 100.0
+    return (out[["c_name", "c_custkey", "l_orderkey", "o_orderdate",
+                 "o_totalprice", "total_qty"]]
+            .rename(columns={"l_orderkey": "o_orderkey"})
+            .sort_values(["total_qty", "o_orderkey"],
+                         ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+
 def top_customers_by_spend(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -2900,6 +2942,7 @@ QUERIES = {
     "q3_shipping_topk": q3_shipping_topk,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q18_large_orders": q18_large_orders,
     "customer_orders_full_outer": customer_orders_full_outer,
     "orders_version_diff": orders_version_diff,
     "customer_nation_stats": customer_nation_stats,
@@ -3063,6 +3106,18 @@ ORACLES = {
         FROM lineitem
         WHERE l_partkey IN (SELECT DISTINCT l_partkey FROM lineitem
                             WHERE l_quantity > 49)
+    """,
+    "q18_large_orders": """
+        WITH s AS (
+          SELECT l_orderkey,
+                 SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_c
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 15000)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               o_totalprice, qty_c / 100.0 AS total_qty
+        FROM s JOIN orders ON o_orderkey = l_orderkey
+               JOIN customer ON c_custkey = o_custkey
+        ORDER BY total_qty DESC, o_orderkey LIMIT 20
     """,
     "q6_forecast_revenue": """
         SELECT COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
