@@ -2042,6 +2042,70 @@ def docs_incremental_dedup(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": "int64"}))
 
 
+def docs_source_lang_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP over (source, lang): doc counts and exact char sums at
+    all three levels — the corpus-composition report a training-mix
+    designer reads first. One distributed aggregation at the finest
+    level; the coarser levels re-sum its cardinality-bounded result
+    (int64 char sums re-sum exactly). GROUPING flags disambiguate
+    rolled-up NULLs."""
+    ds = read_table(sf_dir, "documents", ["source", "lang", "n_chars"])
+    fine = grouped_agg(ds, ["source", "lang"],
+                       {"n_docs": ("count", None),
+                        "s": ("sum", "n_chars")})
+
+    def lvl(df, g_lang, g_src):
+        return pd.DataFrame({
+            "source": (df["source"] if not g_src
+                       else pd.Series([None] * len(df), dtype="object")),
+            "lang": (df["lang"] if not g_lang
+                     else pd.Series([None] * len(df), dtype="object")),
+            "n_docs": df["n_docs"].astype("int64").to_numpy(),
+            "sum_chars": df["s"].astype("int64").to_numpy(),
+            "g_lang": np.int64(g_lang), "g_source": np.int64(g_src)})
+
+    by_src = (fine.groupby("source", sort=False)
+              .agg(n_docs=("n_docs", "sum"), s=("s", "sum"))
+              .reset_index())
+    total = pd.DataFrame({"source": [None],
+                          "n_docs": [fine["n_docs"].sum()],
+                          "s": [fine["s"].sum()]})
+    out = pd.concat([lvl(fine, 0, 0), lvl(by_src, 1, 0),
+                     lvl(total, 1, 1)], ignore_index=True)
+    return (out.astype({"n_docs": "int64", "sum_chars": "int64",
+                        "g_lang": "int64", "g_source": "int64"})
+            .sort_values(["g_source", "g_lang", "source", "lang"],
+                         na_position="first")
+            .reset_index(drop=True))
+
+
+def events_user_spend_cume(sf_dir: str) -> pd.DataFrame:
+    """Per-user spend CUME_DIST — the percentile-rank curve behind
+    'top-X%% users' cuts: per-user exact-cents totals (one distributed
+    aggregation), then the cumulative distribution computed from the
+    cardinality-bounded per-user result as exact rational
+    rank/n (bit-equal to the SQL window)."""
+    ds = read_table(sf_dir, "events", ["user_id", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": b["user_id"].values,
+                             "v_c": _cents(b["value"])})
+
+    g = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                    ["user_id"], {"s": ("sum", "v_c")})
+    g = g.sort_values(["s", "user_id"]).reset_index(drop=True)
+    n = len(g)
+    s = g["s"].to_numpy(dtype=np.int64)
+    # CUME_DIST = (# rows with value <= current) / n — ties share the
+    # highest rank of their run
+    hi = np.searchsorted(s, s, side="right")
+    g["total_spend"] = _d(g["s"]) / 100.0
+    g["cume_dist"] = hi.astype(np.float64) / float(n)
+    return (g[["user_id", "total_spend", "cume_dist"]]
+            .astype({"user_id": "int64"})
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def docs_cap_per_source(sf_dir: str) -> pd.DataFrame:
     """Per-key document cap (crawl curation: keep at most K docs per
     source domain, preferring longer docs, ties to the smaller id).
@@ -3033,6 +3097,8 @@ QUERIES = {
     "docs_pack_sequences": docs_pack_sequences,
     "docs_length_buckets": docs_length_buckets,
     "docs_incremental_dedup": docs_incremental_dedup,
+    "docs_source_lang_rollup": docs_source_lang_rollup,
+    "events_user_spend_cume": events_user_spend_cume,
     "docs_cap_per_source": docs_cap_per_source,
     "docs_strip_dup_spans": docs_strip_dup_spans,
     "docs_decontaminate": docs_decontaminate,
@@ -3772,6 +3838,24 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_transitions
         FROM w GROUP BY prev_type, event_type
         ORDER BY prev_type, event_type
+    """,
+    "docs_source_lang_rollup": """
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+               CAST(GROUPING(source) AS BIGINT) AS g_source
+        FROM documents GROUP BY ROLLUP (source, lang)
+        ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST
+    """,
+    "events_user_spend_cume": """
+        WITH g AS (
+          SELECT user_id,
+                 SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s_c
+          FROM events GROUP BY user_id)
+        SELECT user_id, s_c / 100.0 AS total_spend,
+               CUME_DIST() OVER (ORDER BY s_c) AS cume_dist
+        FROM g ORDER BY user_id
     """,
     "events_value_mad_by_type": """
         WITH c AS (SELECT event_type,
