@@ -675,6 +675,40 @@ def events_profile(sf_dir: str) -> pd.DataFrame:
             .sort_values("col").reset_index(drop=True))
 
 
+def events_hourly_anomaly(sf_dir: str) -> pd.DataFrame:
+    """Hourly-volume ANOMALY report (the pipeline-monitoring stat): a
+    z-score per hour against the mean/population-stddev of all hourly
+    counts, flagging |z| > 2. The distributed part is the hourly
+    count aggregate; the moments come from its cardinality-bounded
+    result in EXACT integer arithmetic (sum, sum of squares), and the
+    float expression mirrors the SQL term for term so z is bit-equal.
+    Hours with no events are absent on both sides (gap-fill is its own
+    query)."""
+    ds = read_table(sf_dir, "events", ["ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hour": b["ts"].dt.floor("h")})
+
+    g = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                    ["hour"], {"n": ("count", None)})
+    n = g["n"].to_numpy(dtype=np.int64)
+    k = len(g)
+    s1 = int(n.sum())
+    s2 = int((n * n).sum())
+    mean = float(s1) / float(k)
+    var = float(s2) / float(k) - mean * mean   # population variance
+    # float-compare the variance (not an integer identity) so the SQL
+    # CASE takes the same branch bit-for-bit
+    z = ((n.astype(np.float64) - mean) / np.sqrt(var) if var > 0
+         else np.zeros(k, dtype=np.float64))
+    out = pd.DataFrame({"hour": g["hour"].values,
+                        "n_events": n,
+                        "z": np.round(z, 6),
+                        "is_anomaly": np.abs(z) > 2.0})
+    return (out.astype({"n_events": "int64"})
+            .sort_values("hour").reset_index(drop=True))
+
+
 def events_cohort_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention matrix: users are cohorted by the Monday week
     of their FIRST event; each (cohort_week, week_offset) cell counts
@@ -3054,6 +3088,7 @@ QUERIES = {
     "events_value_delta": events_value_delta,
     "events_distinct_users_by_type": events_distinct_users_by_type,
     "events_profile": events_profile,
+    "events_hourly_anomaly": events_hourly_anomaly,
     "events_cohort_retention": events_cohort_retention,
     "events_transition_matrix": events_transition_matrix,
     "events_hourly_pivot": events_hourly_pivot,
@@ -3810,6 +3845,32 @@ ORACLES = {
                TRUE AS hll_within_5pct
         FROM events
         ) ORDER BY col
+    """,
+    "events_hourly_anomaly": """
+        WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events GROUP BY hour),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(n) AS BIGINT) AS s1,
+                     CAST(SUM(n * n) AS BIGINT) AS s2 FROM h)
+        SELECT hour, n AS n_events,
+               CASE WHEN (CAST(s2 AS DOUBLE) / k
+                          - (CAST(s1 AS DOUBLE) / k)
+                            * (CAST(s1 AS DOUBLE) / k)) > 0
+                    THEN ROUND((n - (CAST(s1 AS DOUBLE) / k))
+                               / sqrt(CAST(s2 AS DOUBLE) / k
+                                      - (CAST(s1 AS DOUBLE) / k)
+                                        * (CAST(s1 AS DOUBLE) / k)), 6)
+                    ELSE 0.0 END AS z,
+               CASE WHEN (CAST(s2 AS DOUBLE) / k
+                          - (CAST(s1 AS DOUBLE) / k)
+                            * (CAST(s1 AS DOUBLE) / k)) > 0
+                    THEN ABS((n - (CAST(s1 AS DOUBLE) / k))
+                             / sqrt(CAST(s2 AS DOUBLE) / k
+                                    - (CAST(s1 AS DOUBLE) / k)
+                                      * (CAST(s1 AS DOUBLE) / k))) > 2.0
+                    ELSE FALSE END AS is_anomaly
+        FROM h CROSS JOIN m ORDER BY hour
     """,
     "events_cohort_retention": """
         WITH f AS (SELECT user_id,
