@@ -2885,6 +2885,45 @@ def transcript_strip_boilerplate(sf_dir: str) -> pd.DataFrame:
             .sort_values("conv_id").reset_index(drop=True))
 
 
+def transcript_tool_error_rates(sf_dir: str) -> pd.DataFrame:
+    """Extraction QA report: per-tool turn counts, error-record counts
+    (the kernel's record-level containment — metadata carries an
+    'error' key, the task never fails), and mean extracted chars for
+    clean turns. The report any production extraction run is gated on;
+    rows-only (transcript corpus is synthesized). Error detection uses
+    the same canonical metadata the sinks consume."""
+    from .pipelines.extraction import run_extraction
+    ds = run_extraction(sf_dir, ordered=False)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        is_err = b["metadata_json"].str.contains('"error":', regex=False)
+        return pd.DataFrame({
+            "tool": b["tool"].values,
+            "err": is_err.to_numpy(dtype=np.int64),
+            "chars": np.where(is_err.to_numpy(),
+                              np.int64(0),
+                              b["extracted_text"].str.len()
+                              .to_numpy(dtype=np.int64))})
+
+    g = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                    ["tool"], {"turns": ("count", None),
+                               "error_turns": ("sum", "err"),
+                               "sum_chars": ("sum", "chars")})
+    clean = g["turns"].to_numpy(dtype=np.int64) \
+        - g["error_turns"].to_numpy(dtype=np.int64)
+    g["error_rate"] = np.round(
+        g["error_turns"].to_numpy(dtype=np.float64)
+        / g["turns"].to_numpy(dtype=np.float64), 6)
+    g["mean_clean_chars"] = np.round(np.where(
+        clean > 0,
+        g["sum_chars"].to_numpy(dtype=np.float64) / np.maximum(clean, 1),
+        0.0), 2)
+    return (g[["tool", "turns", "error_turns", "error_rate",
+               "mean_clean_chars"]]
+            .astype({"turns": "int64", "error_turns": "int64"})
+            .sort_values("tool").reset_index(drop=True))
+
+
 def transcript_train_shards(sf_dir: str) -> pd.DataFrame:
     """Full pipeline to TRAINING-READY OUTPUT: extraction -> select the
     text payload -> deterministic hash-sharded export (16 shards,
@@ -3168,6 +3207,7 @@ QUERIES = {
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
     "flagship_extract": flagship_extract,
     "transcript_strip_boilerplate": transcript_strip_boilerplate,
+    "transcript_tool_error_rates": transcript_tool_error_rates,
     "transcript_questions": transcript_questions,
     "conversation_markdown": conversation_markdown,
     "transcript_exact_dedup": transcript_exact_dedup,
