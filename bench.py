@@ -134,7 +134,9 @@ def run_queries() -> dict:
                 "docs_bm25_topk",
                 "docs_freq_spectrum", "docs_length_buckets",
                 "embeddings_label_outliers", "events_transition_matrix",
-                "docs_bigram_novelty"]
+                "docs_bigram_novelty", "q5_local_supplier_volume",
+                "q18_large_orders", "docs_containment_pairs",
+                "events_hourly_anomaly"]
     out = {}
     for name in headline:
         t0 = time.perf_counter()

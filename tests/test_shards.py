@@ -299,3 +299,33 @@ def test_zorder_rejects_unclustered_predicate(ray_session, tmp_path):
                         n_ranges=4)
     with pytest.raises(ValueError, match="non-clustered"):
         read_zorder_range(out, {"rid": (0, 10)})
+
+
+def test_zorder_datetime_column(ray_session, tmp_path):
+    """Z-order clustering with a datetime dimension: kind detection,
+    manifest bounds, and predicate conversion all run the datetime
+    path."""
+    import ray.data as rd
+    from pdf_parser_ray.state.shards import (read_zorder_range,
+                                             write_zorder_export)
+    rng = np.random.RandomState(5)
+    n = 3000
+    df = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "ts": pd.Timestamp("2024-03-01")
+        + pd.to_timedelta(rng.randint(0, 60 * 24 * 30, n), unit="m"),
+        "v": rng.uniform(0, 100, n).round(2),
+    })
+    out = str(tmp_path / "zdt")
+    man = write_zorder_export(rd.from_pandas(df), out, cols=["ts", "v"],
+                              tiebreak_cols=["rid"], n_ranges=8)
+    assert int(man["rows"].sum()) == n
+    got, nf = read_zorder_range(
+        out, {"ts": ("2024-03-02", "2024-03-04")})
+    got = got.to_pandas()
+    lo, hi = pd.Timestamp("2024-03-02"), pd.Timestamp("2024-03-04")
+    want = df[(df["ts"] >= lo) & (df["ts"] <= hi)]
+    assert nf < 8
+    pd.testing.assert_frame_equal(
+        got.sort_values("rid").reset_index(drop=True)[sorted(got.columns)],
+        want.sort_values("rid").reset_index(drop=True)[sorted(want.columns)])
