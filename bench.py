@@ -88,7 +88,7 @@ def _flagship_dataset():
     transcripts = rd.read_parquet(_ensure_transcripts(),
                                   columns=["conv_id", "turn_idx",
                                            "text", "tool"])
-    return extract_dataset(transcripts, batch_size=512)
+    return extract_dataset(transcripts)
 
 
 def run_flagship() -> dict:
