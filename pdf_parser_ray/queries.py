@@ -675,6 +675,40 @@ def events_profile(sf_dir: str) -> pd.DataFrame:
             .sort_values("col").reset_index(drop=True))
 
 
+def events_hourly_p95(sf_dir: str) -> pd.DataFrame:
+    """Hourly P95 of event value — the SLO/latency-style windowed
+    quantile report: exact per-(hour) quantile_cont from the
+    cardinality-bounded int-cents histogram (the events_quantiles
+    machinery keyed by time bucket), integer arithmetic until the two
+    final exact float divisions mirrored in the SQL window oracle."""
+    ds = read_table(sf_dir, "events", ["ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hour": b["ts"].dt.floor("h"),
+                             "v_c": _cents(b["value"])})
+
+    hist = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                       ["hour", "v_c"], {"cnt": ("count", None)})
+    rows = []
+    for hour, g in hist.groupby("hour", sort=True):
+        g = g.sort_values("v_c")
+        counts = g["cnt"].to_numpy()
+        values = g["v_c"].to_numpy(dtype=np.int64)
+        n = int(counts.sum())
+        cum = counts.cumsum()
+        h100 = (n - 1) * 95
+        lo_rank, f100 = divmod(h100, 100)
+        hi_rank = lo_rank + (1 if f100 else 0)
+        lo = int(values[np.searchsorted(cum, lo_rank + 1)])
+        hi = int(values[np.searchsorted(cum, hi_rank + 1)])
+        rows.append({"hour": hour,
+                     "n_events": np.int64(n),
+                     "p95": float(lo * (100 - f100) + hi * f100)
+                     / 100.0 / 100.0})
+    return (pd.DataFrame(rows).astype({"n_events": "int64"})
+            .sort_values("hour").reset_index(drop=True))
+
+
 def events_hourly_anomaly(sf_dir: str) -> pd.DataFrame:
     """Hourly-volume ANOMALY report (the pipeline-monitoring stat): a
     z-score per hour against the mean/population-stddev of all hourly
@@ -3127,6 +3161,7 @@ QUERIES = {
     "events_value_delta": events_value_delta,
     "events_distinct_users_by_type": events_distinct_users_by_type,
     "events_profile": events_profile,
+    "events_hourly_p95": events_hourly_p95,
     "events_hourly_anomaly": events_hourly_anomaly,
     "events_cohort_retention": events_cohort_retention,
     "events_transition_matrix": events_transition_matrix,
@@ -3885,6 +3920,15 @@ ORACLES = {
                TRUE AS hll_within_5pct
         FROM events
         ) ORDER BY col
+    """,
+    "events_hourly_p95": """
+        WITH c AS (SELECT date_trunc('hour', ts) AS hour,
+                          CAST(ROUND(value * 100) AS BIGINT) AS v_c
+                   FROM events)
+        SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(quantile_cont(v_c, 0.95) * 100 AS BIGINT)
+                 / 100.0 / 100.0 AS p95
+        FROM c GROUP BY hour ORDER BY hour
     """,
     "events_hourly_anomaly": """
         WITH h AS (SELECT date_trunc('hour', ts) AS hour,
