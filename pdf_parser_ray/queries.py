@@ -2197,6 +2197,56 @@ def docs_cap_per_source(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_temperature_mix(sf_dir: str) -> pd.DataFrame:
+    """TEMPERATURE-SAMPLED source mixing (the multilingual-LLM
+    rebalancing op: sample source s in proportion to n_s^alpha,
+    alpha=0.7, so heavy sources are down-weighted and light ones
+    up-weighted). Per-source quotas come from the tiny source-count
+    aggregate (k_s = floor(budget * n_s^0.7 / sum n^0.7), float
+    expression mirrored term for term in SQL); membership is the
+    deterministic multiplicative-hash rank WITHIN source — the same
+    SQL-reproducible key as docs_shuffle_order — computed distributed
+    via per-batch per-source bottom-k partials (k varies per source,
+    broadcast as a dict) and one bucketed final. Every piece is exact,
+    so the sampled id set is bit-equal to the SQL window oracle."""
+    import ray
+
+    from .relational import bucketed_map_groups, guard_broadcast_bytes
+    BUDGET = 200
+    ALPHA = 0.7
+    ds = read_table(sf_dir, "documents", ["doc_id", "source"])
+    counts = grouped_agg(ds, ["source"], {"n": ("count", None)})
+    counts = counts.sort_values("source").reset_index(drop=True)
+    w = np.power(counts["n"].to_numpy(dtype=np.float64), ALPHA)
+    quota = np.floor(BUDGET * (w / w.sum())).astype(np.int64)
+    # a source's quota never exceeds its size (alpha < 1 guarantees
+    # it only when the budget is <= total; floor keeps us safe here)
+    quota = np.minimum(quota, counts["n"].to_numpy(dtype=np.int64))
+    kmap = dict(zip(counts["source"], quota))
+    guard_broadcast_bytes(64 * len(kmap), "temperature quota map",
+                          "co-partition the quota attach by source")
+    ref = ray.put(kmap)
+
+    def keyed_topk(b: pd.DataFrame) -> pd.DataFrame:
+        km = ray.get(ref)
+        b = b.copy(deep=False)
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+        b["__h"] = h.astype(np.int64)
+        b = b.sort_values(["source", "__h", "doc_id"], kind="mergesort")
+        g = b.groupby("source", sort=False, observed=True)
+        b["__r"] = g.cumcount()
+        kk = b["source"].map(km).fillna(0).to_numpy(dtype=np.int64)
+        return b[b["__r"].to_numpy() < kk].drop(columns="__r")
+
+    partial = ds.map_batches(keyed_topk, batch_format="pandas")
+    out = bucketed_map_groups(partial, ["source"],
+                              keyed_topk).to_pandas()
+    return (out[["doc_id", "source"]].astype({"doc_id": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def docs_strip_dup_spans(sf_dir: str) -> pd.DataFrame:
     """Cross-document duplicate-SPAN removal (Lee et al. 2022 style):
     every verbatim 8-token window shared by >= 2 documents is stripped
@@ -3209,6 +3259,7 @@ QUERIES = {
     "docs_source_lang_rollup": docs_source_lang_rollup,
     "events_user_spend_cume": events_user_spend_cume,
     "docs_cap_per_source": docs_cap_per_source,
+    "docs_temperature_mix": docs_temperature_mix,
     "docs_strip_dup_spans": docs_strip_dup_spans,
     "docs_decontaminate": docs_decontaminate,
     "docs_tfidf_topk": docs_tfidf_topk,
@@ -4105,6 +4156,25 @@ ORACLES = {
                CAST(cum // 512 AS BIGINT) AS seq_id,
                CAST(cum % 512 AS BIGINT) AS seq_offset
         FROM c ORDER BY doc_id
+    """,
+    "docs_temperature_mix": """
+        WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM documents GROUP BY source),
+        q AS (SELECT source, n,
+                     CAST(FLOOR(200 * (pow(CAST(n AS DOUBLE), 0.7)
+                          / (SELECT SUM(pow(CAST(n AS DOUBLE), 0.7))
+                             FROM c))) AS BIGINT) AS k
+              FROM c),
+        r AS (SELECT d.doc_id, d.source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY d.source
+                       ORDER BY (CAST(d.doc_id AS HUGEINT) * 2654435761)
+                                  % 4294967296,
+                                d.doc_id) AS rn
+              FROM documents d)
+        SELECT r.doc_id, r.source
+        FROM r JOIN q USING (source)
+        WHERE rn <= LEAST(q.k, q.n) ORDER BY doc_id
     """,
     "docs_cap_per_source": """
         SELECT doc_id, source, n_chars FROM (
