@@ -2969,6 +2969,67 @@ def transcript_strip_boilerplate(sf_dir: str) -> pd.DataFrame:
             .sort_values("conv_id").reset_index(drop=True))
 
 
+def transcript_sft_pairs(sf_dir: str) -> pd.DataFrame:
+    """SFT PAIR CONSTRUCTION — the canonical post-training data op:
+    each assistant turn is paired with the most recent preceding USER
+    turn of its conversation (tool turns in between are counted as
+    the agentic tool-call depth, not paired). Runs on the EXTRACTED
+    turns (the engine's own product), one conv_id-bucketed shuffle,
+    forward-fill vectorized inside the group stage. Rows-only
+    (synthesized corpus); deterministic."""
+    from .pipelines.extraction import run_extraction
+    from .sources.transcripts import transcripts_dataset
+    from .relational import bucketed_map_groups
+    roles = transcripts_dataset(sf_dir).map_batches(
+        lambda b: b[["conv_id", "turn_idx", "role"]],
+        batch_format="pandas")
+    ex = run_extraction(sf_dir, ordered=False).map_batches(
+        lambda b: pd.DataFrame({
+            "conv_id": b["conv_id"].values,
+            "turn_idx": b["turn_idx"].values,
+            "chars": b["extracted_text"].str.len()
+            .to_numpy(dtype=np.int64)}),
+        batch_format="pandas")
+    from .relational import _cogroup, _split_sides
+
+    def pair_bucket(t) -> pd.DataFrame:
+        e, r = _split_sides(t, ["conv_id", "turn_idx", "chars"],
+                            ["conv_id", "turn_idx2", "role"])
+        m = e.merge(r, left_on=["conv_id", "turn_idx"],
+                    right_on=["conv_id", "turn_idx2"], how="inner")
+        m = m.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        is_user = (m["role"] == "user").to_numpy()
+        # forward-fill the last user turn index within each conv
+        uidx = np.where(is_user, m["turn_idx"].to_numpy(), -1)
+        s = pd.Series(np.where(uidx >= 0, uidx, np.nan))
+        s = s.groupby(m["conv_id"].to_numpy()).ffill()
+        uchars = pd.Series(
+            np.where(is_user, m["chars"].to_numpy(), np.nan)) \
+            .groupby(m["conv_id"].to_numpy()).ffill()
+        keep = (m["role"] == "assistant").to_numpy() & s.notna() \
+            .to_numpy()
+        out = pd.DataFrame({
+            "conv_id": m["conv_id"].to_numpy()[keep],
+            "prompt_turn_idx": s.to_numpy()[keep].astype(np.int64),
+            "response_turn_idx": m["turn_idx"].to_numpy()[keep],
+            "prompt_chars": uchars.to_numpy()[keep].astype(np.int64),
+            "response_chars": m["chars"].to_numpy()[keep],
+        })
+        out["gap_turns"] = (out["response_turn_idx"]
+                            - out["prompt_turn_idx"] - 1)
+        return out
+
+    roles2 = roles.map_batches(
+        lambda b: b.rename(columns={"turn_idx": "turn_idx2"}),
+        batch_format="pandas")
+    out = _cogroup(ex, roles2, ["conv_id"], pair_bucket).to_pandas()
+    return (out.astype({"response_turn_idx": "int64",
+                        "response_chars": "int64",
+                        "gap_turns": "int64"})
+            .sort_values(["conv_id", "response_turn_idx"])
+            .reset_index(drop=True))
+
+
 def transcript_tool_error_rates(sf_dir: str) -> pd.DataFrame:
     """Extraction QA report: per-tool turn counts, error-record counts
     (the kernel's record-level containment — metadata carries an
@@ -3293,6 +3354,7 @@ QUERIES = {
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
     "flagship_extract": flagship_extract,
     "transcript_strip_boilerplate": transcript_strip_boilerplate,
+    "transcript_sft_pairs": transcript_sft_pairs,
     "transcript_tool_error_rates": transcript_tool_error_rates,
     "transcript_questions": transcript_questions,
     "conversation_markdown": conversation_markdown,
