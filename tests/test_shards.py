@@ -329,3 +329,41 @@ def test_zorder_datetime_column(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.sort_values("rid").reset_index(drop=True)[sorted(got.columns)],
         want.sort_values("rid").reset_index(drop=True)[sorted(want.columns)])
+
+
+def test_zorder_pruned_read_property(ray_session, tmp_path):
+    """Property-style sweep: random frames and random rectangle
+    predicates — the pruned read must equal the plain pandas filter
+    exactly for every draw (files opened <= total is an invariant,
+    strict pruning is asserted only for selective predicates)."""
+    import ray.data as rd
+    from pdf_parser_ray.state.shards import (read_zorder_range,
+                                             write_zorder_export)
+    rng = np.random.RandomState(23)
+    for case in range(4):
+        n = int(rng.randint(500, 4000))
+        df = pd.DataFrame({
+            "rid": np.arange(n, dtype=np.int64),
+            "a": rng.randint(-1000, 1000, n).astype(np.int64),
+            "b": np.round(rng.lognormal(2, 1.5, n), 3),
+        })
+        out = str(tmp_path / f"zp{case}")
+        write_zorder_export(rd.from_pandas(df).repartition(3), out,
+                            cols=["a", "b"], tiebreak_cols=["rid"],
+                            n_ranges=16)
+        for _ in range(3):
+            lo_a, hi_a = sorted(rng.randint(-1000, 1000, 2).tolist())
+            hi_b = float(rng.lognormal(2, 1.5))
+            preds = {"a": (lo_a, hi_a), "b": (None, hi_b)}
+            got, nf = read_zorder_range(out, preds)
+            got = (got.to_pandas() if got is not None
+                   else df.iloc[0:0])
+            mask = ((df["a"] >= lo_a) & (df["a"] <= hi_a)
+                    & (df["b"] <= hi_b))
+            want = df[mask]
+            assert nf <= 16
+            got = got.sort_values("rid").reset_index(drop=True)
+            want = want.sort_values("rid").reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                got[sorted(got.columns)], want[sorted(want.columns)],
+                check_dtype=False)
