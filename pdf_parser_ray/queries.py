@@ -2868,6 +2868,40 @@ def docs_containment_pairs(sf_dir: str) -> pd.DataFrame:
                                metric="containment")
 
 
+def dedup_cluster_stats(sf_dir: str) -> pd.DataFrame:
+    """Dedup VALUE report: near-dup cluster-size histogram plus the
+    chars the keep-set saves — the number a curation run is judged by.
+    Components come from the verified MinHash pairs (distributed
+    min-label propagation); sizes histogram from the tiny components
+    frame; chars saved = distributed char-count of dropped ids via the
+    adaptive id filter. Rows-only (LSH); deterministic."""
+    from .stages.dedup import (components_min_label,
+                               minhash_dedup_pairs_ds, _id_filter)
+    import ray.data as rd
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"]) \
+        .materialize()
+    pairs = minhash_dedup_pairs_ds(ds, threshold=0.7).materialize()
+    comp = components_min_label(pairs)
+    if comp.empty:
+        return pd.DataFrame({
+            "cluster_size": pd.array([], dtype="int64"),
+            "n_clusters": pd.array([], dtype="int64"),
+            "chars_dropped": pd.array([], dtype="int64")})
+    sizes = comp.groupby("rep").size()
+    hist = (sizes.value_counts().rename_axis("cluster_size")
+            .reset_index(name="n_clusters")
+            .sort_values("cluster_size").reset_index(drop=True))
+    dropped = comp.loc[comp["node"] != comp["rep"], ["node"]] \
+        .rename(columns={"node": "doc_id"})
+    dropped_chars = int(_id_filter(
+        ds, rd.from_pandas(dropped), "doc_id").map_batches(
+        lambda b: pd.DataFrame({"c": [int(b["text"].str.len().sum())]}),
+        batch_format="pandas").to_pandas()["c"].sum())
+    hist = hist.astype({"cluster_size": "int64", "n_clusters": "int64"})
+    hist["chars_dropped"] = np.int64(dropped_chars)
+    return hist
+
+
 def dedup_minhash_eval(sf_dir: str) -> pd.DataFrame:
     """MinHash QUALITY EVALUATION against exact ground truth — the
     honest sketch-calibration report: the approximate pipeline's pairs
@@ -3346,6 +3380,7 @@ QUERIES = {
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_containment_pairs": docs_containment_pairs,
     "dedup_minhash_word": dedup_minhash_word,
+    "dedup_cluster_stats": dedup_cluster_stats,
     "dedup_minhash_eval": dedup_minhash_eval,
     "dedup_minhash_keep": dedup_minhash_keep,
     "dedup_ngram_char": dedup_ngram_char,
