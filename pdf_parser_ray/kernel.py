@@ -624,8 +624,11 @@ def canonical_metadata_json(metadata: Dict) -> str:
         else:
             return json.dumps(metadata, sort_keys=True,
                               ensure_ascii=False)
-        if not (type(k) is str and k.isascii()
+        if not (type(k) is str
+                and all(" " <= ch <= "~" for ch in k)
                 and '"' not in k and "\\" not in k):
+            # printable-ASCII only: a control character ('\n', '\t')
+            # must take json.dumps so it is escaped, not emitted raw
             return json.dumps(metadata, sort_keys=True,
                               ensure_ascii=False)
         parts.append('"%s": %s' % (k, sv))

@@ -199,10 +199,18 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
 
     def li_prep(b: pd.DataFrame) -> pd.DataFrame:
         sks, sns = ray.get(supp_ref)
-        pos = np.searchsorted(sks, b["l_suppkey"].to_numpy(np.int64))
+        lsk = b["l_suppkey"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(sks, lsk), len(sks) - 1)
+        # FK check (same as ord_prep): a suppkey absent from supplier
+        # must fail loudly, not be attributed to the nearest supplier
+        if not (sks[pos] == lsk).all():
+            bad = lsk[sks[pos] != lsk][:5]
+            raise ValueError(
+                f"lineitem FK violation: l_suppkey values {bad.tolist()}"
+                " not present in supplier")
         return pd.DataFrame({
             "l_orderkey": b["l_orderkey"].values,
-            "supp_nation": sns[np.minimum(pos, len(sks) - 1)],
+            "supp_nation": sns[pos],
             "rev_e4": _cents(b["l_extendedprice"])
             * (100 - _cents(b["l_discount"]))})
 
@@ -1299,8 +1307,14 @@ def embeddings_kmeans(sf_dir: str) -> pd.DataFrame:
     per-cluster partial sums inside map_batches; the driver only ever
     combines k x n_blocks tiny partials per iteration (the classic
     broadcast-centroids / partial-sufficient-statistics layout).
-    Iterative, so rows-only (no SQL oracle); determinism makes re-runs
-    stable."""
+    Iterative, so no SQL oracle — instead two BOUNDS ORACLES are
+    asserted live: (a) total within-cluster SSE after the update
+    iterations must not exceed the seed-centroid SSE (Lloyd's
+    iterations are monotonically non-increasing), and (b) the
+    per-cluster membership hash (wraparound int64 sum of member
+    vec_id siphashes — order-independent, so deterministic under any
+    task completion order) is returned, pinning assignments bit-stably
+    across re-runs via the driver's value-hash compare."""
     import ray
     k, iters = 8, 5
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1331,6 +1345,14 @@ def embeddings_kmeans(sf_dir: str) -> pd.DataFrame:
             counts = np.bincount(a, minlength=k).astype(np.int64)
             inert = np.zeros(k)
             np.add.at(inert, a, d2[np.arange(len(a)), a])
+            # per-cluster membership hash partial: wraparound int64
+            # sums are associative+commutative, so the combined value
+            # is independent of batch/task order
+            vh = pd.util.hash_pandas_object(
+                b["vec_id"], index=False).to_numpy().view(np.int64)
+            ah = np.zeros(k, dtype=np.int64)
+            with np.errstate(over="ignore"):
+                np.add.at(ah, a, vh)
             # blk: stable per-batch key so the driver combines float
             # partials in a deterministic order regardless of task
             # completion order
@@ -1340,15 +1362,19 @@ def embeddings_kmeans(sf_dir: str) -> pd.DataFrame:
                 "n": counts,
                 "s": sums.tolist(),
                 "inertia": inert,
+                "ah": ah,
                 "blk": np.full(k, blk, dtype=np.int64),
             })
         return assign
 
-    for _ in range(iters):
+    seed_sse = None
+    for it in range(iters):
         ref = ray.put(centroids)
         part = (ds.map_batches(partials_for(ref), batch_format="pandas")
                 .to_pandas().sort_values(["cluster", "blk"],
                                          kind="mergesort"))
+        if it == 0:
+            seed_sse = float(part["inertia"].sum())
         counts = part.groupby("cluster")["n"].sum()
         sums = {c: np.sum(np.stack([np.asarray(s) for s in g["s"]]), axis=0)
                 for c, g in part.groupby("cluster")}
@@ -1360,10 +1386,16 @@ def embeddings_kmeans(sf_dir: str) -> pd.DataFrame:
     part = (ds.map_batches(partials_for(ref), batch_format="pandas")
             .to_pandas().sort_values(["cluster", "blk"], kind="mergesort"))
     g = part.groupby("cluster", as_index=False).agg(
-        size=("n", "sum"), inertia=("inertia", "sum"))
+        size=("n", "sum"), inertia=("inertia", "sum"),
+        assign_hash=("ah", "sum"))
+    # bounds oracle: Lloyd's updates never increase total SSE
+    final_sse = float(g["inertia"].sum())
+    assert final_sse <= seed_sse * (1 + 1e-9), \
+        f"k-means SSE increased: seed {seed_sse} -> final {final_sse}"
     g["inertia"] = np.round(g["inertia"], 4)
     return (g.rename(columns={"cluster": "cluster_id"})
-            .astype({"cluster_id": "int64", "size": "int64"})
+            .astype({"cluster_id": "int64", "size": "int64",
+                     "assign_hash": "int64"})
             .sort_values("cluster_id").reset_index(drop=True))
 
 
@@ -2492,14 +2524,23 @@ def events_zorder_pruned_read(sf_dir: str) -> pd.DataFrame:
         got, n_files = read_zorder_range(
             out, {"user_id": (None, hi_user), "value": (None, 60.0)})
         pruned = n_files < len(man)
-        agg = grouped_agg(
-            got.map_batches(
-                lambda b: pd.DataFrame({
-                    "event_type": b["event_type"].values,
-                    "v_c": _cents(b["value"])}),
-                batch_format="pandas"),
-            ["event_type"], {"n": ("count", None),
-                             "sum_value_c": ("sum", "v_c")})
+        if got is None:
+            # no range file intersects the predicate: every file was
+            # pruned — the correct answer is the empty aggregate, not
+            # an AttributeError on None.map_batches
+            agg = pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "sum_value_c": pd.Series([], dtype="int64")})
+        else:
+            agg = grouped_agg(
+                got.map_batches(
+                    lambda b: pd.DataFrame({
+                        "event_type": b["event_type"].values,
+                        "v_c": _cents(b["value"])}),
+                    batch_format="pandas"),
+                ["event_type"], {"n": ("count", None),
+                                 "sum_value_c": ("sum", "v_c")})
     finally:
         shutil.rmtree(out, ignore_errors=True)
     agg["n"] = agg["n"].astype("int64")
@@ -2821,6 +2862,11 @@ def embeddings_ann_recall(sf_dir: str) -> pd.DataFrame:
             "scan_fraction": round(frac, 4),
             "recall_bounded_by_scan": bool(recall <= frac + 0.45),
         })
+    # the bound is ASSERTED, not just reported: an isotropic corpus
+    # where an index recalls far above its scan fraction means the
+    # stats plumbing (scanned counts / truth set) broke
+    bad = [r["method"] for r in rows if not r["recall_bounded_by_scan"]]
+    assert not bad, f"ANN recall exceeded scan-fraction bound: {bad}"
     return pd.DataFrame(rows).sort_values("method").reset_index(drop=True)
 
 
@@ -2902,23 +2948,42 @@ def dedup_cluster_stats(sf_dir: str) -> pd.DataFrame:
     return hist
 
 
-def dedup_minhash_eval(sf_dir: str) -> pd.DataFrame:
+def dedup_minhash_eval(sf_dir: str, *, eval_docs: int = 20_000) -> pd.DataFrame:
     """MinHash QUALITY EVALUATION against exact ground truth — the
     honest sketch-calibration report: the approximate pipeline's pairs
     (word-3 shingles, 128 perms, 16 bands, signature-estimate >= 0.7)
     are scored against the EXACT Jaccard-similarity join at the same
-    shingle space and threshold (max_df disabled so the truth is
-    unfiltered). Reports measured precision/recall plus live-checked
-    floors: the banding S-curve at J=0.7 (16 bands x 8 rows) gives
-    >=97% candidate recall, and the 128-lane estimate's std at the
-    threshold is ~0.04, so both metrics are asserted >= 0.8 — a
-    failing sketch raises instead of silently reporting garbage.
-    Deterministic end to end (rows-only check)."""
-    from .stages.dedup import jaccard_pairs_exact, minhash_dedup_pairs
+    shingle space and threshold. The truth join is BOUNDED at scale:
+    both sides run over a deterministic bottom-k doc sample (smallest
+    ``eval_docs`` stable doc_id hashes — the whole corpus when it is
+    smaller, so test-scale results are unsampled), and the truth's
+    per-shingle df cap stays on (df <= sample size, so one boilerplate
+    shingle can never emit corpus-df^2 pair partials). Reports measured
+    precision/recall plus live-checked floors: the banding S-curve at
+    J=0.7 (16 bands x 8 rows) gives >=97% candidate recall, and the
+    128-lane estimate's std at the threshold is ~0.04, so both metrics
+    are asserted >= 0.8 — a failing sketch raises instead of silently
+    reporting garbage. Deterministic end to end (rows-only check)."""
+    import ray.data as rd
+
+    from .relational import topk
+    from .stages.dedup import (_id_filter, jaccard_pairs_exact,
+                               minhash_dedup_pairs)
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    hds = ds.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].values,
+            "h": pd.util.hash_pandas_object(
+                b["doc_id"], index=False).to_numpy()}),
+        batch_format="pandas")
+    sample = topk(hds, ["h"], [True], eval_docs,
+                  columns=["doc_id", "h"])
+    if len(sample) >= eval_docs:
+        ds = _id_filter(ds, rd.from_pandas(sample[["doc_id"]]),
+                        "doc_id")
     approx = minhash_dedup_pairs(ds, threshold=0.7, shingle="word3")
     truth = jaccard_pairs_exact(ds, k=3, threshold=0.7,
-                                max_df=10**9)
+                                max_df=4096)
     ap = set(zip(approx["id_a"], approx["id_b"]))
     tp_pairs = set(zip(truth["id_a"], truth["id_b"]))
     tp = len(ap & tp_pairs)
@@ -3008,14 +3073,17 @@ def transcript_sft_pairs(sf_dir: str) -> pd.DataFrame:
     each assistant turn is paired with the most recent preceding USER
     turn of its conversation (tool turns in between are counted as
     the agentic tool-call depth, not paired). Runs on the EXTRACTED
-    turns (the engine's own product), one conv_id-bucketed shuffle,
-    forward-fill vectorized inside the group stage. Rows-only
+    turns (the engine's own product) through the SALTED pairing stage
+    (stages/sft.py): turns co-partition on
+    (conv_id, turn_idx // salt_turns) with a per-range carry row, so
+    a mega-conversation never lands whole in one task. Rows-only
     (synthesized corpus); deterministic."""
     from .pipelines.extraction import run_extraction
     from .sources.transcripts import transcripts_dataset
-    from .relational import bucketed_map_groups
+    from .stages.sft import sft_pairs_salted
     roles = transcripts_dataset(sf_dir).map_batches(
-        lambda b: b[["conv_id", "turn_idx", "role"]],
+        lambda b: b[["conv_id", "turn_idx", "role"]].rename(
+            columns={"turn_idx": "turn_idx2"}),
         batch_format="pandas")
     ex = run_extraction(sf_dir, ordered=False).map_batches(
         lambda b: pd.DataFrame({
@@ -3024,39 +3092,7 @@ def transcript_sft_pairs(sf_dir: str) -> pd.DataFrame:
             "chars": b["extracted_text"].str.len()
             .to_numpy(dtype=np.int64)}),
         batch_format="pandas")
-    from .relational import _cogroup, _split_sides
-
-    def pair_bucket(t) -> pd.DataFrame:
-        e, r = _split_sides(t, ["conv_id", "turn_idx", "chars"],
-                            ["conv_id", "turn_idx2", "role"])
-        m = e.merge(r, left_on=["conv_id", "turn_idx"],
-                    right_on=["conv_id", "turn_idx2"], how="inner")
-        m = m.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        is_user = (m["role"] == "user").to_numpy()
-        # forward-fill the last user turn index within each conv
-        uidx = np.where(is_user, m["turn_idx"].to_numpy(), -1)
-        s = pd.Series(np.where(uidx >= 0, uidx, np.nan))
-        s = s.groupby(m["conv_id"].to_numpy()).ffill()
-        uchars = pd.Series(
-            np.where(is_user, m["chars"].to_numpy(), np.nan)) \
-            .groupby(m["conv_id"].to_numpy()).ffill()
-        keep = (m["role"] == "assistant").to_numpy() & s.notna() \
-            .to_numpy()
-        out = pd.DataFrame({
-            "conv_id": m["conv_id"].to_numpy()[keep],
-            "prompt_turn_idx": s.to_numpy()[keep].astype(np.int64),
-            "response_turn_idx": m["turn_idx"].to_numpy()[keep],
-            "prompt_chars": uchars.to_numpy()[keep].astype(np.int64),
-            "response_chars": m["chars"].to_numpy()[keep],
-        })
-        out["gap_turns"] = (out["response_turn_idx"]
-                            - out["prompt_turn_idx"] - 1)
-        return out
-
-    roles2 = roles.map_batches(
-        lambda b: b.rename(columns={"turn_idx": "turn_idx2"}),
-        batch_format="pandas")
-    out = _cogroup(ex, roles2, ["conv_id"], pair_bucket).to_pandas()
+    out = sft_pairs_salted(ex, roles).to_pandas()
     return (out.astype({"response_turn_idx": "int64",
                         "response_chars": "int64",
                         "gap_turns": "int64"})
@@ -4350,7 +4386,7 @@ ORACLES = {
                FROM toks GROUP BY doc_id, token),
         df AS (SELECT token, COUNT(*) AS df
                FROM tf GROUP BY token),
-        dl AS (SELECT doc_id, SUM(tf) AS dl
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
                FROM tf GROUP BY doc_id),
         t AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
                      (SELECT SUM(dl) FROM dl) AS n_toks),

@@ -18,13 +18,22 @@ map_groups (a mega-conversation would OOM the task):
    turns of the conversation contain the line, plus a per-conv turn
    count,
 3. the boilerplate line set per conversation (cnt >= ratio * n_turns)
-   stays a Dataset and meets the turns again in ONE co-partitioned
-   shuffle keyed by conv_id; each bucket holds only its conversations'
-   boilerplate hashes, never a global set.
+   stays a Dataset; stripping is per-turn independent given that set,
+   so the terminal stage is ADAPTIVE: when the whole boilerplate set
+   fits the broadcast budget it ships once via ray.put and the strip
+   is a pure map_batches (no shuffle at all); past the budget the
+   strip co-partitions on (conv_id, turn_idx // salt_turns) with the
+   per-conv hash set REPLICATED to each salt range — a 10^7-turn
+   mega-conversation spreads over ~n_turns/salt_turns tasks instead
+   of landing whole in one bucket's memory (same salting scheme as
+   state/checkpoint.py's writer).
 
 Line identity is the fixed-key 64-bit siphash of the line string
 (pd.util.hash_pandas_object) — deterministic across processes; a
-collision can at worst strip one extra line per conversation.
+collision can at worst strip one extra line per conversation. The
+strip membership test uses the combined (conv_id, line_h) row hash
+(same primitive), vectorized np.isin instead of a per-line Python
+set probe.
 """
 
 from __future__ import annotations
@@ -39,10 +48,57 @@ def _line_hash(s: pd.Series) -> np.ndarray:
     return pd.util.hash_pandas_object(s, index=False).to_numpy()
 
 
+def _pair_key(conv, line_h) -> np.ndarray:
+    """Combined deterministic row hash of (conv_id, line_h) — one
+    uint64 per pair so strip membership is a vectorized np.isin, not a
+    per-line Python set probe."""
+    return pd.util.hash_pandas_object(
+        pd.DataFrame({"c": np.asarray(conv),
+                      "h": np.asarray(line_h, dtype=np.uint64)}),
+        index=False).to_numpy()
+
+
+def _strip_rows(turns: pd.DataFrame, drop_keys: np.ndarray,
+                text_col: str) -> pd.DataFrame:
+    """Strip boilerplate lines from one batch of turns given the
+    sorted combined-hash key array. Pure per-turn; order preserved."""
+    if not len(turns):
+        empty = turns.copy()
+        empty["n_stripped_lines"] = pd.Series([], dtype="int64")
+        return empty
+    # explode the whole batch once, hash every line in one vectorized
+    # call, rebuild per-turn texts by offset slicing
+    lines = turns[text_col].astype(str).str.split("\n")
+    nl = lines.str.len().to_numpy(dtype=np.int64)
+    flat = lines.explode().astype(str).to_numpy()
+    conv_rep = np.repeat(turns["conv_id"].to_numpy(), nl)
+    hs = _line_hash(pd.Series(flat, dtype=object))
+    if len(drop_keys):
+        keys = _pair_key(conv_rep, hs)
+        is_bp = np.isin(keys, drop_keys)
+    else:
+        is_bp = np.zeros(len(hs), dtype=bool)
+    keep = ~is_bp | (np.char.str_len(flat.astype(str)) == 0)
+    offs = np.zeros(len(turns) + 1, dtype=np.int64)
+    np.cumsum(nl, out=offs[1:])
+    new_texts, n_stripped = [], []
+    for i in range(len(turns)):
+        sl = slice(offs[i], offs[i + 1])
+        kept = flat[sl][keep[sl]]
+        new_texts.append("\n".join(kept))
+        n_stripped.append(int(nl[i] - len(kept)))
+    turns = turns.copy(deep=False)
+    turns[text_col] = new_texts
+    turns["n_stripped_lines"] = pd.array(n_stripped, dtype="int64")
+    return turns
+
+
 def strip_conv_boilerplate(ds, *, min_ratio: float = 0.5,
                            min_turns: int = 3,
                            text_col: str = "extracted_text",
-                           n_buckets: Optional[int] = None):
+                           n_buckets: Optional[int] = None,
+                           salt_turns: int = 8192,
+                           force_salted: bool = False):
     """Strip cross-turn repeated lines per conversation.
 
     ds: Dataset with (conv_id, turn_idx, ``text_col``) columns (extra
@@ -53,6 +109,14 @@ def strip_conv_boilerplate(ds, *, min_ratio: float = 0.5,
     no meaningful repetition signal). A line counts once per turn it
     appears in; it is boilerplate when that turn count >=
     ``min_ratio`` * n_turns.
+
+    The terminal strip never holds a whole conversation in one task:
+    small boilerplate sets broadcast (strip = shuffle-free
+    map_batches); large ones co-partition on
+    (conv_id, turn_idx // ``salt_turns``) with the per-conv hash set
+    replicated per salt range, so task memory is bounded by
+    ~``salt_turns`` turns regardless of conversation size.
+    ``force_salted`` pins the salted path (tests / benchmarking).
     """
     import ray
 
@@ -122,35 +186,64 @@ def strip_conv_boilerplate(ds, *, min_ratio: float = 0.5,
 
     out_cols = list(ds.schema().names)
 
-    def strip_bucket(t) -> pd.DataFrame:
-        turns, bpl = _split_sides(t, out_cols, ["conv_id", "line_h"])
-        if not len(turns):
-            empty = turns.copy()
-            empty["n_stripped_lines"] = pd.Series([], dtype="int64")
-            return empty
-        drop = {(c, h) for c, h in zip(bpl["conv_id"], bpl["line_h"])}
-        # explode the whole bucket once, hash every line in one
-        # vectorized call, rebuild per-turn texts by offset slicing
-        lines = turns[text_col].astype(str).str.split("\n")
-        nl = lines.str.len().to_numpy(dtype=np.int64)
-        flat = lines.explode().astype(str).to_numpy()
-        conv_rep = np.repeat(turns["conv_id"].to_numpy(), nl)
-        hs = _line_hash(pd.Series(flat, dtype=object))
-        is_bp = np.fromiter(
-            ((c, h) in drop for c, h in zip(conv_rep, hs)),
-            dtype=bool, count=len(hs))
-        keep = ~is_bp | (np.char.str_len(flat.astype(str)) == 0)
-        offs = np.zeros(len(turns) + 1, dtype=np.int64)
-        np.cumsum(nl, out=offs[1:])
-        new_texts, n_stripped = [], []
-        for i in range(len(turns)):
-            sl = slice(offs[i], offs[i + 1])
-            kept = flat[sl][keep[sl]]
-            new_texts.append("\n".join(kept))
-            n_stripped.append(int(nl[i] - len(kept)))
-        turns = turns.copy(deep=False)
-        turns[text_col] = new_texts
-        turns["n_stripped_lines"] = pd.array(n_stripped, dtype="int64")
-        return turns
+    # ---- terminal strip: adaptive broadcast / salted co-partition ----
+    # stripping is per-turn independent given the (conv, line) drop
+    # set, so the set never has to meet a whole conversation in one
+    # task. Small set: ship the combined-hash key array once, strip
+    # map-side with no shuffle. Large set: salt turns into
+    # turn_idx // salt_turns ranges and replicate each conv's hashes
+    # to its ranges — one bucket then holds at most ~salt_turns turns
+    # of any single conversation.
+    bp = bp.materialize()
+    if not force_salted and \
+            (bp.size_bytes() or 0) <= _BROADCAST_JOIN_BYTES:
+        bpd = bp.to_pandas()
+        if len(bpd):
+            drop_keys = np.sort(_pair_key(bpd["conv_id"].to_numpy(),
+                                          bpd["line_h"].to_numpy()))
+        else:
+            drop_keys = np.array([], dtype=np.uint64)
+        keys_ref = ray.put(drop_keys)
 
-    return _cogroup(ds, bp, ["conv_id"], strip_bucket, **kw)
+        def strip_map(b: pd.DataFrame) -> pd.DataFrame:
+            return _strip_rows(b, ray.get(keys_ref), text_col)
+
+        return ds.map_batches(strip_map, batch_format="pandas")
+
+    if salt_turns <= 0:
+        raise ValueError("salt_turns must be positive")
+
+    def add_rng(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["__rng"] = (b["turn_idx"].to_numpy(dtype=np.int64)
+                      // salt_turns)
+        return b
+
+    ds_r = ds.map_batches(add_rng, batch_format="pandas")
+    # distinct (conv, salt range) pairs present — cardinality-bounded
+    # (n_turns / salt_turns rows per conversation)
+    ranges = grouped_agg_ds(
+        ds_r.map_batches(lambda b: b[["conv_id", "__rng"]],
+                         batch_format="pandas"),
+        ["conv_id", "__rng"], {"__n": ("count", None)}).map_batches(
+        lambda b: b[["conv_id", "__rng"]], batch_format="pandas")
+
+    def rep_bucket(t) -> pd.DataFrame:
+        rg, bpl = _split_sides(t, ["conv_id", "__rng"],
+                               ["conv_id", "line_h"])
+        return rg.merge(bpl, on="conv_id", how="inner")
+
+    bp_rep = _cogroup(ranges, bp, ["conv_id"], rep_bucket, **kw)
+
+    def strip_bucket(t) -> pd.DataFrame:
+        turns, bpl = _split_sides(t, out_cols + ["__rng"],
+                                  ["conv_id", "__rng", "line_h"])
+        if len(bpl):
+            drop_keys = np.sort(_pair_key(bpl["conv_id"].to_numpy(),
+                                          bpl["line_h"].to_numpy()))
+        else:
+            drop_keys = np.array([], dtype=np.uint64)
+        return _strip_rows(turns[out_cols], drop_keys, text_col)
+
+    return _cogroup(ds_r, bp_rep, ["conv_id", "__rng"], strip_bucket,
+                    **kw)

@@ -252,6 +252,11 @@ class ChunkAudio:
                  decoder: str = "fake"):
         if stride <= 0 or window <= 0:
             raise ValueError("window and stride must be positive")
+        if stride > window:
+            raise ValueError(
+                f"stride ({stride}) > window ({window}) would skip "
+                "bytes between windows, breaking the full-coverage "
+                "invariant (overlap = window - stride must be >= 0)")
         self.window, self.stride = window, stride
         self.decoder = DecodeMedia(decoder)
 

@@ -1,0 +1,80 @@
+"""Committed, re-runnable FULL oracle sweep at sf0.01 (the driver's
+correctness scale) — VERDICT r3 item 3.
+
+`tests/test_queries_oracle.py` parametrizes every ORACLES entry at
+sf0.001; this target re-runs the whole registry at sf0.01 with the
+DRIVER's compare: canonicalize (sort columns by name, round floats,
+normalize int/datetime widths, sort rows) then compare a VALUE HASH of
+the frame — so it reproduces exactly the evidence CORRECTNESS_r{N}.json
+samples, for all 89 oracled queries instead of the 50 the driver draws
+per round. Slow (`-m "not sweep"` deselects it); one pytest target
+reproduces the sweep:
+
+    python -m pytest tests/test_full_oracle_sweep.py -q
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pdf_parser_ray.queries import ORACLES, QUERIES
+
+pytestmark = pytest.mark.sweep
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        if pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("bool")
+    return (df.sort_values(list(df.columns), kind="mergesort")
+            .reset_index(drop=True))
+
+
+def _value_hash(df: pd.DataFrame) -> int:
+    """Driver-style order-insensitive value hash of the canonical
+    frame (row order already canonical after _canon's sort)."""
+    h = pd.util.hash_pandas_object(
+        df.astype(str) if df.empty else df, index=False)
+    return int(h.to_numpy().sum())
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_value_hash_sf001(ray_session, con, name):
+    got = QUERIES[name](SF_DIR)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = con.sql(ORACLES[name]).df()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: column mismatch {sorted(got.columns)} "
+        f"vs {sorted(want.columns)}")
+    g, w = _canon(got), _canon(want)
+    assert len(g) == len(w), f"{name}: {len(g)} rows vs oracle {len(w)}"
+    # value-hash compare, like CORRECTNESS_r{N}.json's hash_match —
+    # with the frame-equal fallback so a miss prints WHERE it differs
+    if _value_hash(g) != _value_hash(w):
+        pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                      check_exact=False, rtol=0,
+                                      atol=1e-6)
+        pytest.fail(f"{name}: value hash mismatch but frames equal "
+                    "within 1e-6 — tighten the query's rounding so the "
+                    "driver's exact hash compare is stable")

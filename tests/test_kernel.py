@@ -276,3 +276,25 @@ def test_metadata_json_sorted_keys():
     md = rec["metadata_json"]
     keys = list(json.loads(md).keys())
     assert keys == sorted(keys)
+
+
+def test_canonical_metadata_json_control_char_keys():
+    """ADVICE r3: a key with an ASCII control character must take the
+    json.dumps fallback (escaped), not the raw fast path — pinned
+    byte-identical to json.dumps for every key shape."""
+    import json
+    from pdf_parser_ray.kernel import canonical_metadata_json
+    for md in ({"a\nb": 1}, {"a\tb": 2}, {"\x00k": 3},
+               {"plain": 4}, {"mixed": True, "x\ry": [1.5]}):
+        assert canonical_metadata_json(md) == json.dumps(
+            md, sort_keys=True, ensure_ascii=False), md
+
+
+def test_chunk_audio_rejects_gapping_stride():
+    """ADVICE r3: stride > window would silently skip bytes between
+    windows; it must raise instead."""
+    import pytest
+    from pdf_parser_ray.stages.multimodal import ChunkAudio
+    with pytest.raises(ValueError, match="stride"):
+        ChunkAudio(window=32, stride=48)
+    ChunkAudio(window=32, stride=32)  # contiguous, zero overlap: fine

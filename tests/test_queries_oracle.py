@@ -77,3 +77,16 @@ def test_driver_entry_contract(ray_session):
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
     assert all(callable(f) for f in q.values())
+
+
+def test_readme_registry_counts_in_sync():
+    """README's registry counts are asserted against the live registry
+    so the doc can't drift (r3 VERDICT item 5)."""
+    import re
+    text = open("README.md").read()
+    for pat in (r"(\d+) driver-harness queries; (\d+) with DuckDB",
+                r"Query registry index \((\d+) pipelines; (\d+) DuckDB-oracled\)"):
+        m = re.search(pat, text)
+        assert m, f"README registry count line missing: {pat}"
+        assert int(m.group(1)) == len(QUERIES), (pat, m.group(1))
+        assert int(m.group(2)) == len(ORACLES), (pat, m.group(2))
