@@ -2329,23 +2329,16 @@ def docs_tfidf_topk(sf_dir: str) -> pd.DataFrame:
     surface is the exact integers (tf, df) plus the RANKING itself —
     which embeds the score ordinally on both sides."""
     from .relational import bucketed_map_groups, grouped_agg_ds, hash_join
+    from .stages.text_analysis import tf_rows_arrow
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
 
-    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.findall(r"\S+")
-        ids = np.repeat(b["doc_id"].to_numpy(dtype=np.int64),
-                        toks.str.len().to_numpy(dtype=np.int64))
-        flat = np.concatenate([np.asarray(t, dtype=object)
-                               for t in toks.to_numpy()]) \
-            if len(b) else np.array([], dtype=object)
-        d = pd.DataFrame({"doc_id": ids, "token": flat})
-        return (d.groupby(["doc_id", "token"], sort=False)
-                .size().reset_index(name="tf"))
-
     # tf feeds BOTH the df aggregate and the join probe: pin it once
-    # so the tokenization pass does not re-execute per consumer
-    tf = ds.map_batches(tf_rows, batch_format="pandas").materialize()
+    # so the tokenization pass does not re-execute per consumer.
+    # Arrow-native (RE2 split + C++ hash group-by): no pandas object
+    # arrays on the tokenization hot path
+    tf = ds.map_batches(tf_rows_arrow,
+                        batch_format="pyarrow").materialize()
     df = grouped_agg_ds(tf, ["token"], {"df": ("count", None)})
     joined = hash_join(tf, df, on="token")
 
@@ -2380,21 +2373,12 @@ def docs_bm25_topk(sf_dir: str) -> pd.DataFrame:
     expression in the oracle so both sides evaluate the identical
     IEEE double tree."""
     from .relational import bucketed_map_groups, grouped_agg_ds, hash_join
+    from .stages.text_analysis import tf_rows_arrow
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
 
-    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.findall(r"\S+")
-        ids = np.repeat(b["doc_id"].to_numpy(dtype=np.int64),
-                        toks.str.len().to_numpy(dtype=np.int64))
-        flat = np.concatenate([np.asarray(t, dtype=object)
-                               for t in toks.to_numpy()]) \
-            if len(b) else np.array([], dtype=object)
-        d = pd.DataFrame({"doc_id": ids, "token": flat})
-        return (d.groupby(["doc_id", "token"], sort=False)
-                .size().reset_index(name="tf"))
-
-    tf = ds.map_batches(tf_rows, batch_format="pandas").materialize()
+    tf = ds.map_batches(tf_rows_arrow,
+                        batch_format="pyarrow").materialize()
     df = grouped_agg_ds(tf, ["token"], {"df": ("count", None)})
     n_toks = int(tf.map_batches(
         lambda b: pd.DataFrame({"s": [b["tf"].sum()]}),
@@ -2577,14 +2561,10 @@ def docs_quality_gate(sf_dir: str) -> pd.DataFrame:
 
 
 def docs_top_tokens(sf_dir: str) -> pd.DataFrame:
+    from .stages.text_analysis import token_counts_arrow
     ds = read_table(sf_dir, "documents", ["text"])
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        s = b["text"].str.findall(r"\S+").explode().dropna()
-        vc = s.value_counts()
-        return pd.DataFrame({"token": vc.index, "cnt": vc.values})
-
-    g = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+    g = grouped_agg(ds.map_batches(token_counts_arrow,
+                                   batch_format="pyarrow"),
                     ["token"], {"n": ("sum", "cnt")})
     g["n"] = g["n"].astype("int64")
     return (g.sort_values(["n", "token"], ascending=[False, True])
@@ -2598,15 +2578,10 @@ def docs_freq_spectrum(sf_dir: str) -> pd.DataFrame:
     aggregation: per-batch token counts -> bucketed vocabulary combine
     that STAYS a Dataset (grouped_agg_ds — the vocabulary never visits
     the driver) -> tiny per-count regroup."""
+    from .stages.text_analysis import token_counts_arrow
     ds = read_table(sf_dir, "documents", ["text"])
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        s = b["text"].str.findall(r"\S+").explode().dropna()
-        vc = s.value_counts()
-        return pd.DataFrame({"token": vc.index, "cnt": vc.values})
-
     vocab = grouped_agg_ds(
-        ds.map_batches(partial, batch_format="pandas"),
+        ds.map_batches(token_counts_arrow, batch_format="pyarrow"),
         ["token"], {"n": ("sum", "cnt")})
     spec = grouped_agg(vocab, ["n"], {"n_tokens": ("count", None)})
     spec["n"] = spec["n"].astype("int64")
@@ -2662,29 +2637,16 @@ def docs_bigram_lift(sf_dir: str) -> pd.DataFrame:
     from .relational import grouped_agg_ds, hash_join, topk
     ds = read_table(sf_dir, "documents", ["text"])
 
-    def bigram_rows(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.findall(r"\S+")
-        a_parts, b_parts = [], []
-        for arr in toks.to_numpy():
-            if len(arr) > 1:
-                a_parts.append(np.asarray(arr[:-1], dtype=object))
-                b_parts.append(np.asarray(arr[1:], dtype=object))
-        if not a_parts:
-            return pd.DataFrame({"a": [], "b": [], "c": []})
-        d = pd.DataFrame({"a": np.concatenate(a_parts),
-                          "b": np.concatenate(b_parts)})
-        return (d.groupby(["a", "b"], sort=False).size()
-                .reset_index(name="c"))
+    from .stages.text_analysis import (bigram_counts_arrow,
+                                       token_counts_arrow)
+    import functools as _ft
 
-    def uni_rows(b: pd.DataFrame) -> pd.DataFrame:
-        s = b["text"].str.findall(r"\S+").explode().dropna()
-        vc = s.value_counts()
-        return pd.DataFrame({"tok": vc.index, "c": vc.values})
-
-    cab = grouped_agg_ds(ds.map_batches(bigram_rows,
-                                        batch_format="pandas"),
+    cab = grouped_agg_ds(ds.map_batches(bigram_counts_arrow,
+                                        batch_format="pyarrow"),
                          ["a", "b"], {"c_ab": ("sum", "c")})
-    uni = ds.map_batches(uni_rows, batch_format="pandas")
+    uni = ds.map_batches(
+        _ft.partial(token_counts_arrow, token_col="tok", out_col="c"),
+        batch_format="pyarrow")
     cu = grouped_agg_ds(uni, ["tok"], {"c": ("sum", "c")})
     n_tokens = int(ds.map_batches(
         lambda b: pd.DataFrame(
@@ -2726,12 +2688,8 @@ def docs_heavy_tokens(sf_dir: str) -> pd.DataFrame:
     from .stages.sketches import heavy_hitters
     ds = read_table(sf_dir, "documents", ["text"])
 
-    def tok_rows(b: pd.DataFrame) -> pd.DataFrame:
-        s = b["text"].str.findall(r"\S+").explode().dropna()
-        vc = s.value_counts()
-        return pd.DataFrame({"token": vc.index, "cnt": vc.values})
-
-    rows = ds.map_batches(tok_rows, batch_format="pandas")
+    from .stages.text_analysis import token_counts_arrow
+    rows = ds.map_batches(token_counts_arrow, batch_format="pyarrow")
     exact = grouped_agg(rows, ["token"], {"n": ("sum", "cnt")})
     exact["n"] = exact["n"].astype("int64")
     top = (exact.sort_values(["n", "token"], ascending=[False, True])

@@ -78,7 +78,7 @@ def default_buckets() -> int:
 
 
 def bucketed_map_groups(ds, keys: List[str], fn, *, n_buckets: int = None,
-                        batch_size: int = 65536):
+                        batch_size=None):
     """Group-combine that scales with KEY CARDINALITY.
 
     Ray's sort-based ``groupby(keys).aggregate/map_groups`` costs ~2 ms
@@ -110,7 +110,7 @@ def bucketed_map_groups(ds, keys: List[str], fn, *, n_buckets: int = None,
 
 def grouped_agg_ds(ds, keys: List[str],
                    specs: Dict[str, Tuple[str, Optional[str]]],
-                   batch_size: int = 65536):
+                   batch_size=None):
     """Partial+final grouped aggregation, returned as a DATASET.
 
     specs: out_col -> (agg, in_col); agg in {sum, count, min, max, mean}.
@@ -220,7 +220,7 @@ def grouped_agg_ds(ds, keys: List[str],
 
 def grouped_agg(ds, keys: List[str],
                 specs: Dict[str, Tuple[str, Optional[str]]],
-                batch_size: int = 65536) -> pd.DataFrame:
+                batch_size=None) -> pd.DataFrame:
     """grouped_agg_ds collected to driver pandas — for low-cardinality
     grouped results (the common reporting case)."""
     return grouped_agg_ds(ds, keys, specs, batch_size).to_pandas()
@@ -230,7 +230,7 @@ def grouped_agg(ds, keys: List[str],
 
 def topk(ds, sort_cols: List[str], ascending: List[bool], k: int,
          columns: Optional[List[str]] = None,
-         batch_size: int = 65536) -> pd.DataFrame:
+         batch_size=None) -> pd.DataFrame:
     """Distributed top-k without a global sort: per-batch partial top-k
     (k rows per block max), then a driver-side final top-k over the
     tiny partial set."""
@@ -291,7 +291,7 @@ class _BroadcastJoiner:
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner",
-                   batch_size: int = 65536, concurrency=None):
+                   batch_size=None, concurrency=None):
     import ray
     if concurrency is None:
         # size the pool to the cluster (leaving shuffle headroom); a
@@ -343,7 +343,7 @@ class _EquiJoiner:
 
 def _broadcast_equi_join(probe, ref, *, on, how, probe_is_left,
                          all_names, probe_key_is_int,
-                         batch_size: int = 65536):
+                         batch_size=None):
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 4)) \
         if ray.is_initialized() else 4
@@ -477,7 +477,7 @@ def hash_join(left, right, on: str, how: str = "inner",
 
 
 def semi_join(ds, key_set, on: str, *, anti: bool = False,
-              batch_size: int = 65536):
+              batch_size=None):
     """Semi / anti join against a broadcast key set (SURVEY guide
     pattern: broadcast the key set — or a Bloom filter of it at real
     scale — and filter inside map_batches; no shuffle)."""
@@ -511,7 +511,7 @@ def anti_join(ds, key_set, on: str, **kw):
 
 # ----------------------------------------------------------------- distinct
 
-def distinct_ds(ds, columns: List[str], batch_size: int = 65536):
+def distinct_ds(ds, columns: List[str], batch_size=None):
     """Exact distinct as a DATASET: per-batch dedup partial, then
     grouped first — only unique-per-block rows enter the shuffle, and
     the result stays distributed (no driver materialization)."""
@@ -524,7 +524,7 @@ def distinct_ds(ds, columns: List[str], batch_size: int = 65536):
                                lambda g: g.drop_duplicates())
 
 
-def distinct(ds, columns: List[str], batch_size: int = 65536) -> pd.DataFrame:
+def distinct(ds, columns: List[str], batch_size=None) -> pd.DataFrame:
     """distinct_ds collected to driver pandas (small-result use only)."""
     return (distinct_ds(ds, columns, batch_size)
             .to_pandas().reset_index(drop=True))

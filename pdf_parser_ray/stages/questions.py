@@ -72,8 +72,13 @@ class ExtractQuestions:
             schema=QUESTIONS_SCHEMA)
 
 
-def questions_dataset(extracted_ds, *, batch_size: int = 1024):
-    """extracted turns -> globally ordered question rows (shuffle O4)."""
+def questions_dataset(extracted_ds, *, batch_size=None):
+    """extracted turns -> globally ordered question rows (shuffle O4).
+
+    ``batch_size=None`` (default) = one batch per block, so the flat
+    map FUSES with the upstream extraction task pool instead of paying
+    a re-batching operator boundary (same measured lesson as
+    pipelines/extraction.py: fusing bought 117k -> 159k turns/s)."""
     qs = extracted_ds.map_batches(ExtractQuestions(),
                                   batch_format="pyarrow",
                                   batch_size=batch_size)

@@ -20,6 +20,74 @@ from typing import List
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# -------------------------------------------- Arrow-native tokenization
+#
+# The hot counting stages (tf rows, vocabulary counts, bigrams) run
+# fully in Arrow C++: RE2 whitespace split -> list_flatten with parent
+# indices -> hash group-by. Token stream is identical to the previous
+# pandas `.str.findall(r"\S+")` on ASCII whitespace AND to the DuckDB
+# oracles' regexp_extract_all('\S+') (DuckDB is RE2 too, so the Arrow
+# kernel actually matches the oracle's regex engine exactly).
+
+def _flat_tokens(t: pa.Table, text_col: str):
+    """-> (tokens, parent_row_indices), empties dropped."""
+    toks = pc.split_pattern_regex(t.column(text_col), pattern=r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    return flat.filter(mask), parents.filter(mask)
+
+
+def tf_rows_arrow(t: pa.Table, *, id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    """One (id, token, tf) row per distinct token per document —
+    the per-batch exact term-frequency partial (each doc lives in one
+    input row, so per-batch tf is final)."""
+    flat, parents = _flat_tokens(t, text_col)
+    tbl = pa.table({id_col: pc.take(t.column(id_col), parents),
+                    "token": flat})
+    res = pa.TableGroupBy(tbl, [id_col, "token"]).aggregate(
+        [([], "count_all")])
+    return pa.table({id_col: res.column(id_col),
+                     "token": res.column("token"),
+                     "tf": res.column("count_all")})
+
+
+def token_counts_arrow(t: pa.Table, *, text_col: str = "text",
+                       token_col: str = "token",
+                       out_col: str = "cnt") -> pa.Table:
+    """Per-batch token occurrence counts (vocabulary partial)."""
+    flat, _ = _flat_tokens(t, text_col)
+    res = pa.TableGroupBy(pa.table({token_col: flat}),
+                          [token_col]).aggregate([([], "count_all")])
+    return pa.table({token_col: res.column(token_col),
+                     out_col: res.column("count_all")})
+
+
+def bigram_counts_arrow(t: pa.Table, *, text_col: str = "text",
+                        a_col: str = "a", b_col: str = "b",
+                        out_col: str = "c") -> pa.Table:
+    """Per-batch adjacent-bigram counts; pairs never cross document
+    seams (parent-index equality masks the boundaries)."""
+    flat, parents = _flat_tokens(t, text_col)
+    n = len(flat)
+    if n < 2:
+        return pa.table({a_col: pa.array([], pa.string()),
+                         b_col: pa.array([], pa.string()),
+                         out_col: pa.array([], pa.int64())})
+    same = pc.equal(parents.slice(0, n - 1), parents.slice(1))
+    a = flat.slice(0, n - 1).filter(same)
+    b = flat.slice(1).filter(same)
+    res = pa.TableGroupBy(pa.table({a_col: a, b_col: b}),
+                          [a_col, b_col]).aggregate([([], "count_all")])
+    return pa.table({a_col: res.column(a_col), b_col: res.column(b_col),
+                     out_col: res.column("count_all")})
 
 # BPE-ish tokens: ASCII word runs or single non-word-non-space chars.
 # Explicit ASCII classes on BOTH sides (Python re defaults \w/\s to
