@@ -136,7 +136,11 @@ def run_queries() -> dict:
                 "embeddings_label_outliers", "events_transition_matrix",
                 "docs_bigram_novelty", "q5_local_supplier_volume",
                 "q18_large_orders", "docs_containment_pairs",
-                "events_hourly_anomaly"]
+                "events_hourly_anomaly",
+                # round 4: salted conv-keyed terminal stages + the
+                # bounded sketch-calibration eval
+                "transcript_strip_boilerplate", "transcript_sft_pairs",
+                "dedup_minhash_eval"]
     out = {}
     for name in headline:
         t0 = time.perf_counter()

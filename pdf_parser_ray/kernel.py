@@ -604,9 +604,11 @@ def canonical_metadata_json(metadata: Dict) -> str:
     Fast path for the hot per-turn shape (ASCII identifier keys;
     int/bool/float-list values — json encodes bools as true/false and
     floats via float.__repr__, both matched exactly here); anything
-    else (error strings, nested dicts) falls back to json.dumps, so
-    output is byte-identical either way (pinned by the equality
-    suites)."""
+    else (error strings, nested dicts, keys with control/quote/
+    backslash chars) falls back to json.dumps, so output is
+    byte-identical either way (pinned by the equality suites). The
+    per-key printable-ASCII scan is memoized: metadata keys are a
+    handful of fixed identifiers, so the hot loop is one dict hit."""
     parts = []
     for k in sorted(metadata):
         v = metadata[k]
@@ -624,15 +626,24 @@ def canonical_metadata_json(metadata: Dict) -> str:
         else:
             return json.dumps(metadata, sort_keys=True,
                               ensure_ascii=False)
-        if not (type(k) is str
-                and all(" " <= ch <= "~" for ch in k)
-                and '"' not in k and "\\" not in k):
-            # printable-ASCII only: a control character ('\n', '\t')
-            # must take json.dumps so it is escaped, not emitted raw
+        ok = _SAFE_KEY_CACHE.get(k)
+        if ok is None:
+            # printable-ASCII only, no quote/backslash: a control
+            # character ('\n', '\t') must take json.dumps so it is
+            # escaped, not emitted raw
+            ok = (type(k) is str
+                  and all(" " <= ch <= "~" for ch in k)
+                  and '"' not in k and "\\" not in k)
+            if len(_SAFE_KEY_CACHE) < 4096:
+                _SAFE_KEY_CACHE[k] = ok
+        if not ok:
             return json.dumps(metadata, sort_keys=True,
                               ensure_ascii=False)
         parts.append('"%s": %s' % (k, sv))
     return "{" + ", ".join(parts) + "}"
+
+
+_SAFE_KEY_CACHE: Dict = {}
 
 
 def assemble_extracted_text(header: str, left: str, right: str, footer: str) -> str:

@@ -78,7 +78,7 @@ def default_buckets() -> int:
 
 
 def bucketed_map_groups(ds, keys: List[str], fn, *, n_buckets: int = None,
-                        batch_size=None):
+                        batch_size=65536):
     """Group-combine that scales with KEY CARDINALITY.
 
     Ray's sort-based ``groupby(keys).aggregate/map_groups`` costs ~2 ms
@@ -89,6 +89,14 @@ def bucketed_map_groups(ds, keys: List[str], fn, *, n_buckets: int = None,
     bucket id, and run ``fn`` once per bucket with every row of its
     keys — fn does a vectorized pandas combine inside. Same key always
     lands in the same bucket, so per-bucket results are final.
+
+    batch_size keeps an explicit 65536 cap (unlike the whole-block
+    defaults elsewhere): the add_bucket map feeds the sort-based
+    shuffle directly, and an alternating-subprocess A/B on the
+    incremental-dedup band stage measured whole-block batches 10-20%
+    SLOWER here (the pandas row-hash over one giant block delays the
+    first shuffle input), while the Arrow-tokenize pipelines were
+    indifferent to this cap.
     """
     K = n_buckets or default_buckets()
 
