@@ -3036,21 +3036,29 @@ def transcript_sft_pairs(sf_dir: str) -> pd.DataFrame:
     (conv_id, turn_idx // salt_turns) with a per-range carry row, so
     a mega-conversation never lands whole in one task. Rows-only
     (synthesized corpus); deterministic."""
-    from .pipelines.extraction import run_extraction
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from .sources.transcripts import transcripts_dataset
-    from .stages.sft import sft_pairs_salted
-    roles = transcripts_dataset(sf_dir).map_batches(
-        lambda b: b[["conv_id", "turn_idx", "role"]].rename(
-            columns={"turn_idx": "turn_idx2"}),
-        batch_format="pandas")
-    ex = run_extraction(sf_dir, ordered=False).map_batches(
-        lambda b: pd.DataFrame({
-            "conv_id": b["conv_id"].values,
-            "turn_idx": b["turn_idx"].values,
-            "chars": b["extracted_text"].str.len()
-            .to_numpy(dtype=np.int64)}),
-        batch_format="pandas")
-    out = sft_pairs_salted(ex, roles).to_pandas()
+    from .stages.extract import extract_batch
+    from .stages.sft import sft_pairs_from_turns
+
+    # extraction is 1:1 and order-preserving within a batch, so role
+    # rides along in the SAME rows — no (conv_id, turn_idx) equi-join
+    # shuffle between the extracted chars and the role column at all
+    def ex_with_role(b: pa.Table) -> pa.Table:
+        out = extract_batch(b)
+        return pa.table({
+            "conv_id": out.column("conv_id"),
+            "turn_idx": out.column("turn_idx"),
+            "role": b.column("role"),
+            "chars": pc.cast(pc.utf8_length(
+                out.column("extracted_text")), pa.int64()),
+        })
+
+    turns = transcripts_dataset(sf_dir).map_batches(
+        ex_with_role, batch_format="pyarrow")
+    out = sft_pairs_from_turns(turns).to_pandas()
     return (out.astype({"response_turn_idx": "int64",
                         "response_chars": "int64",
                         "gap_turns": "int64"})

@@ -35,9 +35,14 @@ def sft_pairs_salted(ex, roles, *, salt_turns: int = 8192,
     response_turn_idx, prompt_chars, response_chars, gap_turns) — one
     row per assistant turn with at least one preceding user turn in
     its conversation. gap_turns counts the turns (tool calls etc.)
-    strictly between prompt and response."""
-    from ..relational import (_cogroup, _split_sides,
-                              bucketed_map_groups)
+    strictly between prompt and response.
+
+    When the role column can be produced in the SAME rows as the
+    chars (the extraction stage is 1:1 and order-preserving, so a
+    caller holding the raw transcript batch can attach role with no
+    join at all), skip this equi-join shuffle and call
+    ``sft_pairs_from_turns`` directly."""
+    from ..relational import _cogroup, _split_sides
 
     if salt_turns <= 0:
         raise ValueError("salt_turns must be positive")
@@ -60,12 +65,35 @@ def sft_pairs_salted(ex, roles, *, salt_turns: int = 8192,
         m = e.merge(r, left_on=["conv_id", "__rng", "turn_idx"],
                     right_on=["conv_id", "__rng", "turn_idx2"],
                     how="inner")
-        return m[["conv_id", "__rng", "turn_idx", "role", "chars"]]
+        return m[["conv_id", "turn_idx", "role", "chars"]]
 
     # one co-partitioned shuffle of the turn-scale data; bucket memory
     # is bounded by salt_turns turns per conversation
     merged = _cogroup(ex2, roles2, ["conv_id", "__rng"], merge_bucket,
-                      **kw).materialize()
+                      **kw)
+    return sft_pairs_from_turns(merged, salt_turns=salt_turns,
+                                n_buckets=n_buckets)
+
+
+def sft_pairs_from_turns(turns, *, salt_turns: int = 8192,
+                         n_buckets=None):
+    """Salted pairing over a Dataset(conv_id, turn_idx, role, chars)
+    that already has role attached per turn — the join-free path."""
+    from ..relational import (_cogroup, _split_sides,
+                              bucketed_map_groups)
+
+    if salt_turns <= 0:
+        raise ValueError("salt_turns must be positive")
+    kw = {} if n_buckets is None else {"n_buckets": n_buckets}
+
+    def add_rng(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["conv_id", "turn_idx", "role", "chars"]].copy(deep=False)
+        b["__rng"] = (b["turn_idx"].to_numpy(dtype=np.int64)
+                      // salt_turns)
+        return b
+
+    merged = turns.map_batches(add_rng,
+                               batch_format="pandas").materialize()
 
     def last_user_partial(b: pd.DataFrame) -> pd.DataFrame:
         """One row per (conv, range) per batch: the batch-local last

@@ -95,3 +95,21 @@ def test_sft_pairs_mega_conv_bounded(ray_session):
     # the carry actually crossed ranges: prompts are 1000 apart while
     # salt is 512, so most pairs resolve via a carry row
     assert (got["gap_turns"] > salt).any()
+
+
+def test_sft_pairs_from_turns_matches_join_path(ray_session):
+    """The join-free path (role already attached per turn, as the
+    query builds it in-batch from extraction) must equal both the
+    cogroup path and the sequential oracle."""
+    import ray.data as rd
+    from pdf_parser_ray.stages.sft import sft_pairs_from_turns
+    ex, roles = _corpus(17, 14, 35)
+    turns = ex.merge(roles.rename(columns={"turn_idx2": "turn_idx"}),
+                     on=["conv_id", "turn_idx"], how="inner")
+    got = (sft_pairs_from_turns(rd.from_pandas(turns).repartition(4),
+                                salt_turns=6).to_pandas()[COLS]
+           .astype({c: "int64" for c in COLS[1:]})
+           .sort_values(["conv_id", "response_turn_idx"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, _oracle(ex, roles))
+    pd.testing.assert_frame_equal(got, _run(ex, roles, salt_turns=6))
