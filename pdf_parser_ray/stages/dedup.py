@@ -46,6 +46,7 @@ from typing import List, Tuple
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
 
@@ -1020,22 +1021,41 @@ def embedding_dedup_pairs(ds, **kwargs) -> pd.DataFrame:
 
 # ------------------------------------ exact similarity join (set Jaccard)
 
-def _shingle_postings(batch: pd.DataFrame, *, k: int, id_col: str,
-                      text_col: str) -> pd.DataFrame:
+def _shingle_postings(batch: pa.Table, *, k: int, id_col: str,
+                      text_col: str) -> pa.Table:
     """Explode each doc into its DISTINCT word-k-shingle postings
-    (doc_id, sh). Per-doc string work is inherent text parsing (same
-    note as MinHash shingling), amortized across the batch."""
-    ids: list = []
-    shs: list = []
-    for doc_id, text in zip(batch[id_col], batch[text_col]):
-        toks = text.split()
-        if len(toks) < k:
-            continue
-        seen = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
-        ids.extend([doc_id] * len(seen))
-        shs.extend(seen)
-    return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
-                         "sh": pd.Series(shs, dtype="object")})
+    (doc_id, sh) — fully Arrow C++: RE2 whitespace split, element-wise
+    string join of the k shifted token slices (a window stays inside
+    one doc iff its first and last token share the list parent index),
+    and a key-only hash group-by for the per-doc DISTINCT. Same
+    shingle strings as the previous Python `" ".join(toks[i:i+k])`
+    loop, ~vectorized end to end."""
+    import pyarrow.compute as pc
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "sh": pa.array([], pa.large_string())})
+    toks = pc.split_pattern_regex(batch.column(text_col),
+                                  pattern=r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    par = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    flat, par = flat.filter(mask), par.filter(mask)
+    m = len(flat) - k + 1
+    if m <= 0:
+        return empty
+    parts = [flat.slice(i, m) for i in range(k)]
+    sh = pc.binary_join_element_wise(*parts, " ")
+    same = pc.equal(par.slice(0, m), par.slice(k - 1, m))
+    sh = sh.filter(same)
+    ids = pc.take(batch.column(id_col), par.slice(0, m).filter(same))
+    if not len(sh):
+        return empty
+    res = pa.TableGroupBy(
+        pa.table({"doc_id": pc.cast(ids, pa.int64()),
+                  "sh": pc.cast(sh, pa.large_string())}),
+        ["doc_id", "sh"]).aggregate([])
+    return res.select(["doc_id", "sh"])
 
 
 def _packed_pair_sum(a: np.ndarray, b: np.ndarray, n: np.ndarray
@@ -1146,7 +1166,7 @@ def jaccard_pairs_exact_ds(ds, *, k: int = 3, threshold: float = 0.5,
     postings = ds.map_batches(
         _ft.partial(_shingle_postings, k=k, id_col=id_col,
                     text_col=text_col),
-        batch_format="pandas", batch_size=batch_size)
+        batch_format="pyarrow", batch_size=batch_size)
     parts = bucketed_map_groups(
         postings, ["sh"],
         _ft.partial(_jaccard_postings_bucket, max_df=max_df))
