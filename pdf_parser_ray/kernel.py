@@ -116,6 +116,7 @@ def parse_layout_payload(text: str) -> ParsedPage:
     vlines: List[Tuple[float, float, float, float]] = []
     rects: List[Tuple[Tuple[float, float, float, float],
                       Tuple[float, float, float, float]]] = []
+    blocks_append = blocks.append     # hot loop: bind the method once
 
     for raw_line in text.split("\n"):
         line = raw_line.strip()
@@ -156,20 +157,20 @@ def parse_layout_payload(text: str) -> ParsedPage:
         parts = line.split("|", 3)
         if len(parts) != 4:
             continue  # malformed record skipped (A002:87 length guard)
-        coords = parts[0].split(",")
-        if len(coords) != 4:
-            continue
         try:
-            x0 = float(coords[0])
-            y0 = float(coords[1])
-            x1 = float(coords[2])
-            y1 = float(coords[3])
+            # tuple unpack doubles as the 4-coord length guard
+            # (ValueError on any other count, same skip semantics)
+            c0, c1, c2, c3 = parts[0].split(",")
+            x0 = float(c0)
+            y0 = float(c1)
+            x1 = float(c2)
+            y1 = float(c3)
             font_size = float(parts[1])
         except ValueError:
             continue
         block_text = parts[3].strip()  # A002:83-88: keep stripped non-empty
         if block_text:
-            blocks.append(TextBlock(block_text, x0, y0, x1, y1,
+            blocks_append(TextBlock(block_text, x0, y0, x1, y1,
                                     font_size, parts[2]))
     return ParsedPage(width, height, blocks, vlines, rects)
 
@@ -561,23 +562,25 @@ def blocks_to_text(blocks: List[TextBlock]) -> str:
         return ""
     sorted_blocks = sorted(blocks, key=_KEY_Y0_X0)
     lines: List[List[TextBlock]] = []
-    current_line: List[TextBlock] = []
-    current_y: Optional[float] = None
-    for b in sorted_blocks:
+    b0 = sorted_blocks[0]
+    current_line: List[TextBlock] = [b0]
+    current_y: float = (b0.y0 + b0.y1) / 2
+    for b in sorted_blocks[1:]:
         block_y = (b.y0 + b.y1) / 2
-        if current_y is None or abs(block_y - current_y) < 10:
+        if -10 < block_y - current_y < 10:
             current_line.append(b)
-            current_y = block_y
         else:
-            if current_line:
-                lines.append(current_line)
+            lines.append(current_line)
             current_line = [b]
-            current_y = block_y
-    if current_line:
-        lines.append(current_line)
+        current_y = block_y
+    lines.append(current_line)
     text_lines = []
     for line in lines:
-        text_lines.append(" ".join(b.text for b in sorted(line, key=_KEY_X0)))
+        if len(line) == 1:
+            text_lines.append(line[0].text)
+        else:
+            text_lines.append(
+                " ".join(b.text for b in sorted(line, key=_KEY_X0)))
     return "\n".join(text_lines)
 
 
@@ -587,9 +590,12 @@ def blocks_to_text(blocks: List[TextBlock]) -> str:
 
 def normalize_text_field(t: str) -> str:
     """Per-line strip + outer strip (pdf_extractor_protocol.py:186-191);
-    falsy values pass through unchanged."""
+    falsy values pass through unchanged. Single-line fast path: the
+    per-line strip and the outer strip coincide."""
     if not t:
         return t
+    if "\n" not in t:
+        return t.strip()
     return "\n".join(line.strip() for line in t.split("\n")).strip()
 
 
