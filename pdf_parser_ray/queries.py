@@ -3283,6 +3283,53 @@ def multimodal_decode(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("media_id").reset_index(drop=True)
 
 
+def multimodal_resize_raw(sf_dir: str) -> pd.DataFrame:
+    """REAL image resampling (no codec, no stub): raw w*h*c uint8
+    pixel payloads bilinear-resized to 32x24 in an actor-pool stage —
+    the image analog of the audio-chunking path. Live invariants: the
+    output body is exactly 32*24*c bytes and, because bilinear is an
+    averaging kernel with half-pixel centers, the per-image pixel mean
+    is preserved within a few units of gray. Hash surface: dims + the
+    blake2b of the resized bytes (deterministic end to end)."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .stages.multimodal import (MEDIA_SCHEMA, make_raw_image_payload,
+                                    resize_raw_dataset)
+    n = 48
+    rows = [(i, "rw", make_raw_image_payload(i), "{}") for i in range(n)]
+    media = rd.from_arrow(pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows], pa.int64()),
+         pa.array([r[1] for r in rows], pa.string()),
+         pa.array([r[2] for r in rows], pa.large_binary()),
+         pa.array([r[3] for r in rows], pa.string())],
+        schema=MEDIA_SCHEMA)).repartition(6)
+    out = resize_raw_dataset(media, width=32, height=24).to_pandas()
+    import struct as _st
+    recs = []
+    for _, r in out.iterrows():
+        p = bytes(r["payload"])
+        w, h, c = _st.unpack("<IIH", p[7:17])
+        body = np.frombuffer(p, dtype=np.uint8, offset=17)
+        assert (w, h) == (32, 24) and len(body) == w * h * c
+        src = np.frombuffer(make_raw_image_payload(int(r["media_id"])),
+                            dtype=np.uint8, offset=17)
+        mean_in, mean_out = float(src.mean()), float(body.mean())
+        assert abs(mean_in - mean_out) < 6.0, \
+            f"bilinear mean drifted: {mean_in} -> {mean_out}"
+        recs.append({
+            "media_id": int(r["media_id"]),
+            "w_out": int(w), "h_out": int(h), "channels": int(c),
+            "mean_shift_ok": True,
+            "out_blake2b": hashlib.blake2b(
+                p, digest_size=16).hexdigest(),
+        })
+    return (pd.DataFrame(recs).sort_values("media_id")
+            .reset_index(drop=True))
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -3403,6 +3450,7 @@ QUERIES = {
     "transcript_turnspec_filter": transcript_turnspec_filter,
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
+    "multimodal_resize_raw": multimodal_resize_raw,
     "multimodal_audio_chunks": multimodal_audio_chunks,
 }
 

@@ -219,6 +219,90 @@ class ResizeImages:
             pa.array(out, pa.large_binary()))
 
 
+def make_raw_image_payload(media_id: int) -> bytes:
+    """Deterministic RAW image payload: same 17-byte header scheme
+    with kind 'rw', body = exactly w*h*c uint8 pixels (a real pixel
+    buffer, unlike the 'im' fixtures whose body is an arbitrary
+    digest). Pixels are a seeded per-image random field so resampling
+    has real structure to act on."""
+    rng = np.random.RandomState((media_id * 2654435761) % (2**31))
+    w, h, c = int(rng.randint(8, 64)), int(rng.randint(8, 64)), 3
+    body = rng.randint(0, 256, size=h * w * c, dtype=np.uint8).tobytes()
+    return (b"FAKE0" + b"rw" + struct.pack("<IIH", w, h, c) + body)
+
+
+def bilinear_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized bilinear resample of an (h, w, c) uint8 array —
+    half-pixel-center sampling (the PIL/OpenCV convention,
+    align_corners=False), edge-clamped, deterministic half-up
+    rounding. Pure numpy: this is the REAL image kernel that needs no
+    codec, so unlike the decode stubs it runs fully in this container."""
+    h, w, _c = img.shape
+    x = np.clip((np.arange(out_w) + 0.5) * (w / out_w) - 0.5, 0, w - 1)
+    y = np.clip((np.arange(out_h) + 0.5) * (h / out_h) - 0.5, 0, h - 1)
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = (x - x0)[None, :, None]
+    fy = (y - y0)[:, None, None]
+    f = img.astype(np.float64)
+    ia = f[np.ix_(y0, x0)]
+    ib = f[np.ix_(y0, x1)]
+    ic = f[np.ix_(y1, x0)]
+    id_ = f[np.ix_(y1, x1)]
+    out = (ia * (1 - fx) * (1 - fy) + ib * fx * (1 - fy)
+           + ic * (1 - fx) * fy + id_ * fx * fy)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+class ResizeRawImages:
+    """REAL resize stage over raw-pixel payloads (kind 'rw'): parses
+    the header, reshapes the body to (h, w, c), bilinear-resamples
+    with numpy, and re-emits a standalone payload with the new header
+    — the image analog of ChunkAudio's codec-free path. Non-'rw' rows
+    pass through untouched (their bodies are not pixel buffers)."""
+
+    def __init__(self, width: int = 32, height: int = 24):
+        if width <= 0 or height <= 0:
+            raise ValueError("width and height must be positive")
+        self.w, self.h = width, height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for kind, p in zip(batch.column("kind").to_pylist(),
+                           batch.column("payload").to_pylist()):
+            if kind != "rw":
+                out.append(p)
+                continue
+            if p[:5] != b"FAKE0" or p[5:7] != b"rw":
+                raise ValueError("bad raw-image magic")
+            w, h, c = struct.unpack("<IIH", p[7:17])
+            body = np.frombuffer(p, dtype=np.uint8, offset=17)
+            if len(body) != w * h * c:
+                raise ValueError(
+                    f"raw body {len(body)} bytes != {w}x{h}x{c}")
+            img = body.reshape(h, w, c)
+            resized = bilinear_resize(img, self.w, self.h)
+            out.append(b"FAKE0" + b"rw"
+                       + struct.pack("<IIH", self.w, self.h, c)
+                       + resized.tobytes())
+        return batch.set_column(
+            batch.schema.get_field_index("payload"), "payload",
+            pa.array(out, pa.large_binary()))
+
+
+def resize_raw_dataset(media_ds, *, width: int = 32, height: int = 24,
+                       batch_size: int = 16, concurrency=None):
+    """raw media table -> resized raw payloads (actor pool, small
+    batches for wide binary rows)."""
+    from ..pipelines.extraction import pool_size
+    return media_ds.map_batches(
+        ResizeRawImages, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else pool_size(),
+        fn_constructor_kwargs={"width": width, "height": height})
+
+
 def sample_frames_dataset(media_ds, *, n_frames: int = 4,
                           batch_size: int = 16, concurrency=None):
     from ..pipelines.extraction import pool_size

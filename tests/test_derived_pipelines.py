@@ -335,3 +335,71 @@ def test_sft_pairing_semantics(ray_session):
     out = pair_via_query_path(ex, roles)
     assert list(out["response_turn_idx"]) == [4, 5]
     assert list(out["prompt_turn_idx"]) == [1, 1]
+
+
+def test_bilinear_resize_kernel():
+    """Pure-numpy bilinear kernel invariants: identity resize returns
+    the input bytes, a constant image stays constant at any scale, and
+    a 2x box-downscale of a checkerboard averages to mid-gray."""
+    import numpy as np
+    from pdf_parser_ray.stages.multimodal import bilinear_resize
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    assert np.array_equal(bilinear_resize(img, 14, 10), img)
+    const = np.full((9, 7, 3), 137, dtype=np.uint8)
+    for w, h in ((3, 5), (20, 2), (7, 9)):
+        assert (bilinear_resize(const, w, h) == 137).all()
+    checker = np.zeros((4, 4, 1), dtype=np.uint8)
+    checker[::2, 1::2] = 255
+    checker[1::2, ::2] = 255
+    # half-pixel-center 2x downscale samples exactly between the four
+    # neighbors -> every output pixel is the 4-cell average
+    down = bilinear_resize(checker, 2, 2)
+    assert (down == 128).all()  # floor(127.5 + 0.5)
+
+
+def test_resize_raw_images_stage(ray_session):
+    """Actor-pool raw resize: output payloads are standalone (header
+    re-parses, body length matches dims), non-'rw' rows pass through
+    untouched, and the stage is deterministic under repartitioning."""
+    import struct
+
+    import numpy as np
+    import ray.data as rd
+    import pyarrow as pa
+    from pdf_parser_ray.stages.multimodal import (MEDIA_SCHEMA,
+                                                  make_raw_image_payload,
+                                                  resize_raw_dataset,
+                                                  synth_media_table)
+    raw = [(100 + i, "rw", make_raw_image_payload(100 + i), "{}")
+           for i in range(12)]
+    other = synth_media_table(6).to_pandas()
+    tbl = pa.Table.from_arrays(
+        [pa.array([r[0] for r in raw] + other["media_id"].tolist(),
+                  pa.int64()),
+         pa.array([r[1] for r in raw] + other["kind"].tolist(),
+                  pa.string()),
+         pa.array([r[2] for r in raw]
+                  + [bytes(p) for p in other["payload"]],
+                  pa.large_binary()),
+         pa.array([r[3] for r in raw] + other["meta_json"].tolist(),
+                  pa.string())], schema=MEDIA_SCHEMA)
+    outs = []
+    for parts in (2, 5):
+        out = (resize_raw_dataset(rd.from_arrow(tbl).repartition(parts),
+                                  width=16, height=12)
+               .to_pandas().sort_values("media_id")
+               .reset_index(drop=True))
+        outs.append(out)
+    for _, r in outs[0].iterrows():
+        p = bytes(r["payload"])
+        if r["kind"] == "rw":
+            w, h, c = struct.unpack("<IIH", p[7:17])
+            assert (w, h) == (16, 12)
+            assert len(p) - 17 == w * h * c
+        else:  # untouched passthrough
+            src = tbl.to_pandas()
+            orig = src[src["media_id"] == r["media_id"]]["payload"]
+            assert p == bytes(orig.iloc[0])
+    assert (outs[0]["payload"].map(bytes)
+            == outs[1]["payload"].map(bytes)).all()
