@@ -144,16 +144,29 @@ def strip_conv_boilerplate(ds, *, min_ratio: float = 0.5,
         d = d[d["line"].astype(str).str.len() > 0]
         d["line_h"] = _line_hash(d["line"].astype(str))
         # distinct per TURN: a line repeated inside one turn counts once
-        return (d[["conv_id", "turn_idx", "line_h"]]
-                .drop_duplicates()[["conv_id", "line_h"]])
+        out = (d[["conv_id", "turn_idx", "line_h"]]
+               .drop_duplicates()[["conv_id", "line_h"]])
+        out["m"] = False
+        # one TURN-MARKER row per input turn rides the same shuffle
+        # ('m' is part of the group key, so markers can never collide
+        # with a line hash) — the per-conv turn count then falls out of
+        # the SAME grouped aggregate instead of a second pass+shuffle
+        markers = pd.DataFrame({
+            "conv_id": b["conv_id"].to_numpy(),
+            "line_h": np.zeros(len(b), dtype=np.uint64),
+            "m": True})
+        return pd.concat([out, markers], ignore_index=True)
 
     line_rows = ds.map_batches(lines_of, batch_format="pandas")
-    counts = grouped_agg_ds(line_rows, ["conv_id", "line_h"],
-                            {"cnt": ("count", None)})
-    nturns = grouped_agg_ds(
-        ds.map_batches(lambda b: b[["conv_id", "turn_idx"]],
-                       batch_format="pandas"),
-        ["conv_id"], {"n_turns": ("count", None)}).materialize()
+    counts_all = grouped_agg_ds(line_rows, ["conv_id", "line_h", "m"],
+                                {"cnt": ("count", None)}).materialize()
+    counts = counts_all.map_batches(
+        lambda b: b.loc[~b["m"], ["conv_id", "line_h", "cnt"]],
+        batch_format="pandas")
+    nturns = counts_all.map_batches(
+        lambda b: b.loc[b["m"], ["conv_id", "cnt"]].rename(
+            columns={"cnt": "n_turns"}),
+        batch_format="pandas").materialize()
 
     kw = {} if n_buckets is None else {"n_buckets": n_buckets}
 
