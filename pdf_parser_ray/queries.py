@@ -3283,6 +3283,36 @@ def multimodal_decode(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("media_id").reset_index(drop=True)
 
 
+def docs_train_val_test_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic TRAIN/VAL/TEST split — the assignment every
+    curation pipeline must reproduce identically on any cluster shape
+    and any re-run: split = multiplicative hash of doc_id mod 10
+    (0-7 train, 8 val, 9 test → 80/10/10 in expectation), pure
+    integer arithmetic mirrored exactly in the SQL oracle (same
+    HUGEINT trick as docs_shuffle_order). Verified surface: per
+    (split, lang) doc counts + char sums — proves assignment AND that
+    the split is content-complete (counts add up across splits)."""
+    from .relational import grouped_agg
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+             % np.uint64(4294967296)) % np.uint64(10)
+        split = np.where(h < 8, "train",
+                         np.where(h == 8, "val", "test"))
+        return pd.DataFrame({
+            "split": split,
+            "lang": b["lang"].to_numpy(),
+            "n_chars": b["text"].str.len().to_numpy(dtype=np.int64)})
+
+    g = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                    ["split", "lang"], {"n_docs": ("count", None),
+                                        "sum_chars": ("sum", "n_chars")})
+    return (g.astype({"n_docs": "int64", "sum_chars": "int64"})
+            .sort_values(["split", "lang"]).reset_index(drop=True))
+
+
 def multimodal_resize_raw(sf_dir: str) -> pd.DataFrame:
     """REAL image resampling (no codec, no stub): raw w*h*c uint8
     pixel payloads bilinear-resized to 32x24 in an actor-pool stage —
@@ -3451,6 +3481,7 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
     "multimodal_resize_raw": multimodal_resize_raw,
+    "docs_train_val_test_split": docs_train_val_test_split,
     "multimodal_audio_chunks": multimodal_audio_chunks,
 }
 
@@ -4428,6 +4459,21 @@ ORACLES = {
                  ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296)
                    * 2147483648 + doc_id) - 1 AS shuffle_pos
         FROM documents ORDER BY doc_id
+    """,
+    "docs_train_val_test_split": """
+        WITH s AS (
+          SELECT CASE
+                   WHEN ((CAST(doc_id AS HUGEINT) * 2654435761)
+                         % 4294967296) % 10 < 8 THEN 'train'
+                   WHEN ((CAST(doc_id AS HUGEINT) * 2654435761)
+                         % 4294967296) % 10 = 8 THEN 'val'
+                   ELSE 'test'
+                 END AS split,
+                 lang, length(text) AS n_chars
+          FROM documents)
+        SELECT split, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM s GROUP BY split, lang ORDER BY split, lang
     """,
     "docs_quality_scores": """
         SELECT doc_id,
