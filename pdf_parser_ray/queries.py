@@ -3283,6 +3283,36 @@ def multimodal_decode(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("media_id").reset_index(drop=True)
 
 
+def transcript_conv_near_dup(sf_dir: str) -> pd.DataFrame:
+    """CONVERSATION-LEVEL near-duplicate detection — the transcript
+    analog of document MinHash dedup, WITHOUT ever assembling a
+    conversation in one task: a conv's signature is the elementwise
+    min of its turns' signatures (MinHash union property), built as
+    mergeable partials; banding yields candidate conv pairs; the exact
+    union-set Jaccard over the candidates' turn rows (multi-row
+    postings dedupe) decides. Runs on the EXTRACTED turns, so
+    near-duplicate source documents surface as near-duplicate
+    conversations. Threshold 0.4 with 64 bands x 2 rows: the banding
+    S-curve at J=0.4 gives ~1.0 candidate recall (1-(1-0.4^2)^64),
+    and precision comes from the EXACT verification join, so loose
+    banding costs only verification work, never wrong pairs.
+    Rows-only (extraction-derived); deterministic."""
+    from .pipelines.extraction import run_extraction
+    from .stages.dedup import grouped_minhash_pairs
+    ex = run_extraction(sf_dir, ordered=False).map_batches(
+        lambda b: pd.DataFrame({
+            # conv ids are "conv-%08d": the integer suffix is the
+            # stable int64 group key the pair machinery needs
+            "conv": b["conv_id"].str.slice(5).astype(np.int64),
+            "text": b["extracted_text"].to_numpy()}),
+        batch_format="pandas")
+    pairs = grouped_minhash_pairs(ex, group_col="conv", text_col="text",
+                                  threshold=0.4, bands=64)
+    out = pairs.rename(columns={"id_a": "conv_a", "id_b": "conv_b"})
+    return (out.astype({"conv_a": "int64", "conv_b": "int64"})
+            .sort_values(["conv_a", "conv_b"]).reset_index(drop=True))
+
+
 def docs_train_val_test_split(sf_dir: str) -> pd.DataFrame:
     """Deterministic TRAIN/VAL/TEST split — the assignment every
     curation pipeline must reproduce identically on any cluster shape
@@ -3482,6 +3512,7 @@ QUERIES = {
     "multimodal_frames": multimodal_frames,
     "multimodal_resize_raw": multimodal_resize_raw,
     "docs_train_val_test_split": docs_train_val_test_split,
+    "transcript_conv_near_dup": transcript_conv_near_dup,
     "multimodal_audio_chunks": multimodal_audio_chunks,
 }
 

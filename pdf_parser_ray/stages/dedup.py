@@ -624,6 +624,135 @@ def _banded_candidates(ds, *, num_perm, bands, shingle, text_col,
         lambda g: _grouped_pairs(g, ["band", "band_hash"]))
 
 
+# ------------------------------------------- grouped (multi-row) near-dup
+
+def _group_sig_partial(b: pd.DataFrame, *, num_perm: int, shingle: str,
+                       text_col: str, group_col: str) -> pd.DataFrame:
+    """Per-batch partial: elementwise-min of the rows' MinHash
+    signatures per group. min(sig(A), sig(B)) == sig(A ∪ B), so these
+    partials combine mergeably — a conversation's signature never
+    needs its turns assembled in one place."""
+    if not len(b):
+        # typed empty (group ids are int64 per the operator contract)
+        return pd.DataFrame({group_col: pd.Series([], dtype="int64"),
+                             "sig": pd.Series([], dtype=object)})
+    mh = _hasher(num_perm, shingle)
+    sigs = mh.signatures_batch(b[text_col].tolist())
+    codes, groups = pd.factorize(b[group_col].to_numpy())
+    order = np.argsort(codes, kind="stable")
+    oc = codes[order]
+    starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
+    mins = np.minimum.reduceat(sigs[order], starts, axis=0)
+    return pd.DataFrame({group_col: groups[oc[starts]],
+                         "sig": [m.tobytes() for m in mins]})
+
+
+def _sig_min_combine(g: pd.DataFrame, *, group_col: str) -> pd.DataFrame:
+    mat = np.stack([np.frombuffer(x, dtype=np.int64) for x in g["sig"]])
+    codes, groups = pd.factorize(g[group_col].to_numpy())
+    order = np.argsort(codes, kind="stable")
+    oc = codes[order]
+    starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
+    mins = np.minimum.reduceat(mat[order], starts, axis=0)
+    return pd.DataFrame({group_col: groups[oc[starts]],
+                         "sig": [m.tobytes() for m in mins]})
+
+
+def _band_rows_from_sigs(b: pd.DataFrame, *, num_perm: int, bands: int,
+                         group_col: str) -> pd.DataFrame:
+    rows_per_band = num_perm // bands
+    n = len(b)
+    band_hashes = np.empty((n, bands), dtype=np.int64)
+    for i, x in enumerate(b["sig"]):
+        row = np.frombuffer(x, dtype=np.int64)
+        for bb in range(bands):
+            band_hashes[i, bb] = zlib.crc32(
+                row[bb * rows_per_band:(bb + 1) * rows_per_band]
+                .tobytes())
+    return pd.DataFrame({
+        "band": np.tile(np.arange(bands, dtype=np.int32), n),
+        "band_hash": band_hashes.ravel(),
+        "doc_id": np.repeat(b[group_col].to_numpy(), bands),
+    })
+
+
+def grouped_minhash_pairs_ds(ds, *, group_col: str = "doc_id",
+                             text_col: str = "text",
+                             num_perm: int = 128, bands: int = 16,
+                             shingle: str = "word3",
+                             threshold: float = 0.7,
+                             batch_size: int = 4096,
+                             verify_max_df: int = 4096):
+    """Near-duplicate GROUPS (conversations/documents spanning many
+    rows) without ever assembling a group in one task.
+
+    A group's shingle set is the UNION of its rows' shingle sets, and
+    MinHash signatures of unions are elementwise minima — so group
+    signatures build as mergeable partials (per-batch min, bucketed
+    min-combine; a 10^7-turn conversation contributes one 1-KiB
+    partial per batch, never its text). Banding over the combined
+    signatures yields candidate group pairs (distributed pair dedup);
+    verification is the EXACT union-set Jaccard via the inverted-index
+    join over the candidate groups' rows with ``multi_row_ids``
+    postings dedupe — the per-shingle bucket restores distinct
+    (group, shingle) semantics, so the score is exact set Jaccard, not
+    an estimate. Returned pairs are all id_a < id_b pairs among
+    banding-candidate groups with exact J >= threshold.
+
+    ``group_col`` values must be non-negative int64 (pack string conv
+    ids to ints first). Word-k shingles only (union semantics are
+    per-row: shingles never span row boundaries — for transcripts,
+    a shingle never crosses a turn).
+    """
+    from ..relational import bucketed_map_groups
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    if not shingle.startswith("word"):
+        raise ValueError("grouped near-dup supports word-k shingles "
+                         "(per-row shingling must match the exact "
+                         "verification join's tokenizer)")
+    k = int(shingle[4:])
+    partials = ds.map_batches(
+        functools.partial(_group_sig_partial, num_perm=num_perm,
+                          shingle=shingle, text_col=text_col,
+                          group_col=group_col),
+        batch_format="pandas", batch_size=batch_size)
+    sigs = bucketed_map_groups(
+        partials, [group_col],
+        functools.partial(_sig_min_combine, group_col=group_col))
+    band_rows = sigs.map_batches(
+        functools.partial(_band_rows_from_sigs, num_perm=num_perm,
+                          bands=bands, group_col=group_col),
+        batch_format="pandas")
+    cand = _dedup_pairs_ds(bucketed_map_groups(
+        band_rows, ["band", "band_hash"],
+        lambda g: _grouped_pairs(g, ["band", "band_hash"]))).materialize()
+    # exact union-Jaccard verification over candidate groups' rows
+    rows = ds.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b[group_col].to_numpy(),
+                                "text": b[text_col].to_numpy()}),
+        batch_format="pandas")
+    cand_rows = _id_filter(rows, _pair_ids_ds(cand, "doc_id"), "doc_id",
+                           batch_size=batch_size)
+    exact = jaccard_pairs_exact_ds(cand_rows, k=k, threshold=threshold,
+                                   max_df=verify_max_df,
+                                   batch_size=batch_size,
+                                   multi_row_ids=True)
+
+    def thresh(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["jaccard"] = np.round(b["jaccard"].to_numpy(np.float64), 4)
+        return b[b["jaccard"] >= threshold][["id_a", "id_b", "jaccard"]]
+
+    return exact.map_batches(thresh, batch_format="pandas")
+
+
+def grouped_minhash_pairs(ds, **kwargs) -> pd.DataFrame:
+    """grouped_minhash_pairs_ds collected to sorted driver pandas."""
+    return _collect_pairs(grouped_minhash_pairs_ds(ds, **kwargs),
+                          {"jaccard": "float64"})
+
+
 def _collect_pairs(pairs_ds, extra: dict) -> pd.DataFrame:
     """Small-result driver collection for the public pandas API."""
     out = pairs_ds.to_pandas()
@@ -1082,8 +1211,8 @@ def _packed_pair_sum(a: np.ndarray, b: np.ndarray, n: np.ndarray
             .reset_index())
 
 
-def _jaccard_postings_bucket(g: pd.DataFrame, *, max_df: int
-                             ) -> pd.DataFrame:
+def _jaccard_postings_bucket(g: pd.DataFrame, *, max_df: int,
+                             dedupe_ids: bool = False) -> pd.DataFrame:
     """Per shingle-hash bucket: exact document frequency per shingle
     (all postings of a shingle land in ONE bucket), stop-shingle drop
     (df > max_df), then two partial outputs in one union frame:
@@ -1092,10 +1221,20 @@ def _jaccard_postings_bucket(g: pd.DataFrame, *, max_df: int
     - pair partials  (id_a<id_b, n=co-occurring shingles here),
       vectorized offset-diagonal expansion (_pair_positions) and
       pre-aggregated before the pair shuffle.
+
+    ``dedupe_ids``: when one logical document spans MULTIPLE input
+    rows (conversation-level dedup: id = conv, rows = turns), the same
+    (id, shingle) posting arrives once per containing row; all copies
+    of a shingle land in this one bucket, so a local distinct here
+    restores exact set semantics (df = distinct docs, co-counts =
+    distinct shared shingles). Off by default — single-row documents
+    are distinct by construction and skip the pass.
     """
     empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                           "id_b": pd.Series([], dtype="int64"),
                           "n": pd.Series([], dtype="int64")})
+    if dedupe_ids:
+        g = g.drop_duplicates(["doc_id", "sh"])
     codes, _u = pd.factorize(g["sh"].to_numpy())
     df = np.bincount(codes)
     keep = df[codes] <= max_df
@@ -1129,7 +1268,8 @@ def jaccard_pairs_exact_ds(ds, *, k: int = 3, threshold: float = 0.5,
                            max_df: int = 256, id_col: str = "doc_id",
                            text_col: str = "text",
                            batch_size: int = 4096,
-                           metric: str = "jaccard"):
+                           metric: str = "jaccard",
+                           multi_row_ids: bool = False):
     """EXACT all-pairs Jaccard similarity join — the SQL-oracle-able
     complement of the MinHash approximation — via a distributed
     inverted index (the classic exact set-similarity-join plan):
@@ -1169,7 +1309,8 @@ def jaccard_pairs_exact_ds(ds, *, k: int = 3, threshold: float = 0.5,
         batch_format="pyarrow", batch_size=batch_size)
     parts = bucketed_map_groups(
         postings, ["sh"],
-        _ft.partial(_jaccard_postings_bucket, max_df=max_df))
+        _ft.partial(_jaccard_postings_bucket, max_df=max_df,
+                    dedupe_ids=multi_row_ids))
 
     def _sum_n(g: pd.DataFrame) -> pd.DataFrame:
         return _packed_pair_sum(g["id_a"].to_numpy(),

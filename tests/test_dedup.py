@@ -287,3 +287,117 @@ def test_jaccard_pairs_shuffle_path_pins_broadcast(ray_session,
     monkeypatch.setattr(dedup, "_BROADCAST_VERIFY_BYTES", 0)
     forced = dedup.jaccard_pairs_exact(ds, k=3, threshold=0.3)
     pd.testing.assert_frame_equal(base, forced)
+
+
+def _union_jaccard(rows_a, rows_b, k=3):
+    """Brute-force union-set Jaccard over two groups of row texts."""
+    def shingles(rows):
+        out = set()
+        for t in rows:
+            toks = t.split()
+            out |= {" ".join(toks[i:i + k])
+                    for i in range(max(0, len(toks) - k + 1))}
+        return out
+    sa, sb = shingles(rows_a), shingles(rows_b)
+    return len(sa & sb) / len(sa | sb) if (sa | sb) else 1.0
+
+
+def test_grouped_minhash_union_signature(ray_session):
+    """The mergeable group signature must equal the signature of the
+    UNION shingle set (min over per-row signatures == sig of union),
+    regardless of how rows are batched/partitioned."""
+    import numpy as np
+    import ray.data as rd
+    import pandas as pd
+    from pdf_parser_ray.stages.dedup import (MinHasher, _group_sig_partial,
+                                             _sig_min_combine)
+    import functools
+    rows = pd.DataFrame({
+        "gid": [1, 1, 1, 2, 2],
+        "text": ["alpha beta gamma delta", "gamma delta epsilon zeta",
+                 "one two three four five", "alpha beta gamma delta",
+                 "totally different words here now"]})
+    mh = MinHasher(128, "word3")
+    # brute force: union of per-row shingle sets -> scalar signature
+    want = {}
+    for gid, g in rows.groupby("gid"):
+        sh = set()
+        for t in g["text"]:
+            sh |= mh.shingle_strings(t)
+        h = np.array([int.from_bytes(
+            __import__("hashlib").blake2b(s.encode(), digest_size=8)
+            .digest(), "big") & ((1 << 31) - 1) for s in sorted(sh)],
+            dtype=np.int64)
+        perm = (h[:, None] * mh.a[None, :] + mh.b[None, :]) % ((1 << 61) - 1)
+        want[gid] = perm.min(axis=0)
+    # distributed: partials over two different batchings, then combine
+    for split in ((rows.iloc[:2], rows.iloc[2:]),
+                  (rows.iloc[:4], rows.iloc[4:])):
+        parts = pd.concat([_group_sig_partial(
+            b, num_perm=128, shingle="word3", text_col="text",
+            group_col="gid") for b in split], ignore_index=True)
+        got = _sig_min_combine(parts, group_col="gid")
+        for _, r in got.iterrows():
+            np.testing.assert_array_equal(
+                np.frombuffer(r["sig"], dtype=np.int64), want[r["gid"]])
+
+
+def test_grouped_minhash_pairs_conv_level(ray_session):
+    """End-to-end grouped near-dup: two 3-turn conversations sharing
+    most turn content pair up with the exact union Jaccard; an
+    unrelated conversation does not. Output invariant under
+    repartitioning (turns of one conv deliberately scattered)."""
+    import ray.data as rd
+    import pandas as pd
+    from pdf_parser_ray.stages.dedup import grouped_minhash_pairs
+    base = ["the quick brown fox jumps over the lazy dog today",
+            "pack my box with five dozen liquor jugs right now",
+            "how vexingly quick daft zebras jump over fences"]
+    near = base[:2] + ["how vexingly quick daft zebras jump over walls"]
+    other = ["completely unrelated content about database systems",
+             "streaming shuffles and actor pools all day long",
+             "arrow record batches flow through the object store"]
+    rows = []
+    for gid, turns in ((1, base), (2, near), (3, other)):
+        rows += [{"gid": gid, "text": t} for t in turns]
+    df = pd.DataFrame(rows)
+    outs = []
+    for parts in (1, 6):
+        got = grouped_minhash_pairs(
+            rd.from_pandas(df).repartition(parts),
+            group_col="gid", text_col="text", threshold=0.5)
+        outs.append(got.reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    assert list(zip(got["id_a"], got["id_b"])) == [(1, 2)]
+    want_j = _union_jaccard(base, near)
+    assert abs(got["jaccard"].iloc[0] - round(want_j, 4)) < 1e-9
+    assert want_j >= 0.5  # the pair is genuinely near-dup
+
+
+def test_jaccard_exact_multi_row_ids(ray_session):
+    """multi_row_ids=True restores exact set semantics when one id
+    spans several rows: equal to single-row Jaccard over the
+    concatenated... union shingle sets computed brute-force."""
+    import ray.data as rd
+    import pandas as pd
+    from pdf_parser_ray.stages.dedup import jaccard_pairs_exact_ds
+    rows = pd.DataFrame({
+        "doc_id": [1, 1, 2, 2, 3],
+        "text": ["a b c d e f", "e f g h", "a b c d e f", "x y z w q v",
+                 "a b c d e f"]})
+    got = (jaccard_pairs_exact_ds(rd.from_pandas(rows).repartition(3),
+                                  k=3, threshold=0.1, max_df=10**9,
+                                  multi_row_ids=True)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    texts = {g: list(d["text"]) for g, d in rows.groupby("doc_id")}
+    import itertools
+    want = []
+    for a, b in itertools.combinations(sorted(texts), 2):
+        j = _union_jaccard(texts[a], texts[b])
+        if j >= 0.1:
+            want.append((a, b, round(j, 4)))
+    got_t = [(int(r["id_a"]), int(r["id_b"]), round(float(r["jaccard"]), 4))
+             for _, r in got.iterrows()]
+    assert got_t == want, (got_t, want)
