@@ -48,7 +48,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_MERSENNE = (1 << 61) - 1
 
 
 def _stable_u64(s: str) -> int:
@@ -91,18 +90,41 @@ def exact_dedup_rows(ds, key_cols: List[str]):
 # ----------------------------------------------------------- minhash + LSH
 
 class MinHasher:
-    """Seeded permutation coefficients — identical in every process."""
+    """Seeded per-lane bijective mixes — identical in every process.
+
+    Lane j's value for a shingle is splitmix64(shingle_hash XOR
+    seed_j) — a bijection of the 64-bit hash space per lane, so each
+    lane's argmin is a uniformly random element of the shingle set and
+    P(lane agreement) = Jaccard, the textbook MinHash estimator.
+
+    (History: the previous family, (a*h + b) mod (2^61-1) with 31-bit
+    h and a, had a*h+b < 2p — lanes with a < 2^30 NEVER wrapped the
+    modulus, stayed monotone in h, and all picked the globally
+    smallest shingle hash; lane agreement was bimodal, measured 0.047
+    on a true-J=0.51 conversation pair. Caught by the grouped
+    near-dup's exact union-Jaccard verification, fixed 2026-08-18.
+    Banding/verification pipelines were unaffected in CORRECTNESS —
+    exact verification decides pairs — but candidate recall at the
+    S-curve's design point was luck-dependent.)"""
 
     def __init__(self, num_perm: int = 128, shingle: str = "word3"):
         rng = np.random.RandomState(12345)
-        # coefficients and shingle hashes are kept < 2^31 so a*h+b stays
-        # below 2^62 and never wraps int64 — (a*h+b) mod p must be the
-        # real universal-hash value or the banding S-curve is
-        # miscalibrated and near-dup candidates get silently missed
-        self.a = rng.randint(1, 2**31, size=num_perm, dtype=np.int64)
-        self.b = rng.randint(0, 2**31, size=num_perm, dtype=np.int64)
+        self.seeds = rng.randint(0, 2**63, size=num_perm,
+                                 dtype=np.int64).astype(np.uint64)
         self.num_perm = num_perm
         self.shingle = shingle
+
+    @staticmethod
+    def _lane(h: np.ndarray, seed) -> np.ndarray:
+        """uint64 shingle hashes -> non-negative int64 lane values
+        (splitmix64 finalizer; >>1 keeps values in int64's positive
+        range so int64 and uint64 min orderings coincide everywhere
+        the signatures are combined)."""
+        x = h ^ seed
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        return (x >> np.uint64(1)).astype(np.int64)
 
     def shingle_strings(self, text: str) -> set:
         if self.shingle.startswith("word"):
@@ -116,19 +138,22 @@ class MinHasher:
         return items or {""}
 
     def shingles(self, text: str) -> np.ndarray:
-        # 31-bit shingle ids: see __init__ overflow note (birthday
-        # collisions at typical per-doc shingle counts are ~1e-4)
-        return np.array([_stable_u64(s) & ((1 << 31) - 1)
-                         for s in self.shingle_strings(text)],
-                        dtype=np.int64)
+        return np.fromiter((_stable_u64(s)
+                            for s in self.shingle_strings(text)),
+                           np.uint64)
+
+    def signature_from_strings(self, shingle_set) -> np.ndarray:
+        """Signature of an explicit shingle-string set (the scalar
+        oracle for union/group semantics)."""
+        h = np.fromiter((_stable_u64(s) for s in shingle_set),
+                        np.uint64, count=len(shingle_set))
+        vals = np.stack([self._lane(h, s) for s in self.seeds], axis=1)
+        return vals.min(axis=0)
 
     def signature(self, text: str) -> np.ndarray:
         """Per-doc signature — the slow scalar oracle; the batch path
         (minhash_band_rows) must produce byte-identical values."""
-        h = self.shingles(text)
-        # (n_shingles, num_perm) permuted hashes; min along shingles
-        perm = (h[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
-        return perm.min(axis=0)
+        return self.signature_from_strings(self.shingle_strings(text))
 
     def signatures_batch(self, texts) -> np.ndarray:
         """(n_docs, num_perm) signature matrix, vectorized: every
@@ -148,17 +173,16 @@ class MinHasher:
         # (~17x faster than unique's sort on object strings; order of
         # the unique array is irrelevant here)
         inv, uniq = pd.factorize(flat)
-        uh = np.fromiter((_stable_u64(s) & ((1 << 31) - 1) for s in uniq),
-                         np.int64, count=len(uniq))
+        uh = np.fromiter((_stable_u64(s) for s in uniq),
+                         np.uint64, count=len(uniq))
         offs = np.zeros(len(sets) + 1, np.int64)
         np.cumsum(lens, out=offs[1:])
         sigs = np.empty((len(sets), self.num_perm), dtype=np.int64)
         starts = offs[:-1]
         for j in range(self.num_perm):
-            # permute the UNIQUE ids (U ≤ flat count, far below it on
-            # template corpora), then gather back to flat positions —
-            # the modular arithmetic never runs over duplicates
-            vals_u = (uh * self.a[j] + self.b[j]) % _MERSENNE
+            # mix the UNIQUE ids (U ≤ flat count, far below it on
+            # template corpora), then gather back to flat positions
+            vals_u = self._lane(uh, self.seeds[j])
             sigs[:, j] = np.minimum.reduceat(vals_u[inv], starts)
         return sigs
 
@@ -561,7 +585,9 @@ def _shingle_payload(batch: pd.DataFrame, *, num_perm: int,
     if sets:
         flat = np.asarray([s for ss in sets for s in ss], dtype=object)
         inv, uniq = pd.factorize(flat)
-        uh = np.fromiter((_stable_u64(s) & ((1 << 31) - 1)
+        # 63-bit ids (int64-positive): payload Jaccard collisions drop
+        # from the old 31-bit space's ~1e-4 to ~1e-13
+        uh = np.fromiter((_stable_u64(s) & ((1 << 63) - 1)
                           for s in uniq), np.int64, count=len(uniq))
         h = uh[inv]
         offs = np.zeros(len(sets) + 1, np.int64)
@@ -682,7 +708,7 @@ def grouped_minhash_pairs_ds(ds, *, group_col: str = "doc_id",
                              shingle: str = "word3",
                              threshold: float = 0.7,
                              batch_size: int = 4096,
-                             verify_max_df: int = 4096):
+                             verify_max_df: int = 256):
     """Near-duplicate GROUPS (conversations/documents spanning many
     rows) without ever assembling a group in one task.
 
