@@ -109,6 +109,37 @@ def bands_from_sigs(sig_ds, *, bands: int):
     return sig_ds.map_batches(f, batch_format="pyarrow")
 
 
+# bumped whenever MinHasher's lane construction changes (2 =
+# splitmix64 per-lane bijections, 2026-08-18; 1 = the biased linear
+# family). An index written under another family holds incomparable
+# band hashes: matching against it would SILENTLY miss cross-wave
+# duplicates, so reads refuse instead.
+SIG_FAMILY = 2
+
+
+def _check_family(index_dir: str, *, num_perm: int, bands: int,
+                  shingle: str, create: bool) -> None:
+    import json
+    path = os.path.join(index_dir, "_FAMILY.json")
+    want = {"sig_family": SIG_FAMILY, "num_perm": num_perm,
+            "bands": bands, "shingle": shingle}
+    if os.path.exists(path):
+        with open(path) as f:
+            have = json.load(f)
+        if have != want:
+            raise ValueError(
+                f"incremental index at {index_dir} was built with "
+                f"{have}; this build is {want} — band/signature state "
+                "is incomparable across MinHash families or banding "
+                "configs (matching would silently miss cross-wave "
+                "duplicates). Rebuild the index or pin the old "
+                "parameters.")
+    elif create:
+        os.makedirs(index_dir, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(want, f)
+
+
 def write_wave_index(ds, index_dir: str, *, wave: int,
                      num_perm: int = 128, bands: int = 16,
                      shingle: str = "word3", text_col: str = "text",
@@ -117,6 +148,8 @@ def write_wave_index(ds, index_dir: str, *, wave: int,
     """Append one wave's MinHash state to the index. Pass a
     precomputed (and ideally materialized) ``sig_ds`` to skip the
     signature pass entirely — incremental_dedup_wave does."""
+    _check_family(index_dir, num_perm=num_perm, bands=bands,
+                  shingle=shingle, create=True)
     if sig_ds is None:
         sig_ds = signatures_ds(ds, num_perm=num_perm, shingle=shingle,
                                text_col=text_col, id_col=id_col,
@@ -204,6 +237,11 @@ def incremental_dedup_wave(new_ds, index_dir: str, *, wave: int,
     import ray.data as rd
 
     from ..relational import bucketed_map_groups
+
+    # refuse an index written under a different MinHash family or
+    # banding config — its band hashes would never match this wave's
+    _check_family(index_dir, num_perm=num_perm, bands=bands,
+                  shingle=shingle, create=append_index)
 
     def tag(is_new):
         def f(b: pd.DataFrame) -> pd.DataFrame:

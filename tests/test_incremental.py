@@ -96,3 +96,36 @@ def test_incremental_first_wave_matches_batch(ray_session, tmp_path):
                                  threshold=0.7)
     inc_kept = sorted(inc["kept"].to_pandas()["doc_id"])
     assert inc_kept == batch_kept
+
+
+def test_index_family_guard(ray_session, tmp_path):
+    """An index written under a different MinHash family / banding
+    config must be refused loudly — matching against incomparable
+    band hashes would silently miss cross-wave duplicates."""
+    import json
+
+    import pytest
+    import ray.data as rd
+    import pandas as pd
+    from pdf_parser_ray.stages.incremental import (incremental_dedup_wave,
+                                                   write_wave_index)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["alpha beta gamma delta"] * 2}))
+    idx = str(tmp_path / "idx")
+    write_wave_index(ds, idx, wave=0)
+    # simulate an index from the old family
+    with open(f"{idx}/_FAMILY.json") as f:
+        fam = json.load(f)
+    fam["sig_family"] = 1
+    with open(f"{idx}/_FAMILY.json", "w") as f:
+        json.dump(fam, f)
+    with pytest.raises(ValueError, match="incomparable"):
+        incremental_dedup_wave(ds, idx, wave=1)
+    with pytest.raises(ValueError, match="incomparable"):
+        write_wave_index(ds, idx, wave=1)
+    # and a banding-config mismatch is refused too
+    fam["sig_family"] = 2
+    with open(f"{idx}/_FAMILY.json", "w") as f:
+        json.dump(fam, f)
+    with pytest.raises(ValueError, match="incomparable"):
+        incremental_dedup_wave(ds, idx, wave=1, bands=32)
