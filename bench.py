@@ -137,10 +137,12 @@ def run_queries() -> dict:
                 "docs_bigram_novelty", "q5_local_supplier_volume",
                 "q18_large_orders", "docs_containment_pairs",
                 "events_hourly_anomaly",
-                # round 4: salted conv-keyed terminal stages + the
-                # bounded sketch-calibration eval
+                # round 4: salted conv-keyed terminal stages, the
+                # bounded sketch-calibration eval, conversation-level
+                # near-dup (mergeable union signatures), split + resize
                 "transcript_strip_boilerplate", "transcript_sft_pairs",
-                "dedup_minhash_eval"]
+                "dedup_minhash_eval", "transcript_conv_near_dup",
+                "docs_train_val_test_split", "multimodal_resize_raw"]
     out = {}
     for name in headline:
         t0 = time.perf_counter()

@@ -2917,11 +2917,15 @@ def dedup_minhash_eval(sf_dir: str, *, eval_docs: int = 20_000) -> pd.DataFrame:
     smaller, so test-scale results are unsampled), and the truth's
     per-shingle df cap stays on (df <= sample size, so one boilerplate
     shingle can never emit corpus-df^2 pair partials). Reports measured
-    precision/recall plus live-checked floors: the banding S-curve at
-    J=0.7 (16 bands x 8 rows) gives >=97% candidate recall, and the
-    128-lane estimate's std at the threshold is ~0.04, so both metrics
-    are asserted >= 0.8 — a failing sketch raises instead of silently
-    reporting garbage. Deterministic end to end (rows-only check)."""
+    precision/recall with both ASSERTED >= 0.8 — a failing sketch
+    raises instead of silently reporting garbage. Precision is 1.0 by
+    construction (candidates are exact-verified); the recall floor
+    holds because this corpus's true pairs sit at J >= ~0.85 where the
+    16x8 banding S-curve exceeds 0.99 (at exactly J=0.7 the curve
+    gives only 0.61 — borderline pairs are inherently probabilistic in
+    LSH, which is WHY the assertion evaluates against the exact truth
+    join rather than trusting the curve). Deterministic end to end
+    (rows-only check)."""
     import ray.data as rd
 
     from .relational import topk
@@ -3292,11 +3296,14 @@ def transcript_conv_near_dup(sf_dir: str) -> pd.DataFrame:
     union-set Jaccard over the candidates' turn rows (multi-row
     postings dedupe) decides. Runs on the EXTRACTED turns, so
     near-duplicate source documents surface as near-duplicate
-    conversations. Threshold 0.4 with 64 bands x 2 rows: the banding
-    S-curve at J=0.4 gives ~1.0 candidate recall (1-(1-0.4^2)^64),
-    and precision comes from the EXACT verification join, so loose
-    banding costs only verification work, never wrong pairs.
-    Rows-only (extraction-derived); deterministic."""
+    conversations. Threshold 0.45 with 32 bands x 4 rows: the S-curve
+    gives ~0.74 candidate recall at J=0.45 (0.87 at 0.5) while junk
+    collisions stay ~0.3% of pairs — 2-row bands were measured to
+    admit ~half of ALL pairs as candidates, degrading to the full
+    quadratic join. Precision is 1.0 by construction (EXACT union-set
+    Jaccard verification, df<=256-filtered shingle space like
+    docs_jaccard_pairs). Rows-only (extraction-derived);
+    deterministic (seeded permutations)."""
     from .pipelines.extraction import run_extraction
     from .stages.dedup import grouped_minhash_pairs
     ex = run_extraction(sf_dir, ordered=False).map_batches(
@@ -3307,7 +3314,7 @@ def transcript_conv_near_dup(sf_dir: str) -> pd.DataFrame:
             "text": b["extracted_text"].to_numpy()}),
         batch_format="pandas")
     pairs = grouped_minhash_pairs(ex, group_col="conv", text_col="text",
-                                  threshold=0.4, bands=64)
+                                  threshold=0.45, bands=32)
     out = pairs.rename(columns={"id_a": "conv_a", "id_b": "conv_b"})
     return (out.astype({"conv_a": "int64", "conv_b": "int64"})
             .sort_values(["conv_a", "conv_b"]).reset_index(drop=True))
