@@ -143,15 +143,21 @@ def run_extraction_from_parquet(transcripts_path, out_dir: Optional[str] = None,
                                 *, ordered: bool = False,
                                 batch_size=None, concurrency=None,
                                 n_buckets: int = 32, columns=None,
-                                salt_turns: int = 0):
+                                salt_turns: int = 0,
+                                override_num_blocks: Optional[int] = None):
     """The PRODUCTION entry: extract an existing transcript Parquet
     table (file, directory of part files, or list of paths — at real
     scale the file count drives read parallelism). Only the columns the
-    kernel needs are read unless ``columns`` overrides."""
+    kernel needs are read unless ``columns`` overrides.
+    ``override_num_blocks``: pin the read's block count — one block
+    per file measured 1.4-1.8x faster than Ray's sub-file split
+    heuristic on ~1-2 MB text-heavy files (bench.py does this); leave
+    None for large files where sub-file splits are the point."""
     import ray.data as rd
     ts = rd.read_parquet(transcripts_path,
                          columns=columns or ["conv_id", "turn_idx",
-                                             "text", "tool"])
+                                             "text", "tool"],
+                         override_num_blocks=override_num_blocks)
     extracted = extract_dataset(ts, batch_size=batch_size,
                                 concurrency=concurrency)
     return _finish(extracted, out_dir, ordered, n_buckets, salt_turns)
