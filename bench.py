@@ -53,9 +53,13 @@ def _ensure_transcripts() -> str:
         import shutil
         shutil.rmtree(out)
 
+    # fixed block count so the corpus FILE LAYOUT is identical no
+    # matter which process (2-cpu scaling leg, 32-cpu headline)
+    # generates it first — the layout feeds the timed read, so a
+    # generator-dependent file count would make runs incomparable
     docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
                            columns=["doc_id", "text"],
-                           override_num_blocks=2 * NUM_CPUS)
+                           override_num_blocks=64)
 
     def synth_replicated(batch: pa.Table) -> pa.Table:
         outs = []
@@ -67,11 +71,16 @@ def _ensure_transcripts() -> str:
                 outs.append(synth_batch(shifted))
             else:
                 outs.append(synth_batch(batch))
-        return pa.concat_tables(outs)
+        # combine_chunks: without it the parquet writer emits one row
+        # group PER CONCAT CHUNK (~200 rows) — 1,920 tiny row groups
+        # per file whose fixed decode overhead dominated the read and
+        # skewed sub-file split costs (measured: the 8-core scaling leg
+        # sat at the slow end of its band until this fix)
+        return pa.concat_tables(outs).combine_chunks()
 
     (docs.map_batches(synth_replicated, batch_format="pyarrow",
                       batch_size=32)
-     .write_parquet(out))
+     .write_parquet(out, row_group_size=32768))
     with open(f"{out}/_DONE", "w") as f:
         f.write("")
     return out
@@ -94,11 +103,12 @@ def _flagship_dataset():
 
     path = _ensure_transcripts()
     n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    n_blocks = int(os.environ.get("GRAFT_READ_BLOCKS", "0")) or \
+        max(n_files, 2 * NUM_CPUS)
     transcripts = rd.read_parquet(path,
                                   columns=["conv_id", "turn_idx",
                                            "text", "tool"],
-                                  override_num_blocks=max(n_files,
-                                                          2 * NUM_CPUS))
+                                  override_num_blocks=n_blocks)
     return extract_dataset(transcripts)
 
 
