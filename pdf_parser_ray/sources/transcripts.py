@@ -309,30 +309,37 @@ def transcripts_dataset(sf_dir: str, *, mega_every: int = 97,
     """documents.parquet -> lazy transcript Dataset (column-pruned read).
 
     The documents read is the fan-out driver for the whole flagship
-    pipeline (synthesis multiplies rows ~7x), so it is split into
-    ~2 blocks per CPU; with a real multi-file corpus the file count
-    drives parallelism instead and the override is unnecessary."""
+    pipeline (synthesis multiplies rows ~7x), so it is split into one
+    block per CPU; with a real multi-file corpus the file count drives
+    parallelism instead and the override is unnecessary. One block per
+    CPU, not two: the sf test files hold a SINGLE row group, so block
+    splits are sub-row-group slices whose tasks re-decode shared bytes
+    — measured 2.1 s vs 3.0 s (64 blocks) vs 3.7 s (64 blocks + the
+    old explicit batch_size) for the synth+extract chain at 32 cpus.
+    The schema-metadata strip (Ray's schema-dedup tries to hash the
+    parquet writer's pandas-metadata dict and logs a warning per task)
+    is folded INTO the synth function and batch_size stays None so
+    read -> synth -> downstream fuses into one task chain with no
+    re-batching operator boundary."""
+    import functools
     import ray
     import ray.data as rd
 
     if override_num_blocks is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
-        override_num_blocks = 2 * cpus
+        override_num_blocks = cpus
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"],
                            override_num_blocks=override_num_blocks)
-    # strip the parquet writer's pandas-metadata dict from the schema:
-    # Ray's schema-dedup tries to hash it and logs a warning per task
-    docs = docs.map_batches(lambda t: t.replace_schema_metadata(None),
-                            batch_format="pyarrow")
-    if mega_every == 97 and mega_turns == 120:
-        return docs.map_batches(synth_batch, batch_format="pyarrow",
-                                batch_size=256)
-    import functools
-    fn = functools.partial(synth_batch, mega_every=mega_every,
-                           mega_turns=mega_turns)
-    return docs.map_batches(fn, batch_format="pyarrow", batch_size=256)
+    fn = synth_batch if (mega_every == 97 and mega_turns == 120) else \
+        functools.partial(synth_batch, mega_every=mega_every,
+                          mega_turns=mega_turns)
+
+    def synth_clean(t):
+        return fn(t.replace_schema_metadata(None))
+
+    return docs.map_batches(synth_clean, batch_format="pyarrow")
 
 
 def transcripts_table(sf_dir: str, *, limit_docs: int | None = None,

@@ -738,6 +738,12 @@ def grouped_minhash_pairs_ds(ds, *, group_col: str = "doc_id",
                          "(per-row shingling must match the exact "
                          "verification join's tokenizer)")
     k = int(shingle[4:])
+    # the input feeds two consumers (the signature pass and the exact
+    # union-Jaccard verification rows); pin it in the (spillable)
+    # object store so a lazy upstream — e.g. the whole extraction
+    # pipeline — does not re-execute once per consumer (same pattern
+    # as strip_conv_boilerplate)
+    ds = ds.materialize()
     partials = ds.map_batches(
         functools.partial(_group_sig_partial, num_perm=num_perm,
                           shingle=shingle, text_col=text_col,
