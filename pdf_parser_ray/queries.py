@@ -2723,6 +2723,37 @@ def docs_clean_text(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII REDACTION over an injected corpus — the scrub every
+    web-scale training pipeline runs before anything else. The sf
+    corpora contain no PII-shaped strings (a scrub over the raw table
+    is vacuous), so a deterministic fixture first appends a synthetic
+    email to every doc_id % 7 == 0 doc and a 555 phone number to every
+    doc_id % 11 == 0 doc; the injection is mirrored verbatim in the
+    SQL oracle, so the per-source scrub report (doc counts, emails and
+    phones redacted, post-scrub char sums) is DuckDB-exact and
+    NON-vacuous. Redaction itself is Arrow C++ RE2
+    (count/replace_substring_regex) — the same regex engine as the
+    oracle's regexp_* — in one fused map_batches with per-batch
+    aggregate partials."""
+    from .stages.text_analysis import pii_inject_batch, pii_scrub_batch
+
+    def scrub(t):
+        out = pii_scrub_batch(pii_inject_batch(t))
+        return out.drop_columns(["doc_id", "clean_text"])
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = grouped_agg(ds.map_batches(scrub, batch_format="pyarrow"),
+                      ["source"],
+                      {"n_docs": ("count", None),
+                       "emails": ("sum", "emails"),
+                       "phones": ("sum", "phones"),
+                       "clean_chars": ("sum", "clean_chars")})
+    return (out.astype({"n_docs": "int64", "emails": "int64",
+                        "phones": "int64", "clean_chars": "int64"})
+            .sort_values("source").reset_index(drop=True))
+
+
 def docs_repetition_ratio(sf_dir: str) -> pd.DataFrame:
     from .stages.text_analysis import repetition_ratio_batch
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -3486,6 +3517,7 @@ QUERIES = {
     "docs_bigram_novelty": docs_bigram_novelty,
     "docs_lang_counts": docs_lang_counts,
     "docs_clean_text": docs_clean_text,
+    "docs_pii_scrub": docs_pii_scrub,
     "docs_repetition_ratio": docs_repetition_ratio,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_fingerprint": docs_fingerprint,
@@ -4625,6 +4657,33 @@ ORACLES = {
                CAST(CASE WHEN clean_text <> text THEN 1 ELSE 0 END
                     AS BIGINT) AS changed
         FROM c ORDER BY doc_id
+    """,
+    "docs_pii_scrub": r"""
+        WITH inj AS (
+          SELECT source,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' contact user'
+                           || CAST(doc_id AS VARCHAR) || '@example.com'
+                      ELSE text END
+                 || CASE WHEN doc_id % 11 = 0
+                      THEN ' call 555-'
+                           || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+                           || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                      ELSE '' END AS t
+          FROM documents)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(length(regexp_extract_all(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
+                 AS BIGINT) AS emails,
+               CAST(SUM(length(regexp_extract_all(t,
+                 '\b555-[0-9]{3}-[0-9]{4}\b'))) AS BIGINT) AS phones,
+               CAST(SUM(length(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+                 '\b555-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')))
+                 AS BIGINT) AS clean_chars
+        FROM inj GROUP BY source ORDER BY source
     """,
     "docs_exact_dedup": """
         SELECT MIN(doc_id) AS doc_id FROM documents

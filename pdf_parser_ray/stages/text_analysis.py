@@ -167,6 +167,56 @@ class LangId:
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
 URL_PATTERN = r"https?://[A-Za-z0-9./_%+~#?&=-]+"
 
+# PII-scrub patterns (both engines are RE2: pyarrow's
+# replace/count_substring_regex and DuckDB's regexp_* — the oracle
+# uses these exact strings)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b555-[0-9]{3}-[0-9]{4}\b"
+
+
+def pii_inject_batch(t, *, text_col: str = "text"):
+    """Deterministic PII fixture: append a synthetic email to every
+    doc_id % 7 == 0 row and a 555 phone number to every
+    doc_id % 11 == 0 row. The sf corpora contain no PII-shaped
+    strings, so a scrub over the raw table is vacuous — the injection
+    (mirrored verbatim in the SQL oracle, the same pattern
+    docs_incremental_dedup uses for its shifted copies) makes the
+    redaction path non-vacuous while staying DuckDB-exact."""
+    did = t.column("doc_id").to_numpy(zero_copy_only=False)
+    s = t.column(text_col).to_pandas().astype(str)
+    ids = pd.Series(did.astype(np.int64)).astype(str)
+    m7 = pd.Series(did % 7 == 0)
+    m11 = pd.Series(did % 11 == 0)
+    s = s.where(~m7, s + " contact user" + ids + "@example.com")
+    phone = ("555-" + pd.Series(100 + did % 900).astype(str)
+             + "-" + pd.Series(1000 + did % 9000).astype(str))
+    s = s.where(~m11, s + " call " + phone)
+    i = t.schema.get_field_index(text_col)
+    return t.set_column(i, text_col, pa.array(s, type=t.schema.field(i).type))
+
+
+def pii_scrub_batch(t, *, text_col: str = "text"):
+    """Vectorized PII redaction (Arrow C++ RE2 kernels): counts
+    emails/phones on the input text, replaces both with placeholder
+    tags, and emits per-doc scrub stats plus the scrubbed text."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    txt = t.column(text_col)
+    emails = pc.cast(pc.count_substring_regex(txt, PII_EMAIL), pa.int64())
+    phones = pc.cast(pc.count_substring_regex(txt, PII_PHONE), pa.int64())
+    clean = pc.replace_substring_regex(
+        pc.replace_substring_regex(txt, PII_EMAIL, "<EMAIL>"),
+        PII_PHONE, "<PHONE>")
+    cols, names = [], []
+    for f in t.schema:
+        if f.name == text_col:
+            continue
+        cols.append(t.column(f.name)); names.append(f.name)
+    cols += [clean, emails, phones,
+             pc.cast(pc.utf8_length(clean), pa.int64())]
+    names += ["clean_text", "emails", "phones", "clean_chars"]
+    return pa.Table.from_arrays(cols, names=names)
+
 
 def clean_text_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Training-data text cleaning: unicode NFC normalization + PII-ish

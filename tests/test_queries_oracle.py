@@ -90,3 +90,37 @@ def test_readme_registry_counts_in_sync():
         assert m, f"README registry count line missing: {pat}"
         assert int(m.group(1)) == len(QUERIES), (pat, m.group(1))
         assert int(m.group(2)) == len(ORACLES), (pat, m.group(2))
+
+
+def test_pii_scrub_kernel_semantics():
+    """Constructed-string check of the scrub kernel itself (the corpus
+    path is covered by the SQL oracle): counts are pre-replacement,
+    both patterns replace globally, non-matching text is untouched."""
+    import pyarrow as pa
+
+    from pdf_parser_ray.stages.text_analysis import (pii_inject_batch,
+                                                     pii_scrub_batch)
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "source": ["s", "s", "s"],
+        "text": ["a@b.io and c.d+e@f-g.org together",
+                 "call 555-123-4567 or 555-000-9999; not 1555-123-4567x",
+                 "no pii here"],
+    })
+    out = pii_scrub_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "emails"] == 2 and out.loc[1, "phones"] == 0
+    assert out.loc[1, "clean_text"] == "<EMAIL> and <EMAIL> together"
+    # \b boundaries: digits adjacent to the 555 pattern block the match
+    assert out.loc[2, "phones"] == 2
+    assert out.loc[2, "clean_text"] == \
+        "call <PHONE> or <PHONE>; not 1555-123-4567x"
+    assert out.loc[3, "clean_text"] == "no pii here"
+    assert out.loc[3, "emails"] == 0 and out.loc[3, "phones"] == 0
+    # injection fixture: %7 docs get an email, %11 docs a phone
+    inj = pii_inject_batch(pa.table({
+        "doc_id": [7, 11, 77, 5], "source": ["s"] * 4,
+        "text": ["x", "y", "z", "w"]})).column("text").to_pylist()
+    assert inj[0] == "x contact user7@example.com"
+    assert inj[1].startswith("y call 555-")
+    assert "@" in inj[2] and "555-" in inj[2]
+    assert inj[3] == "w"
