@@ -164,7 +164,7 @@ def run_queries() -> dict:
                 "transcript_strip_boilerplate", "transcript_sft_pairs",
                 "dedup_minhash_eval", "transcript_conv_near_dup",
                 "docs_train_val_test_split", "multimodal_resize_raw",
-                "docs_pii_scrub"]
+                "docs_pii_scrub", "docs_curation_funnel"]
     out = {}
     for name in headline:
         t0 = time.perf_counter()

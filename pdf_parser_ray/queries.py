@@ -2754,6 +2754,40 @@ def docs_pii_scrub(sf_dir: str) -> pd.DataFrame:
             .sort_values("source").reset_index(drop=True))
 
 
+def docs_curation_funnel(sf_dir: str) -> pd.DataFrame:
+    """The COMPOSED curation pipeline (pipelines/curation.py) end to
+    end over a deterministically augmented corpus: PII injection
+    (docs_pii_scrub's fixture) plus exact-duplicate copies of every
+    doc_id % 13 == 0 un-injected doc under shifted ids, then
+    scrub -> alpha-ratio gate -> exact dedup (min id per md5) ->
+    exact-Jaccard near-dup drop (df-capped inverted index, pairwise
+    drop-the-larger-id). Returns the per-source funnel — the
+    corpus-composition report a curation run is judged by. Every stage
+    is non-vacuous on this corpus (emails AND phones scrubbed, gate
+    drops ~45%, both dedups fire) and the whole funnel is mirrored in
+    one SQL oracle."""
+    from .pipelines.curation import curate_corpus
+    from .stages.text_analysis import pii_inject_batch
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def dup_copies(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (did % 13 == 0) & (did % 7 != 0) & (did % 11 != 0)
+        sub = t.filter(pa.array(m))
+        return sub.set_column(
+            sub.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(sub.column("doc_id"), 20_000_000))
+
+    corpus = (ds.map_batches(pii_inject_batch, batch_format="pyarrow")
+              .union(ds.map_batches(
+                  lambda t: dup_copies(pii_inject_batch(t)),
+                  batch_format="pyarrow")))
+    return curate_corpus(corpus)["report"]
+
+
 def docs_repetition_ratio(sf_dir: str) -> pd.DataFrame:
     from .stages.text_analysis import repetition_ratio_batch
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -3518,6 +3552,7 @@ QUERIES = {
     "docs_lang_counts": docs_lang_counts,
     "docs_clean_text": docs_clean_text,
     "docs_pii_scrub": docs_pii_scrub,
+    "docs_curation_funnel": docs_curation_funnel,
     "docs_repetition_ratio": docs_repetition_ratio,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_fingerprint": docs_fingerprint,
@@ -4684,6 +4719,82 @@ ORACLES = {
                  '\b555-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')))
                  AS BIGINT) AS clean_chars
         FROM inj GROUP BY source ORDER BY source
+    """,
+    "docs_curation_funnel": r"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' contact user'
+                           || CAST(doc_id AS VARCHAR) || '@example.com'
+                      ELSE text END
+                 || CASE WHEN doc_id % 11 = 0
+                      THEN ' call 555-'
+                           || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+                           || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                      ELSE '' END AS t
+          FROM documents),
+        corpus AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT doc_id + 20000000, source, t FROM base
+          WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0
+            AND doc_id % 11 <> 0),
+        scrub AS (
+          SELECT doc_id, source,
+                 len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS emails,
+                 len(regexp_extract_all(t,
+                   '\b555-[0-9]{3}-[0-9]{4}\b')) AS phones,
+                 regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\b555-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS t
+          FROM corpus),
+        gate AS (
+          SELECT * FROM scrub
+          WHERE len(regexp_extract_all(t, '[A-Za-z]')) * 1.0
+                / length(t) >= 0.82),
+        ex AS (SELECT MIN(doc_id) AS doc_id FROM gate GROUP BY md5(t)),
+        exk AS (SELECT g.* FROM gate g
+                WHERE g.doc_id IN (SELECT doc_id FROM ex)),
+        w AS (SELECT doc_id, string_split(t, ' ') AS words FROM exk),
+        g3 AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+               FROM w, UNNEST(range(1, len(words) - 1)) AS r(i)
+               WHERE len(words) >= 3),
+        s2 AS (SELECT DISTINCT doc_id, sh FROM g3),
+        df AS (SELECT sh, COUNT(*) AS df FROM s2 GROUP BY sh),
+        f AS (SELECT s2.doc_id, s2.sh FROM s2 JOIN df USING (sh)
+              WHERE df.df <= 256),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id),
+        co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      COUNT(*) AS n_shared
+               FROM f a JOIN f b USING (sh)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        nd AS (SELECT DISTINCT co.id_b FROM co
+               JOIN sz sa ON sa.doc_id = co.id_a
+               JOIN sz sb ON sb.doc_id = co.id_b
+               WHERE CAST(co.n_shared AS DOUBLE)
+                     / (sa.n + sb.n - co.n_shared) >= 0.6),
+        fin AS (SELECT * FROM exk
+                WHERE doc_id NOT IN (SELECT id_b FROM nd)),
+        r_in AS (SELECT source, COUNT(*) AS n_in,
+                        CAST(SUM(emails) AS BIGINT) AS emails,
+                        CAST(SUM(phones) AS BIGINT) AS phones
+                 FROM scrub GROUP BY source),
+        r_gate AS (SELECT source, COUNT(*) AS n_gate
+                   FROM gate GROUP BY source),
+        r_ex AS (SELECT source, COUNT(*) AS n_exact
+                 FROM exk GROUP BY source),
+        r_fin AS (SELECT source, COUNT(*) AS n_kept,
+                         CAST(SUM(len(regexp_extract_all(t, '\S+')))
+                              AS BIGINT) AS tokens_kept
+                  FROM fin GROUP BY source)
+        SELECT source, n_in, emails, phones, n_gate, n_exact, n_kept,
+               tokens_kept
+        FROM r_in JOIN r_gate USING (source) JOIN r_ex USING (source)
+                  JOIN r_fin USING (source)
+        ORDER BY source
     """,
     "docs_exact_dedup": """
         SELECT MIN(doc_id) AS doc_id FROM documents

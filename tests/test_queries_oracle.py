@@ -124,3 +124,43 @@ def test_pii_scrub_kernel_semantics():
     assert inj[1].startswith("y call 555-")
     assert "@" in inj[2] and "555-" in inj[2]
     assert inj[3] == "w"
+
+
+def test_curation_pipeline_semantics(ray_session):
+    """Constructed-corpus check of pipelines.curation.curate_corpus:
+    each funnel stage fires on a row built to exercise exactly it, and
+    the kept Dataset agrees with the report's n_kept."""
+    import ray.data as rd
+
+    from pdf_parser_ray.pipelines.curation import curate_corpus
+
+    # 12 distinct words -> 10 distinct word-3 shingles; alpha ratio
+    # ~0.85 (>= the 0.82 gate); the near-dup copy appends one clause
+    # (adds ~3 shingles -> J ~ 10/13 >= 0.6) plus an email
+    good = ("the quick brown fox jumps over lazy dogs near "
+            "riverbank today quietly")
+    bad = "1 2 3 4 5 6 7 8 9 0 " * 8             # digit-heavy: gated out
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "source": ["s1", "s1", "s1", "s2", "s2"],
+        "text": [good,
+                 good,                            # exact dup of 1
+                 good + " pingworthy x@y.io okay",  # near-dup + email
+                 bad,                             # gated out
+                 "completely different vocabulary entirely unrelated "
+                 "sentences about nothing shared with other documents"],
+    })
+    out = curate_corpus(rd.from_pandas(rows))
+    rep = out["report"].set_index("source")
+    assert rep.loc["s1", "n_in"] == 3 and rep.loc["s2", "n_in"] == 2
+    assert rep.loc["s1", "emails"] == 1
+    assert rep.loc["s2", "n_gate"] == 1           # bad doc gated out
+    assert rep.loc["s1", "n_exact"] == 2          # doc 2 exact-dropped
+    assert rep.loc["s1", "n_kept"] == 1           # doc 3 near-dup-dropped
+    assert rep.loc["s2", "n_kept"] == 1
+    kept = out["kept"].to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 5]
+    assert int(rep["n_kept"].sum()) == len(kept)
+    # scrub really rewrote the kept text's PII-free form upstream:
+    # doc 3 (dropped) carried the email; doc 1 survives unmodified
+    assert kept.set_index("doc_id").loc[1, "clean_text"] == good
