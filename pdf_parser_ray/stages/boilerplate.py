@@ -132,32 +132,41 @@ def strip_conv_boilerplate(ds, *, min_ratio: float = 0.5,
     # re-execute once per consumer
     ds = ds.materialize()
 
-    def lines_of(b: pd.DataFrame) -> pd.DataFrame:
-        lines = b[text_col].str.split("\n")
-        n = lines.str.len().fillna(0).to_numpy(dtype=np.int64)
+    def lines_of(t) -> pd.DataFrame:
+        # Arrow C++ split/flatten (3-6x the pandas split+explode on
+        # the same blocks, measured sf0.1/32 cpus; rows pinned equal)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        lines = pc.split_pattern(t.column(text_col), pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines)
+        mask = pc.not_equal(flat, "")
+        flat, parents = flat.filter(mask), parents.filter(mask)
         d = pd.DataFrame({
-            "conv_id": np.repeat(b["conv_id"].to_numpy(), n),
-            "turn_idx": np.repeat(b["turn_idx"].to_numpy(dtype=np.int64),
-                                  n),
-            "line": lines.explode().dropna().to_numpy(),
+            "conv_id": pc.take(t.column("conv_id"), parents).to_pandas(),
+            "turn_idx": pc.take(t.column("turn_idx"), parents)
+            .to_numpy(zero_copy_only=False),
+            "line": flat.to_pandas(),
         })
-        d = d[d["line"].astype(str).str.len() > 0]
-        d["line_h"] = _line_hash(d["line"].astype(str))
+        d["line_h"] = _line_hash(d["line"])
         # distinct per TURN: a line repeated inside one turn counts once
         out = (d[["conv_id", "turn_idx", "line_h"]]
                .drop_duplicates()[["conv_id", "line_h"]])
+        out = out.copy()
         out["m"] = False
         # one TURN-MARKER row per input turn rides the same shuffle
         # ('m' is part of the group key, so markers can never collide
         # with a line hash) — the per-conv turn count then falls out of
         # the SAME grouped aggregate instead of a second pass+shuffle
         markers = pd.DataFrame({
-            "conv_id": b["conv_id"].to_numpy(),
-            "line_h": np.zeros(len(b), dtype=np.uint64),
+            "conv_id": t.column("conv_id").to_pandas(),
+            "line_h": np.zeros(t.num_rows, dtype=np.uint64),
             "m": True})
         return pd.concat([out, markers], ignore_index=True)
 
-    line_rows = ds.map_batches(lines_of, batch_format="pandas")
+    line_rows = ds.map_batches(lines_of, batch_format="pyarrow")
     counts_all = grouped_agg_ds(line_rows, ["conv_id", "line_h", "m"],
                                 {"cnt": ("count", None)}).materialize()
     counts = counts_all.map_batches(
