@@ -165,11 +165,19 @@ def run_queries() -> dict:
                 "dedup_minhash_eval", "transcript_conv_near_dup",
                 "docs_train_val_test_split", "multimodal_resize_raw",
                 "docs_pii_scrub", "docs_curation_funnel"]
+    import gc
     out = {}
     for name in headline:
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         out[name] = round(time.perf_counter() - t0, 3)
+        # release the query's Dataset/ObjectRef graph NOW: dropped
+        # results sit in reference CYCLES until a full gc pass, and
+        # the pinned object-store blocks they hold degraded late-list
+        # queries ~3x (measured: docs_jaccard_pairs 9.0-9.7 s after a
+        # 30-query session without this, 2.7 s with it; 2.8-3.9 s in
+        # a fresh session)
+        gc.collect()
     return out
 
 
