@@ -58,6 +58,18 @@ def _value_hash(df: pd.DataFrame) -> int:
     return int(h.to_numpy().sum())
 
 
+@pytest.fixture(autouse=True)
+def _gc_between_queries():
+    """Release each query's Dataset/ObjectRef graph before the next
+    one runs: dropped results sit in reference cycles until a full gc
+    pass, and the pinned object-store blocks degraded late-list
+    queries ~3x in long sessions (same finding as bench.py's
+    run_queries)."""
+    yield
+    import gc
+    gc.collect()
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_value_hash_sf001(ray_session, con, name):
     got = QUERIES[name](SF_DIR)
