@@ -108,6 +108,20 @@ def curate_corpus(ds, *, gate_alpha: float = 0.82,
                         ["source"], {"n_kept": ("count", None),
                                      "tokens_kept": ("sum", "n_tok")})
 
+    # an empty stage (e.g. every doc gated out) aggregates to a frame
+    # with NO columns — normalize to the typed empty shape so the
+    # report join can't KeyError on a pathological corpus
+    def _shape(df: pd.DataFrame, cols) -> pd.DataFrame:
+        if "source" in df.columns:
+            return df
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype="int64")
+                                for c in cols}})
+
+    r_gate = _shape(r_gate, ["n_gate"])
+    r_ex = _shape(r_ex, ["n_exact"])
+    r_fin = _shape(r_fin, ["n_kept", "tokens_kept"])
+
     # per-source frames are cardinality-bounded (one row per source):
     # the driver-side merge is the report join, not a data join
     report = (r_in.merge(r_gate, on="source", how="left")

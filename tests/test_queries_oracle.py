@@ -164,3 +164,10 @@ def test_curation_pipeline_semantics(ray_session):
     # scrub really rewrote the kept text's PII-free form upstream:
     # doc 3 (dropped) carried the email; doc 1 survives unmodified
     assert kept.set_index("doc_id").loc[1, "clean_text"] == good
+    # pathological corpus: EVERYTHING gated out -> empty downstream
+    # stages must yield a zeros report, not a KeyError on the join
+    allbad = curate_corpus(rd.from_pandas(pd.DataFrame({
+        "doc_id": [9], "source": ["sx"], "text": ["1 2 3 4 5 6"]})))
+    rep2 = allbad["report"]
+    assert rep2.loc[0, "n_in"] == 1 and rep2.loc[0, "n_gate"] == 0
+    assert rep2.loc[0, "n_kept"] == 0 and allbad["kept"].count() == 0
