@@ -118,6 +118,7 @@ def curate_corpus(ds, *, gate_alpha: float = 0.82,
                              **{c: pd.Series([], dtype="int64")
                                 for c in cols}})
 
+    r_in = _shape(r_in, ["n_in", "emails", "phones"])
     r_gate = _shape(r_gate, ["n_gate"])
     r_ex = _shape(r_ex, ["n_exact"])
     r_fin = _shape(r_fin, ["n_kept", "tokens_kept"])

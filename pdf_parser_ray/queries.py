@@ -2781,10 +2781,12 @@ def docs_curation_funnel(sf_dir: str) -> pd.DataFrame:
             sub.schema.get_field_index("doc_id"), "doc_id",
             pc.add(sub.column("doc_id"), 20_000_000))
 
-    corpus = (ds.map_batches(pii_inject_batch, batch_format="pyarrow")
-              .union(ds.map_batches(
-                  lambda t: dup_copies(pii_inject_batch(t)),
-                  batch_format="pyarrow")))
+    # the injected corpus feeds two union branches — pin it so the
+    # parquet read + injection run once (repo-wide multi-consumer rule)
+    injected = ds.map_batches(pii_inject_batch,
+                              batch_format="pyarrow").materialize()
+    corpus = injected.union(
+        injected.map_batches(dup_copies, batch_format="pyarrow"))
     return curate_corpus(corpus)["report"]
 
 
@@ -2979,9 +2981,15 @@ def dedup_minhash_eval(sf_dir: str, *, eval_docs: int = 20_000) -> pd.DataFrame:
     shingle space and threshold. The truth join is BOUNDED at scale:
     both sides run over a deterministic bottom-k doc sample (smallest
     ``eval_docs`` stable doc_id hashes — the whole corpus when it is
-    smaller, so test-scale results are unsampled), and the truth's
-    per-shingle df cap stays on (df <= sample size, so one boilerplate
-    shingle can never emit corpus-df^2 pair partials). Reports measured
+    smaller, so test-scale results are unsampled). Within the sample
+    the truth is EXACT over the FULL shingle space (max_df = sample
+    size, the cap can never bind): per-shingle df is bounded by
+    ``eval_docs``, so the worst-case pair expansion is eval_docs^2 —
+    a fixed calibration budget independent of corpus size — and the
+    approx side's exact-verified pairs are measured in the SAME space
+    (a df cap applied to the truth only would score the two sides in
+    different similarity spaces and could fail the precision assert on
+    a healthy sketch). Reports measured
     precision/recall with both ASSERTED >= 0.8 — a failing sketch
     raises instead of silently reporting garbage. Precision is 1.0 by
     construction (candidates are exact-verified); the recall floor
@@ -3010,7 +3018,7 @@ def dedup_minhash_eval(sf_dir: str, *, eval_docs: int = 20_000) -> pd.DataFrame:
                         "doc_id")
     approx = minhash_dedup_pairs(ds, threshold=0.7, shingle="word3")
     truth = jaccard_pairs_exact(ds, k=3, threshold=0.7,
-                                max_df=4096)
+                                max_df=eval_docs)
     ap = set(zip(approx["id_a"], approx["id_b"]))
     tp_pairs = set(zip(truth["id_a"], truth["id_b"]))
     tp = len(ap & tp_pairs)
@@ -4790,10 +4798,17 @@ ORACLES = {
                          CAST(SUM(len(regexp_extract_all(t, '\S+')))
                               AS BIGINT) AS tokens_kept
                   FROM fin GROUP BY source)
-        SELECT source, n_in, emails, phones, n_gate, n_exact, n_kept,
-               tokens_kept
-        FROM r_in JOIN r_gate USING (source) JOIN r_ex USING (source)
-                  JOIN r_fin USING (source)
+        -- LEFT joins + zero fills mirror the engine's report merge: a
+        -- source whose every doc dies at the gate (or a dedup stage)
+        -- still gets its zeros row instead of vanishing from the report
+        SELECT source, n_in, emails, phones,
+               COALESCE(n_gate, 0) AS n_gate,
+               COALESCE(n_exact, 0) AS n_exact,
+               COALESCE(n_kept, 0) AS n_kept,
+               COALESCE(tokens_kept, 0) AS tokens_kept
+        FROM r_in LEFT JOIN r_gate USING (source)
+                  LEFT JOIN r_ex USING (source)
+                  LEFT JOIN r_fin USING (source)
         ORDER BY source
     """,
     "docs_exact_dedup": """

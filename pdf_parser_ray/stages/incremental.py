@@ -134,7 +134,19 @@ def _check_family(index_dir: str, *, num_perm: int, bands: int,
                 "configs (matching would silently miss cross-wave "
                 "duplicates). Rebuild the index or pin the old "
                 "parameters.")
-    elif create:
+        return
+    # no stamp: an index that already holds wave state predates the
+    # family stamp (the biased family-1 era) — stamping it now (or
+    # matching against it unchecked) would silently miss cross-wave
+    # duplicates, the exact failure the guard exists to prevent
+    if any(os.path.isdir(os.path.join(index_dir, kind))
+           for kind in ("bands", "sigs")):
+        raise ValueError(
+            f"incremental index at {index_dir} holds wave state but "
+            "no _FAMILY.json stamp — it predates the signature-family "
+            "guard and its band hashes are incomparable with this "
+            "build. Rebuild the index.")
+    if create:
         os.makedirs(index_dir, exist_ok=True)
         with open(path, "w") as f:
             json.dump(want, f)

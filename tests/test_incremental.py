@@ -129,3 +129,29 @@ def test_index_family_guard(ray_session, tmp_path):
         json.dump(fam, f)
     with pytest.raises(ValueError, match="incomparable"):
         incremental_dedup_wave(ds, idx, wave=1, bands=32)
+
+
+def test_index_family_guard_unstamped_legacy(ray_session, tmp_path):
+    """An index holding wave state but NO _FAMILY.json predates the
+    stamp (the biased family-1 era): it must be refused on BOTH the
+    read path (append_index=False) and the write path — NOT
+    retroactively stamped as the current family, which would silently
+    miss every cross-wave duplicate against the old band hashes."""
+    import os
+
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from pdf_parser_ray.stages.incremental import (incremental_dedup_wave,
+                                                   write_wave_index)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["alpha beta gamma delta"] * 2}))
+    idx = str(tmp_path / "legacy")
+    write_wave_index(ds, idx, wave=0)
+    os.remove(f"{idx}/_FAMILY.json")       # simulate a pre-stamp index
+    with pytest.raises(ValueError, match="no _FAMILY.json"):
+        incremental_dedup_wave(ds, idx, wave=1, append_index=False)
+    with pytest.raises(ValueError, match="no _FAMILY.json"):
+        write_wave_index(ds, idx, wave=1)
+    assert not os.path.exists(f"{idx}/_FAMILY.json")  # never re-stamped

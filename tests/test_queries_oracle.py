@@ -171,3 +171,59 @@ def test_curation_pipeline_semantics(ray_session):
     rep2 = allbad["report"]
     assert rep2.loc[0, "n_in"] == 1 and rep2.loc[0, "n_gate"] == 0
     assert rep2.loc[0, "n_kept"] == 0 and allbad["kept"].count() == 0
+
+
+def test_curation_empty_corpus_typed_report(ray_session):
+    """A fully EMPTY input corpus must yield the typed empty report
+    (every per-source aggregate — including r_in, the first one —
+    collapses to a column-less frame on empty data; each must be
+    re-shaped before the report merge, not KeyError on 'source')."""
+    import ray.data as rd
+
+    from pdf_parser_ray.pipelines.curation import curate_corpus
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "source": pd.Series([], dtype=object),
+                          "text": pd.Series([], dtype=object)})
+    out = curate_corpus(rd.from_pandas(empty))
+    rep = out["report"]
+    assert list(rep.columns) == ["source", "n_in", "emails", "phones",
+                                 "n_gate", "n_exact", "n_kept",
+                                 "tokens_kept"]
+    assert len(rep) == 0
+    assert out["kept"].count() == 0
+
+
+def test_curation_funnel_oracle_gated_out_source(ray_session, tmp_path):
+    """Engine/oracle parity on the edge the sweep corpus never hits: a
+    source whose EVERY doc dies at the quality gate. The engine's
+    report merge left-joins and zero-fills; the SQL oracle must do the
+    same (LEFT JOIN + COALESCE) or the source row vanishes from the
+    oracle side only."""
+    docs = pd.DataFrame({
+        "doc_id": [2, 3, 4, 5],
+        "source": ["junk", "junk", "ok", "ok"],
+        "text": ["1 2 3 4 5 6 7 8 9 0",          # alpha ratio 0 -> gated
+                 "0 9 8 7 6 5 4 3 2 1",
+                 "the quick brown fox jumps over lazy dogs near "
+                 "riverbank today quietly",
+                 "completely different vocabulary entirely unrelated "
+                 "sentences about nothing shared with other documents"],
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet", index=False)
+    got = QUERIES["docs_curation_funnel"](str(sf))
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW documents AS SELECT * "
+          f"FROM '{sf}/documents.parquet'")
+    want = c.sql(ORACLES["docs_curation_funnel"]).df()
+    assert "junk" in set(want["source"]), \
+        "oracle dropped the fully-gated-out source row"
+    g, w = _canon(got), _canon(want)
+    assert len(g) == len(w) == 2
+    pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-6)
+    junk = got.set_index("source").loc["junk"]
+    assert junk["n_in"] == 2 and junk["n_gate"] == 0 \
+        and junk["n_kept"] == 0 and junk["tokens_kept"] == 0
