@@ -2781,12 +2781,17 @@ def docs_curation_funnel(sf_dir: str) -> pd.DataFrame:
             sub.schema.get_field_index("doc_id"), "doc_id",
             pc.add(sub.column("doc_id"), 20_000_000))
 
-    # the injected corpus feeds two union branches — pin it so the
-    # parquet read + injection run once (repo-wide multi-consumer rule)
-    injected = ds.map_batches(pii_inject_batch,
-                              batch_format="pyarrow").materialize()
-    corpus = injected.union(
-        injected.map_batches(dup_copies, batch_format="pyarrow"))
+    # one pass emits BOTH the injected rows and their duplicate copies
+    # (a two-branch union of the lazy read would execute the parquet
+    # scan + injection once per branch; a materialize() would fix that
+    # but insert a full pipeline barrier — the in-batch concat needs
+    # neither)
+    def inject_plus_copies(t):
+        import pyarrow as pa
+        inj = pii_inject_batch(t)
+        return pa.concat_tables([inj, dup_copies(inj)])
+
+    corpus = ds.map_batches(inject_plus_copies, batch_format="pyarrow")
     return curate_corpus(corpus)["report"]
 
 
