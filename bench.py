@@ -43,7 +43,13 @@ def _ensure_transcripts() -> str:
     from pdf_parser_ray.sources.transcripts import synth_batch
 
     tag = SF_DIR.strip("/").replace("/", "_")
-    out = f"/tmp/graft_bench/transcripts_{tag}_m{BENCH_MULT}"
+    # v2: bump whenever the generator's LAYOUT changes (fixed 64-block
+    # generation, combine_chunks, row_group_size=32768) — the layout
+    # feeds the timed read, so a stale pre-fix cache reused through
+    # _DONE would silently keep benchmarking the old pathological
+    # layout (1,920 tiny row groups/file) and make results
+    # incomparable with BASELINE.md
+    out = f"/tmp/graft_bench/transcripts_{tag}_m{BENCH_MULT}_v2"
     if os.path.exists(f"{out}/_DONE"):
         return out
     if os.path.exists(out):

@@ -3021,6 +3021,10 @@ def dedup_minhash_eval(sf_dir: str, *, eval_docs: int = 20_000) -> pd.DataFrame:
     if len(sample) >= eval_docs:
         ds = _id_filter(ds, rd.from_pandas(sample[["doc_id"]]),
                         "doc_id")
+    # the eval corpus feeds BOTH the approx pipeline (which scans it
+    # twice itself) and the exact truth join — pin it so the read (+
+    # sample filter) runs once per the repo-wide multi-consumer rule
+    ds = ds.materialize()
     approx = minhash_dedup_pairs(ds, threshold=0.7, shingle="word3")
     truth = jaccard_pairs_exact(ds, k=3, threshold=0.7,
                                 max_df=eval_docs)

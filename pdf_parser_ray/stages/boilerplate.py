@@ -78,7 +78,10 @@ def _strip_rows(turns: pd.DataFrame, drop_keys: np.ndarray,
         is_bp = np.isin(keys, drop_keys)
     else:
         is_bp = np.zeros(len(hs), dtype=bool)
-    keep = ~is_bp | (np.char.str_len(flat.astype(str)) == 0)
+    # (empty lines always survive; elementwise compare on the existing
+    # object array — an astype(str) here would copy every line into a
+    # fixed-width unicode array sized by the LONGEST line per batch)
+    keep = ~is_bp | (flat == "")
     offs = np.zeros(len(turns) + 1, dtype=np.int64)
     np.cumsum(nl, out=offs[1:])
     new_texts, n_stripped = [], []
