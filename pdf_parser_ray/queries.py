@@ -2279,6 +2279,90 @@ def docs_temperature_mix(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_token_budget_mix(sf_dir: str) -> pd.DataFrame:
+    """TOKEN-budget temperature mixing — the variant of
+    docs_temperature_mix a pretraining run actually schedules by:
+    per-source budgets are allocated over TOKEN mass, not document
+    count (budget_s = floor(TOTAL * toks_s^0.7 / sum toks^0.7)), and
+    docs are admitted in deterministic multiplicative-hash order until
+    each source's token budget is exhausted (the boundary-crossing doc
+    is kept — greedy admission, so a source whose budget covers it
+    keeps every doc).
+
+    Scale shape: NO global sort and never a whole source in one task.
+    One skinny pass computes (n_tok, hash, hash-range); per-(source,
+    range) token sums are a cardinality-bounded aggregate whose
+    driver-side exclusive prefix (n_sources x 16 scalars — the
+    ordered-scan primitive of docs_pack_sequences, partitioned by
+    source) broadcasts with the budget map; one bucketed shuffle on
+    (source, range) then admits locally: local hash-order cumsum plus
+    the range's offset, compare against the budget. Every piece is
+    integer or a term-for-term float mirror, so the admitted id set is
+    bit-equal to the SQL window oracle."""
+    import ray
+
+    from .relational import bucketed_map_groups, guard_broadcast_bytes
+    TOTAL = 20_000
+    ALPHA = 0.7
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+             % np.uint64(4294967296))
+        return pd.DataFrame({
+            "doc_id": ids,
+            "source": b["source"].values,
+            "n_tok": b["text"].str.count(r"\S+")
+            .to_numpy(dtype=np.int64),
+            "h": h.astype(np.int64),
+            "rng": (h >> np.uint64(28)).astype(np.int64)})
+
+    # skinny (no text) and feeds two consumers (the range sums and the
+    # admission shuffle) — pin per the repo-wide multi-consumer rule
+    t = ds.map_batches(prep, batch_format="pandas").materialize()
+
+    sums = grouped_agg(t, ["source", "rng"], {"s": ("sum", "n_tok")})
+    sums = sums.sort_values(["source", "rng"]).reset_index(drop=True)
+    tot = sums.groupby("source", as_index=False, sort=True)["s"].sum()
+    w = np.power(tot["s"].to_numpy(dtype=np.float64), ALPHA)
+    tw = float(w.sum())
+    if tw <= 0.0:        # every doc empty: nothing admissible
+        budget = np.zeros(len(tot), dtype=np.int64)
+    else:
+        budget = np.floor(TOTAL * (w / tw)).astype(np.int64)
+    bmap = dict(zip(tot["source"], budget))
+    offs = {}
+    for src, grp in sums.groupby("source", sort=False):
+        run = 0
+        for r, v in zip(grp["rng"], grp["s"]):
+            offs[(src, int(r))] = run
+            run += int(v)
+    guard_broadcast_bytes(96 * len(offs) + 64 * len(bmap),
+                          "token-budget offsets + budget map",
+                          "raise the range shift / co-partition the "
+                          "budget attach by source")
+    ref = ray.put((offs, bmap))
+
+    def admit(g: pd.DataFrame) -> pd.DataFrame:
+        o, bm = ray.get(ref)
+        g = g.sort_values(["source", "rng", "h", "doc_id"],
+                          kind="mergesort")
+        outs = []
+        for (src, r), grp in g.groupby(["source", "rng"], sort=False):
+            ntk = grp["n_tok"].to_numpy(dtype=np.int64)
+            cum = o[(src, int(r))] + np.cumsum(ntk)
+            keep = (cum - ntk) < bm[src]
+            outs.append(grp.loc[keep, ["doc_id", "source", "n_tok"]])
+        if not outs:
+            return g[["doc_id", "source", "n_tok"]]
+        return pd.concat(outs, ignore_index=True)
+
+    out = bucketed_map_groups(t, ["source", "rng"], admit).to_pandas()
+    return (out.astype({"doc_id": "int64", "n_tok": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def docs_strip_dup_spans(sf_dir: str) -> pd.DataFrame:
     """Cross-document duplicate-SPAN removal (Lee et al. 2022 style):
     every verbatim 8-token window shared by >= 2 documents is stripped
@@ -3553,6 +3637,7 @@ QUERIES = {
     "events_user_spend_cume": events_user_spend_cume,
     "docs_cap_per_source": docs_cap_per_source,
     "docs_temperature_mix": docs_temperature_mix,
+    "docs_token_budget_mix": docs_token_budget_mix,
     "docs_strip_dup_spans": docs_strip_dup_spans,
     "docs_decontaminate": docs_decontaminate,
     "docs_tfidf_topk": docs_tfidf_topk,
@@ -4475,6 +4560,31 @@ ORACLES = {
         SELECT r.doc_id, r.source
         FROM r JOIN q USING (source)
         WHERE rn <= LEAST(q.k, q.n) ORDER BY doc_id
+    """,
+    "docs_token_budget_mix": r"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_tok,
+                 (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                   AS h
+          FROM documents),
+        tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS toks
+                FROM t GROUP BY source),
+        b AS (SELECT source,
+                     CAST(FLOOR(20000 * (pow(CAST(toks AS DOUBLE), 0.7)
+                          / (SELECT SUM(pow(CAST(toks AS DOUBLE), 0.7))
+                             FROM tot))) AS BIGINT) AS budget
+              FROM tot),
+        c AS (SELECT doc_id, source, n_tok,
+                     SUM(n_tok) OVER (PARTITION BY source
+                                      ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT c.doc_id, c.source, c.n_tok
+        FROM c JOIN b USING (source)
+        WHERE c.cum - c.n_tok < b.budget
+        ORDER BY doc_id
     """,
     "docs_cap_per_source": """
         SELECT doc_id, source, n_chars FROM (
