@@ -368,3 +368,58 @@ def transcripts_table(sf_dir: str, *, limit_docs: int | None = None,
         dup_rows = batch.filter(pa.array(dup_mask))
         batch = pa.concat_tables([batch, dup_rows])
     return batch
+
+
+def read_transcripts(path, *, format: str = "parquet",
+                     columns: List[str] | None = None,
+                     override_num_blocks: int | None = None):
+    """Format-dispatching transcript reader -> canonical-schema Dataset.
+
+    ``parquet`` is the scale path (columnar: ``columns`` prunes at the
+    read so only the requested bytes leave storage). ``jsonl`` and
+    ``csv`` are INGEST paths for row-oriented exports of the same
+    table: neither format can prune columns at the read, and CSV needs
+    the parser told that quoted values carry embedded newlines
+    (transcript text does) — so convert to parquet once and use the
+    parquet path for repeated runs at scale. All three normalize to
+    TRANSCRIPT_SCHEMA's column types (projected to ``columns``) in one
+    Arrow cast pass that fuses with the read, so every downstream
+    stage — extraction, dedup, boilerplate strip — is source-agnostic:
+    jsonl/csv type drift (int64 turn_idx, ISO-string ts) never reaches
+    a kernel.
+    """
+    import ray.data as rd
+
+    cols = list(columns) if columns is not None else \
+        [f.name for f in TRANSCRIPT_SCHEMA]
+    kw = {}
+    if override_num_blocks is not None:
+        kw["override_num_blocks"] = override_num_blocks
+    if format == "parquet":
+        return rd.read_parquet(path, columns=cols, **kw)
+    if format == "jsonl":
+        ds = rd.read_json(path, **kw)
+    elif format == "csv":
+        import pyarrow.csv as pacsv
+        ds = rd.read_csv(
+            path,
+            parse_options=pacsv.ParseOptions(newlines_in_values=True),
+            **kw)
+    else:
+        raise ValueError(f"unknown transcript format {format!r}; "
+                         "expected parquet, jsonl, or csv")
+    want = {f.name: f.type for f in TRANSCRIPT_SCHEMA}
+
+    def normalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        missing = [c for c in cols if c not in t.column_names]
+        if missing:
+            raise ValueError(
+                f"transcript {format} input is missing columns "
+                f"{missing}; present: {t.column_names}")
+        # Arrow cast parses ISO-8601 strings for the timestamp column
+        # and narrows json's int64 turn_idx to the canonical int32
+        return pa.table({c: pc.cast(t.column(c), want[c])
+                         for c in cols})
+
+    return ds.map_batches(normalize, batch_format="pyarrow")

@@ -1,0 +1,59 @@
+"""Multi-format transcript ingest: the jsonl and csv paths must yield
+per-turn extraction output identical to the parquet path (same corpus,
+same kernel — the reader normalizes row-format type drift before any
+stage sees a batch)."""
+
+import pandas as pd
+import pyarrow as pa
+
+
+def test_read_transcripts_formats_equal(ray_session, tmp_path):
+    from pdf_parser_ray.pipelines.extraction import extract_dataset
+    from pdf_parser_ray.sources.transcripts import (TRANSCRIPT_SCHEMA,
+                                                    read_transcripts)
+    from pdf_parser_ray.sources.transcripts import transcripts_table
+
+    df = transcripts_table("/root/testdata/sf0.001",
+                           limit_docs=40).to_pandas()
+    paths = {"parquet": tmp_path / "t.parquet",
+             "jsonl": tmp_path / "t.jsonl",
+             "csv": tmp_path / "t.csv"}
+    df.to_parquet(paths["parquet"], index=False)
+    df.to_json(paths["jsonl"], orient="records", lines=True,
+               date_format="iso", force_ascii=False)
+    df.to_csv(paths["csv"], index=False)
+
+    outs, schemas = {}, {}
+    for fmt, p in paths.items():
+        ds = read_transcripts(str(p), format=fmt)
+        schemas[fmt] = {n: t for n, t in
+                        zip(ds.schema().names, ds.schema().types)}
+        ex = extract_dataset(ds).to_pandas()
+        outs[fmt] = (ex[["conv_id", "turn_idx", "extracted_text"]]
+                     .sort_values(["conv_id", "turn_idx"])
+                     .reset_index(drop=True))
+
+    # the row formats normalize to the canonical types
+    for fmt in ("jsonl", "csv"):
+        for f in TRANSCRIPT_SCHEMA:
+            assert schemas[fmt][f.name] == f.type, \
+                (fmt, f.name, schemas[fmt][f.name])
+    assert len(outs["parquet"]) > 100
+    pd.testing.assert_frame_equal(outs["jsonl"], outs["parquet"])
+    pd.testing.assert_frame_equal(outs["csv"], outs["parquet"])
+
+
+def test_read_transcripts_rejects_bad_input(ray_session, tmp_path):
+    import pytest
+
+    from pdf_parser_ray.sources.transcripts import read_transcripts
+
+    with pytest.raises(ValueError, match="unknown transcript format"):
+        read_transcripts(str(tmp_path / "x"), format="orc")
+    pd.DataFrame({"conv_id": ["a"], "text": ["t"]}).to_json(
+        tmp_path / "m.jsonl", orient="records", lines=True)
+    # the normalize stage raises inside a Ray task; the driver sees it
+    # wrapped in RayTaskError with the original message preserved
+    with pytest.raises(Exception, match="missing columns"):
+        read_transcripts(str(tmp_path / "m.jsonl"),
+                         format="jsonl").materialize()
