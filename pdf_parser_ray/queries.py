@@ -2359,6 +2359,10 @@ def docs_token_budget_mix(sf_dir: str) -> pd.DataFrame:
         return pd.concat(outs, ignore_index=True)
 
     out = bucketed_map_groups(t, ["source", "rng"], admit).to_pandas()
+    if "doc_id" not in out.columns:   # empty corpus: typed empty frame
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                            "source": pd.Series([], dtype=object),
+                            "n_tok": pd.Series([], dtype="int64")})
     return (out.astype({"doc_id": "int64", "n_tok": "int64"})
             .sort_values("doc_id").reset_index(drop=True))
 
