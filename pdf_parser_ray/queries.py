@@ -201,8 +201,11 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
         sks, sns = ray.get(supp_ref)
         lsk = b["l_suppkey"].to_numpy(np.int64)
         pos = np.minimum(np.searchsorted(sks, lsk), len(sks) - 1)
-        # FK check (same as ord_prep): a suppkey absent from supplier
-        # must fail loudly, not be attributed to the nearest supplier
+        # FK check: a suppkey absent from supplier must fail loudly,
+        # not be attributed to the nearest supplier. (ord_prep's miss
+        # mask FILTERS instead — its customer map is region-pruned, so
+        # a miss there means "non-ASIA customer, drop the row", not a
+        # violation. Do not harmonize the two.)
         if not (sks[pos] == lsk).all():
             bad = lsk[sks[pos] != lsk][:5]
             raise ValueError(
@@ -3085,7 +3088,10 @@ def dedup_minhash_eval(sf_dir: str, *, eval_docs: int = 20_000) -> pd.DataFrame:
     a healthy sketch). Reports measured
     precision/recall with both ASSERTED >= 0.8 — a failing sketch
     raises instead of silently reporting garbage. Precision is 1.0 by
-    construction (candidates are exact-verified); the recall floor
+    construction (candidates are exact-verified, and the precision
+    denominator uses the verifier's own rounded acceptance region so a
+    J-in-[0.69995, 0.7) boundary pair is not miscounted as a false
+    positive); the recall floor
     holds because this corpus's true pairs sit at J >= ~0.85 where the
     16x8 banding S-curve exceeds 0.99 (at exactly J=0.7 the curve
     gives only 0.61 — borderline pairs are inherently probabilistic in
@@ -3114,13 +3120,24 @@ def dedup_minhash_eval(sf_dir: str, *, eval_docs: int = 20_000) -> pd.DataFrame:
     # sample filter) runs once per the repo-wide multi-consumer rule
     ds = ds.materialize()
     approx = minhash_dedup_pairs(ds, threshold=0.7, shingle="word3")
-    truth = jaccard_pairs_exact(ds, k=3, threshold=0.7,
+    # the approx verify accepts round(J, 4) >= 0.7 (i.e. J >= 0.69995)
+    # — run the truth join just below that and split it into the SAME
+    # rounded acceptance region (precision side: a borderline pair the
+    # approx verifier accepted is not a false positive) and the strict
+    # J >= 0.7 set (recall side), so neither score can fail on a
+    # rounding-boundary pair
+    truth = jaccard_pairs_exact(ds, k=3, threshold=0.6999,
                                 max_df=eval_docs)
+    j = truth["jaccard"].to_numpy(dtype=np.float64)
+    accepted = np.round(j, 4) >= 0.7
     ap = set(zip(approx["id_a"], approx["id_b"]))
-    tp_pairs = set(zip(truth["id_a"], truth["id_b"]))
-    tp = len(ap & tp_pairs)
-    precision = tp / len(ap) if ap else 1.0
-    recall = tp / len(tp_pairs) if tp_pairs else 1.0
+    relaxed = set(zip(truth.loc[accepted, "id_a"],
+                      truth.loc[accepted, "id_b"]))
+    strict = set(zip(truth.loc[j >= 0.7, "id_a"],
+                     truth.loc[j >= 0.7, "id_b"]))
+    precision = len(ap & relaxed) / len(ap) if ap else 1.0
+    recall = len(ap & strict) / len(strict) if strict else 1.0
+    tp_pairs = strict
     assert precision >= 0.8 and recall >= 0.8, \
         f"minhash quality collapsed: p={precision} r={recall}"
     return pd.DataFrame({

@@ -396,8 +396,13 @@ def read_transcripts(path, *, format: str = "parquet",
     if override_num_blocks is not None:
         kw["override_num_blocks"] = override_num_blocks
     if format == "parquet":
-        return rd.read_parquet(path, columns=cols, **kw)
-    if format == "jsonl":
+        # pruned at the read, but still normalized below: a parquet
+        # export can drift too (int64 turn_idx / timestamp[ns] from a
+        # pandas round-trip), and the cast pass also drops the
+        # writer's pandas schema metadata (same reason
+        # transcripts_dataset strips it)
+        ds = rd.read_parquet(path, columns=cols, **kw)
+    elif format == "jsonl":
         ds = rd.read_json(path, **kw)
     elif format == "csv":
         import pyarrow.csv as pacsv

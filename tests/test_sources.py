@@ -18,7 +18,12 @@ def test_read_transcripts_formats_equal(ray_session, tmp_path):
     paths = {"parquet": tmp_path / "t.parquet",
              "jsonl": tmp_path / "t.jsonl",
              "csv": tmp_path / "t.csv"}
-    df.to_parquet(paths["parquet"], index=False)
+    # the parquet export drifts too (pandas round-trips widen
+    # turn_idx to int64 and ts to ns) — the reader must normalize it
+    # back to the canonical schema, not just the row formats
+    df.assign(turn_idx=df["turn_idx"].astype("int64"),
+              ts=df["ts"].astype("datetime64[ns]")) \
+        .to_parquet(paths["parquet"], index=False)
     df.to_json(paths["jsonl"], orient="records", lines=True,
                date_format="iso", force_ascii=False)
     df.to_csv(paths["csv"], index=False)
@@ -33,8 +38,8 @@ def test_read_transcripts_formats_equal(ray_session, tmp_path):
                      .sort_values(["conv_id", "turn_idx"])
                      .reset_index(drop=True))
 
-    # the row formats normalize to the canonical types
-    for fmt in ("jsonl", "csv"):
+    # EVERY format normalizes to the canonical types
+    for fmt in ("parquet", "jsonl", "csv"):
         for f in TRANSCRIPT_SCHEMA:
             assert schemas[fmt][f.name] == f.type, \
                 (fmt, f.name, schemas[fmt][f.name])
