@@ -161,3 +161,24 @@ def run_extraction_from_parquet(transcripts_path, out_dir: Optional[str] = None,
     extracted = extract_dataset(ts, batch_size=batch_size,
                                 concurrency=concurrency)
     return _finish(extracted, out_dir, ordered, n_buckets, salt_turns)
+
+
+def run_extraction_from_source(path, *, format: str = "parquet",
+                               out_dir: Optional[str] = None,
+                               ordered: bool = False,
+                               batch_size=None, concurrency=None,
+                               n_buckets: int = 32, salt_turns: int = 0,
+                               override_num_blocks: Optional[int] = None):
+    """Format-agnostic production entry: extract a transcript table in
+    any format ``sources.transcripts.read_transcripts`` accepts
+    (parquet = the pruned scale path; jsonl/csv = ingest paths
+    normalized to the canonical schema before extraction). Same
+    checkpointing/ordering contract as run_extraction_from_parquet."""
+    from ..sources.transcripts import read_transcripts
+    ts = read_transcripts(path, format=format,
+                          columns=["conv_id", "turn_idx", "text",
+                                   "tool"],
+                          override_num_blocks=override_num_blocks)
+    extracted = extract_dataset(ts, batch_size=batch_size,
+                                concurrency=concurrency)
+    return _finish(extracted, out_dir, ordered, n_buckets, salt_turns)

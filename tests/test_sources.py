@@ -62,3 +62,24 @@ def test_read_transcripts_rejects_bad_input(ray_session, tmp_path):
     with pytest.raises(Exception, match="missing columns"):
         read_transcripts(str(tmp_path / "m.jsonl"),
                          format="jsonl").materialize()
+
+
+def test_run_extraction_from_source_jsonl(ray_session, tmp_path):
+    """The format-agnostic production entry yields output identical to
+    the parquet entry on the same corpus."""
+    from pdf_parser_ray.pipelines.extraction import (
+        run_extraction_from_parquet, run_extraction_from_source)
+    from pdf_parser_ray.sources.transcripts import transcripts_table
+
+    df = transcripts_table("/root/testdata/sf0.001",
+                           limit_docs=25).to_pandas()
+    pqp, jlp = tmp_path / "t.parquet", tmp_path / "t.jsonl"
+    df.to_parquet(pqp, index=False)
+    df.to_json(jlp, orient="records", lines=True, date_format="iso",
+               force_ascii=False)
+    a = run_extraction_from_parquet(str(pqp), ordered=True).to_pandas()
+    b = run_extraction_from_source(str(jlp), format="jsonl",
+                                   ordered=True).to_pandas()
+    assert len(a) > 50
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
