@@ -3584,6 +3584,169 @@ def multimodal_resize_raw(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def events_value_hour_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-type Pearson correlation and OLS slope of event value
+    (exact cents) against hour-of-day — the one-pass
+    SUFFICIENT-STATISTICS aggregate (n, Σx, Σy, Σxy, Σx², Σy², all
+    exact int64) that generalizes to any distributed corr/covariance/
+    regression: partials combine associatively, so the result is
+    parallelism-invariant, and the tiny per-type final is driver-side.
+    The float expression tree over the exact sums is mirrored term for
+    term in the SQL oracle (every sum here is < 2^53, so the
+    int->double casts are exact on both sides). Scale note: Σy² is the
+    first sum to threaten int64 (~4e9 rows/type at these cent
+    magnitudes); past that the partial would split into two int64
+    limbs, the same trick the packed-uint64 co-count combine uses."""
+    ds = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["ts"].dt.hour.to_numpy(np.int64)
+        y = _cents(b["value"])
+        return pd.DataFrame({"event_type": b["event_type"].values,
+                             "x": x, "y": y, "xy": x * y,
+                             "xx": x * x, "yy": y * y})
+
+    g = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                    ["event_type"],
+                    {"n": ("count", None), "sx": ("sum", "x"),
+                     "sy": ("sum", "y"), "sxy": ("sum", "xy"),
+                     "sxx": ("sum", "xx"), "syy": ("sum", "yy")})
+    n = g["n"].to_numpy(dtype=np.float64)
+    sx = g["sx"].to_numpy(dtype=np.float64)
+    sy = g["sy"].to_numpy(dtype=np.float64)
+    sxy = g["sxy"].to_numpy(dtype=np.float64)
+    sxx = g["sxx"].to_numpy(dtype=np.float64)
+    syy = g["syy"].to_numpy(dtype=np.float64)
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    assert (vx > 0).all() and (vy > 0).all(), \
+        "degenerate column (zero variance) — corr undefined"
+    out = pd.DataFrame({
+        "event_type": g["event_type"],
+        "n_events": g["n"].astype("int64"),
+        "corr_value_hour": np.round(cov / np.sqrt(vx * vy), 6),
+        "slope_cents_per_hour": np.round(cov / vx, 6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def docs_source_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-source unigram Shannon entropy + type/token ratio — the
+    corpus-diversity report (a collapsed or template-generated source
+    shows up as low entropy long before eyeballing samples would).
+    Two-level distributed shape: per-batch (source, token) tf partials
+    (Arrow group-by) -> bucketed vocabulary combine that STAYS a
+    Dataset -> per-batch Σc·log2(c)/Σc/type-count partials -> tiny
+    per-source final. H = log2(N) - Σc·log2(c)/N, so entropy needs
+    only mergeable sums, never the materialized distribution. Token
+    counts are exact ints; the two float divisions and log2 mirror the
+    SQL oracle's expression tree (summation-order float drift is
+    ~1e-9 absolute on Σc·log2 c, invisible at the 6-decimal
+    surface)."""
+    from .stages.text_analysis import tf_rows_arrow
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+    vocab = grouped_agg_ds(
+        ds.map_batches(lambda t: tf_rows_arrow(t, id_col="source"),
+                       batch_format="pyarrow"),
+        ["source", "token"], {"c": ("sum", "tf")})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(dtype=np.int64)
+        cf = c.astype(np.float64)
+        g = pd.DataFrame({"source": b["source"].values, "n": c,
+                          "v": np.int64(1), "s": cf * np.log2(cf)})
+        return (g.groupby("source", sort=False)
+                .agg(n=("n", "sum"), v=("v", "sum"), s=("s", "sum"))
+                .reset_index())
+
+    agg = grouped_agg(vocab.map_batches(partial, batch_format="pandas"),
+                      ["source"],
+                      {"n_tokens": ("sum", "n"), "n_types": ("sum", "v"),
+                       "s": ("sum", "s")})
+    N = agg["n_tokens"].to_numpy(dtype=np.float64)
+    assert (N > 0).all(), "source with zero tokens — entropy undefined"
+    out = pd.DataFrame({
+        "source": agg["source"],
+        "n_tokens": agg["n_tokens"].astype("int64"),
+        "n_types": agg["n_types"].astype("int64"),
+        "entropy_bits": np.round(
+            np.log2(N) - agg["s"].to_numpy(dtype=np.float64) / N, 6),
+        "type_token_ratio": np.round(
+            agg["n_types"].to_numpy(dtype=np.float64) / N, 6)})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def docs_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Pairwise cross-source VOCABULARY Jaccard matrix (which crawl
+    sources are re-hosting each other's content?) via the per-token
+    source-BITMASK trick: the k distinct sources (k <= 62, asserted)
+    get bit values, each globally-distinct (source, token) row
+    contributes its bit, and a token's mask is the SUM of its distinct
+    bits (= OR, because distinctness makes each bit appear once). The
+    expensive part — distinct + mask combine — is two token-keyed
+    bucketed shuffles that stay Datasets; what reaches the driver is
+    the per-MASK histogram (cardinality-bounded by distinct
+    co-occurrence patterns, <= 2^k), from which every pairwise
+    intersection/union is driver-side arithmetic. Contrast the SQL
+    oracle's token self-join, which is Σ_token df² rows — the bitmask
+    plan replaces that blowup with one linear pass."""
+    from .relational import distinct_ds, guard_broadcast_bytes
+    from .stages.text_analysis import tf_rows_arrow
+    import ray
+
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+    srcs = grouped_agg(read_table(sf_dir, "documents", ["source"]),
+                       ["source"], {"n": ("count", None)})
+    names = sorted(srcs["source"].tolist())
+    assert len(names) <= 62, \
+        "bitmask plan holds one int64 lane per source; shard the " \
+        "source space (or use multi-limb masks) past 62"
+    bit_of = {s: np.int64(1) << np.int64(i) for i, s in enumerate(names)}
+    guard_broadcast_bytes(64 * len(bit_of), "source bit map",
+                          "co-partition the bit attach by source")
+    ref = ray.put(bit_of)
+
+    st = distinct_ds(
+        ds.map_batches(
+            lambda t: tf_rows_arrow(t, id_col="source")
+            .select(["source", "token"]),
+            batch_format="pyarrow"),
+        ["source", "token"])
+
+    def to_bits(b: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(ref)
+        return pd.DataFrame({
+            "token": b["token"].values,
+            "bit": b["source"].map(bm).to_numpy(dtype=np.int64)})
+
+    masks = grouped_agg_ds(st.map_batches(to_bits, batch_format="pandas"),
+                           ["token"], {"mask": ("sum", "bit")})
+    hist = grouped_agg(masks, ["mask"], {"cnt": ("count", None)})
+    mask_v = hist["mask"].to_numpy(dtype=np.int64)
+    cnt_v = hist["cnt"].to_numpy(dtype=np.int64)
+
+    recs = []
+    for i, sa in enumerate(names):
+        ba = np.int64(1) << np.int64(i)
+        n_a = int(cnt_v[(mask_v & ba) != 0].sum())
+        for j in range(i + 1, len(names)):
+            sb = names[j]
+            bb = np.int64(1) << np.int64(j)
+            common = int(cnt_v[((mask_v & ba) != 0)
+                               & ((mask_v & bb) != 0)].sum())
+            n_b = int(cnt_v[(mask_v & bb) != 0].sum())
+            union = n_a + n_b - common
+            recs.append({"source_a": sa, "source_b": sb,
+                         "n_a": n_a, "n_b": n_b, "n_common": common,
+                         "n_union": union,
+                         "jaccard": round(common / union, 6)})
+    return (pd.DataFrame(recs)
+            .astype({"n_a": "int64", "n_b": "int64",
+                     "n_common": "int64", "n_union": "int64"})
+            .sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -3711,6 +3874,9 @@ QUERIES = {
     "docs_train_val_test_split": docs_train_val_test_split,
     "transcript_conv_near_dup": transcript_conv_near_dup,
     "multimodal_audio_chunks": multimodal_audio_chunks,
+    "events_value_hour_corr": events_value_hour_corr,
+    "docs_source_entropy": docs_source_entropy,
+    "docs_vocab_overlap": docs_vocab_overlap,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -5096,4 +5262,82 @@ ORACLES["docs_winnow_fingerprints"] = """
            COALESCE(a.fp_max, 0.0) AS fp_max
     FROM documents d LEFT JOIN agg a USING (doc_id)
     ORDER BY d.doc_id
+"""
+
+# The corr/slope oracle mirrors the engine's expression tree exactly:
+# exact integer sufficient statistics (every sum < 2^53 here, so the
+# int->double casts are lossless), then the identical sequence of
+# double multiplies/subtracts/divides — bit-equal before ROUND.
+ORACLES["events_value_hour_corr"] = """
+    WITH s AS (SELECT event_type,
+                      CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+                      CAST(ROUND(value * 100) AS BIGINT) AS y
+               FROM events),
+    a AS (SELECT event_type, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM s GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS corr_value_hour,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS slope_cents_per_hour
+    FROM a ORDER BY event_type
+"""
+
+ORACLES["docs_source_entropy"] = r"""
+    WITH tok AS (SELECT source,
+                        unnest(regexp_extract_all(text, '\S+')) AS token
+                 FROM documents),
+    cnt AS (SELECT source, token, COUNT(*) AS c
+            FROM tok GROUP BY source, token),
+    agg AS (SELECT source,
+                   SUM(c) AS n_tokens, COUNT(*) AS n_types,
+                   SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                     AS s
+            FROM cnt GROUP BY source)
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           ROUND(log2(CAST(n_tokens AS DOUBLE))
+                 - s / CAST(n_tokens AS DOUBLE), 6) AS entropy_bits,
+           ROUND(CAST(n_types AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio
+    FROM agg ORDER BY source
+"""
+
+# The oracle takes the direct route the engine's bitmask plan avoids:
+# a token self-join between source pairs (Σ_token df² rows — fine at
+# oracle scale, the exact blowup the mask histogram sidesteps).
+ORACLES["docs_vocab_overlap"] = r"""
+    WITH tok AS (SELECT source,
+                        unnest(regexp_extract_all(text, '\S+')) AS token
+                 FROM documents),
+    st AS (SELECT DISTINCT source, token FROM tok),
+    cnt AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                     a.n AS n_a, b.n AS n_b
+              FROM cnt a JOIN cnt b ON a.source < b.source),
+    inter AS (SELECT x.source AS sa, y.source AS sb, COUNT(*) AS c
+              FROM st x JOIN st y
+                ON x.token = y.token AND x.source < y.source
+              GROUP BY 1, 2)
+    SELECT p.source_a, p.source_b,
+           CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+           CAST(COALESCE(i.c, 0) AS BIGINT) AS n_common,
+           CAST(p.n_a + p.n_b - COALESCE(i.c, 0) AS BIGINT) AS n_union,
+           ROUND(CAST(COALESCE(i.c, 0) AS DOUBLE)
+                 / CAST(p.n_a + p.n_b - COALESCE(i.c, 0) AS DOUBLE),
+                 6) AS jaccard
+    FROM pairs p LEFT JOIN inter i
+      ON p.source_a = i.sa AND p.source_b = i.sb
+    ORDER BY source_a, source_b
 """
