@@ -170,7 +170,11 @@ def run_queries() -> dict:
                 "transcript_strip_boilerplate", "transcript_sft_pairs",
                 "dedup_minhash_eval", "transcript_conv_near_dup",
                 "docs_train_val_test_split", "multimodal_resize_raw",
-                "docs_pii_scrub", "docs_curation_funnel"]
+                "docs_pii_scrub", "docs_curation_funnel",
+                # round 4 (late): sufficient-stats corr, per-source
+                # entropy, bitmask vocabulary-overlap matrix
+                "events_value_hour_corr", "docs_source_entropy",
+                "docs_vocab_overlap"]
     import gc
     out = {}
     for name in headline:

@@ -3684,12 +3684,15 @@ def docs_vocab_overlap(sf_dir: str) -> pd.DataFrame:
     contributes its bit, and a token's mask is the SUM of its distinct
     bits (= OR, because distinctness makes each bit appear once). The
     expensive part — distinct + mask combine — is two token-keyed
-    bucketed shuffles that stay Datasets; what reaches the driver is
-    the per-MASK histogram (cardinality-bounded by distinct
-    co-occurrence patterns, <= 2^k), from which every pairwise
-    intersection/union is driver-side arithmetic. Contrast the SQL
-    oracle's token self-join, which is Σ_token df² rows — the bitmask
-    plan replaces that blowup with one linear pass."""
+    bucketed shuffles that stay Datasets; each downstream batch then
+    folds its masks into a k x k co-occurrence MATRIX (bits^T @ bits,
+    one numpy matmul), and those matrices are mergeable sums — so
+    what reaches the driver is exactly k(k+1)/2 counts no matter how
+    large the vocabulary or how many distinct co-occurrence patterns
+    exist. Intersections are the off-diagonal, per-source vocabulary
+    sizes the diagonal. Contrast the SQL oracle's token self-join,
+    which is Σ_token df² rows — the bitmask plan replaces that blowup
+    with one linear pass."""
     from .relational import distinct_ds, guard_broadcast_bytes
     from .stages.text_analysis import tf_rows_arrow
     import ray
@@ -3721,20 +3724,35 @@ def docs_vocab_overlap(sf_dir: str) -> pd.DataFrame:
 
     masks = grouped_agg_ds(st.map_batches(to_bits, batch_format="pandas"),
                            ["token"], {"mask": ("sum", "bit")})
-    hist = grouped_agg(masks, ["mask"], {"cnt": ("count", None)})
-    mask_v = hist["mask"].to_numpy(dtype=np.int64)
-    cnt_v = hist["cnt"].to_numpy(dtype=np.int64)
+
+    k = len(names)
+
+    def pair_matrix(b: pd.DataFrame) -> pd.DataFrame:
+        # one row per distinct token: unpack the mask into a rows x k
+        # bit matrix and fold the whole batch into k x k counts
+        m = b["mask"].to_numpy(dtype=np.int64)
+        bits = ((m[:, None] >> np.arange(k, dtype=np.int64)) & 1) \
+            .astype(np.int64)
+        mat = bits.T @ bits
+        iu = np.triu_indices(k)
+        return pd.DataFrame({"i": iu[0].astype(np.int64),
+                             "j": iu[1].astype(np.int64),
+                             "c": mat[iu]})
+
+    cc = grouped_agg(masks.map_batches(pair_matrix,
+                                       batch_format="pandas"),
+                     ["i", "j"], {"c": ("sum", "c")})
+    mat = np.zeros((k, k), dtype=np.int64)
+    mat[cc["i"].to_numpy(dtype=np.int64),
+        cc["j"].to_numpy(dtype=np.int64)] = cc["c"].to_numpy(np.int64)
 
     recs = []
     for i, sa in enumerate(names):
-        ba = np.int64(1) << np.int64(i)
-        n_a = int(cnt_v[(mask_v & ba) != 0].sum())
-        for j in range(i + 1, len(names)):
+        n_a = int(mat[i, i])
+        for j in range(i + 1, k):
             sb = names[j]
-            bb = np.int64(1) << np.int64(j)
-            common = int(cnt_v[((mask_v & ba) != 0)
-                               & ((mask_v & bb) != 0)].sum())
-            n_b = int(cnt_v[(mask_v & bb) != 0].sum())
+            n_b = int(mat[j, j])
+            common = int(mat[i, j])
             union = n_a + n_b - common
             recs.append({"source_a": sa, "source_b": sb,
                          "n_a": n_a, "n_b": n_b, "n_common": common,
