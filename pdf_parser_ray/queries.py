@@ -3765,6 +3765,62 @@ def docs_vocab_overlap(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def events_value_drift_psi(sf_dir: str) -> pd.DataFrame:
+    """Per-type distribution DRIFT between the first and second half
+    of the event stream — the Population Stability Index check a
+    production pipeline runs on every ingest wave before letting new
+    data into a training mix. The stream splits at the exact integer
+    midpoint of the epoch-microsecond range (one tiny min/max
+    aggregate), values land in 10 fixed exact-cents bins, and the
+    binned counts are ONE partial-before-shuffle aggregation with
+    cardinality types x 2 x 10 — so the driver does only the final
+    PSI arithmetic. Add-one smoothing keeps empty bins rational
+    (exact ints on both sides); the PSI float expression is mirrored
+    term for term in the SQL oracle."""
+    N_BINS, BIN_W = 10, 5000
+    ds = read_table(sf_dir, "events", ["ts", "event_type", "value"])
+    rng = grouped_agg(
+        ds.map_batches(
+            lambda b: pd.DataFrame(
+                {"k": np.int64(0),
+                 "us": b["ts"].to_numpy(dtype="datetime64[us]")
+                 .astype(np.int64)}),
+            batch_format="pandas"),
+        ["k"], {"lo": ("min", "us"), "hi": ("max", "us")})
+    split_us = (int(rng["lo"].iloc[0]) + int(rng["hi"].iloc[0])) // 2
+
+    def binned(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        c = _cents(b["value"])
+        return pd.DataFrame({
+            "event_type": b["event_type"].values,
+            "w": (us >= split_us).astype(np.int64),
+            "bin": np.minimum(N_BINS - 1, c // BIN_W)})
+
+    g = grouped_agg(ds.map_batches(binned, batch_format="pandas"),
+                    ["event_type", "w", "bin"],
+                    {"n": ("count", None)})
+    types = sorted(g["event_type"].unique())
+    recs = []
+    for t in types:
+        sub = g[g["event_type"] == t]
+        cnt = np.zeros((2, N_BINS), dtype=np.int64)
+        cnt[sub["w"].to_numpy(dtype=np.int64),
+            sub["bin"].to_numpy(dtype=np.int64)] = \
+            sub["n"].to_numpy(dtype=np.int64)
+        n_a, n_b = int(cnt[0].sum()), int(cnt[1].sum())
+        # add-one smoothing: (c+1)/(N+bins) — exact rationals, no
+        # zero-bin infinities, denominators mirrored in the oracle
+        p = (cnt[0] + 1).astype(np.float64) / np.float64(n_a + N_BINS)
+        q = (cnt[1] + 1).astype(np.float64) / np.float64(n_b + N_BINS)
+        psi = float(np.sum((p - q) * np.log(p / q)))
+        recs.append({"event_type": t, "n_first": n_a, "n_second": n_b,
+                     "psi": round(psi, 6)})
+    return (pd.DataFrame(recs)
+            .astype({"n_first": "int64", "n_second": "int64"})
+            .sort_values("event_type").reset_index(drop=True))
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -3895,6 +3951,7 @@ QUERIES = {
     "events_value_hour_corr": events_value_hour_corr,
     "docs_source_entropy": docs_source_entropy,
     "docs_vocab_overlap": docs_vocab_overlap,
+    "events_value_drift_psi": events_value_drift_psi,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -5358,4 +5415,48 @@ ORACLES["docs_vocab_overlap"] = r"""
     FROM pairs p LEFT JOIN inter i
       ON p.source_a = i.sa AND p.source_b = i.sb
     ORDER BY source_a, source_b
+"""
+
+# PSI oracle: identical integer split/bin/smoothing arithmetic, the
+# same (c+1)/(N+10) rationals, and a dense type x window x bin grid so
+# empty bins contribute their smoothed mass exactly like the engine's
+# zero-filled count matrix.
+ORACLES["events_value_drift_psi"] = """
+    WITH r AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+               FROM events),
+    b AS (SELECT event_type,
+                 CASE WHEN epoch_us(ts) >= (r.lo + r.hi) // 2
+                      THEN 1 ELSE 0 END AS w,
+                 LEAST(9, CAST(ROUND(value * 100) AS BIGINT) // 5000)
+                   AS bin
+          FROM events, r),
+    c AS (SELECT event_type, w, bin, COUNT(*) AS n
+          FROM b GROUP BY 1, 2, 3),
+    grid AS (SELECT g.event_type, ws.w, bins.bin
+             FROM (SELECT DISTINCT event_type FROM events) g
+             CROSS JOIN (SELECT unnest([0, 1]) AS w) ws
+             CROSS JOIN (SELECT unnest(range(10)) AS bin) bins),
+    dense AS (SELECT grid.event_type, grid.w, grid.bin,
+                    COALESCE(c.n, 0) AS n
+             FROM grid LEFT JOIN c
+               ON grid.event_type = c.event_type
+              AND grid.w = c.w AND grid.bin = c.bin),
+    tot AS (SELECT event_type, w, SUM(n) AS nt
+            FROM dense GROUP BY 1, 2),
+    pq AS (SELECT f0.event_type, f0.bin,
+                  CAST(f0.n + 1 AS DOUBLE)
+                    / CAST(t0.nt + 10 AS DOUBLE) AS p,
+                  CAST(f1.n + 1 AS DOUBLE)
+                    / CAST(t1.nt + 10 AS DOUBLE) AS q,
+                  t0.nt AS n_first, t1.nt AS n_second
+           FROM dense f0
+           JOIN dense f1 ON f0.event_type = f1.event_type
+                       AND f0.bin = f1.bin AND f0.w = 0 AND f1.w = 1
+           JOIN tot t0 ON t0.event_type = f0.event_type AND t0.w = 0
+           JOIN tot t1 ON t1.event_type = f0.event_type AND t1.w = 1)
+    SELECT event_type,
+           CAST(MAX(n_first) AS BIGINT) AS n_first,
+           CAST(MAX(n_second) AS BIGINT) AS n_second,
+           ROUND(SUM((p - q) * ln(p / q)), 6) AS psi
+    FROM pq GROUP BY event_type ORDER BY event_type
 """
