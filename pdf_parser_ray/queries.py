@@ -3700,7 +3700,16 @@ def docs_vocab_overlap(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", ["source", "text"])
     srcs = grouped_agg(read_table(sf_dir, "documents", ["source"]),
                        ["source"], {"n": ("count", None)})
-    names = sorted(srcs["source"].tolist())
+    names = ([] if srcs.empty else sorted(srcs["source"].tolist()))
+    if len(names) < 2:            # no pairs — typed empty report
+        return pd.DataFrame({
+            "source_a": pd.Series(dtype="object"),
+            "source_b": pd.Series(dtype="object"),
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "n_common": pd.Series(dtype="int64"),
+            "n_union": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64")})
     assert len(names) <= 62, \
         "bitmask plan holds one int64 lane per source; shard the " \
         "source space (or use multi-limb masks) past 62"
@@ -3787,6 +3796,12 @@ def events_value_drift_psi(sf_dir: str) -> pd.DataFrame:
                  .astype(np.int64)}),
             batch_format="pandas"),
         ["k"], {"lo": ("min", "us"), "hi": ("max", "us")})
+    if rng.empty:                 # no events — typed empty report
+        return pd.DataFrame({
+            "event_type": pd.Series(dtype="object"),
+            "n_first": pd.Series(dtype="int64"),
+            "n_second": pd.Series(dtype="int64"),
+            "psi": pd.Series(dtype="float64")})
     split_us = (int(rng["lo"].iloc[0]) + int(rng["hi"].iloc[0])) // 2
 
     def binned(b: pd.DataFrame) -> pd.DataFrame:

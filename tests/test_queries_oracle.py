@@ -227,3 +227,40 @@ def test_curation_funnel_oracle_gated_out_source(ray_session, tmp_path):
     junk = got.set_index("source").loc["junk"]
     assert junk["n_in"] == 2 and junk["n_gate"] == 0 \
         and junk["n_kept"] == 0 and junk["tokens_kept"] == 0
+
+
+def test_new_reports_empty_corpus_typed(ray_session, tmp_path):
+    """The corr / entropy / vocab-overlap / PSI reports over an empty
+    corpus: typed empty frames (or a loud assert), never a KeyError
+    from a column-less grouped_agg result."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.queries import QUERIES
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    pq.write_table(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+        "props": pa.array([], pa.string())}),
+        str(tmp_path / "events.parquet"))
+
+    vo = QUERIES["docs_vocab_overlap"](str(tmp_path))
+    assert len(vo) == 0 and list(vo.columns) == [
+        "source_a", "source_b", "n_a", "n_b", "n_common", "n_union",
+        "jaccard"]
+    assert str(vo["n_common"].dtype) == "int64"
+
+    psi = QUERIES["events_value_drift_psi"](str(tmp_path))
+    assert len(psi) == 0 and list(psi.columns) == [
+        "event_type", "n_first", "n_second", "psi"]
+    assert str(psi["psi"].dtype) == "float64"
