@@ -264,3 +264,48 @@ def test_new_reports_empty_corpus_typed(ray_session, tmp_path):
     assert len(psi) == 0 and list(psi.columns) == [
         "event_type", "n_first", "n_second", "psi"]
     assert str(psi["psi"].dtype) == "float64"
+
+
+def test_vocab_overlap_partition_invariance(ray_session, tmp_path):
+    """The k x k co-occurrence matrix is a sum of per-batch bit-matrix
+    products — the result must be identical however the per-token mask
+    rows are batched. Construct a corpus with known overlaps, run at
+    two very different partitionings, and check both against the
+    hand-computed sets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.queries import QUERIES
+
+    docs = {
+        "a": ["x y z", "x q"],          # vocab {x,y,z,q}
+        "b": ["x y", "w"],              # vocab {x,y,w}
+        "c": ["unique only here"],      # vocab {unique,only,here}
+    }
+    rows = [(i, t, "en", s, len(t))
+            for i, (s, t) in enumerate(
+                (s, t) for s, ts in docs.items() for t in ts)]
+    for reps in (1, 7):
+        d = tmp_path / f"p{reps}"
+        d.mkdir()
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64())})
+        if reps == 1:
+            pq.write_table(tbl, str(d / "documents.parquet"))
+        else:  # one row per file -> every batch boundary exercised
+            (d / "documents.parquet").mkdir()
+            for i in range(len(rows)):
+                pq.write_table(
+                    tbl.slice(i, 1),
+                    str(d / "documents.parquet" / f"part_{i}.parquet"))
+        out = QUERIES["docs_vocab_overlap"](str(d))
+        got = {(r.source_a, r.source_b):
+               (r.n_a, r.n_b, r.n_common, r.n_union)
+               for r in out.itertuples()}
+        assert got == {("a", "b"): (4, 3, 2, 5),
+                       ("a", "c"): (4, 3, 0, 7),
+                       ("b", "c"): (3, 3, 0, 6)}, got
