@@ -3611,6 +3611,12 @@ def events_value_hour_corr(sf_dir: str) -> pd.DataFrame:
                     {"n": ("count", None), "sx": ("sum", "x"),
                      "sy": ("sum", "y"), "sxy": ("sum", "xy"),
                      "sxx": ("sum", "xx"), "syy": ("sum", "yy")})
+    if g.empty:                   # no events — typed empty report
+        return pd.DataFrame({
+            "event_type": pd.Series(dtype="object"),
+            "n_events": pd.Series(dtype="int64"),
+            "corr_value_hour": pd.Series(dtype="float64"),
+            "slope_cents_per_hour": pd.Series(dtype="float64")})
     n = g["n"].to_numpy(dtype=np.float64)
     sx = g["sx"].to_numpy(dtype=np.float64)
     sy = g["sy"].to_numpy(dtype=np.float64)
@@ -3663,6 +3669,13 @@ def docs_source_entropy(sf_dir: str) -> pd.DataFrame:
                       ["source"],
                       {"n_tokens": ("sum", "n"), "n_types": ("sum", "v"),
                        "s": ("sum", "s")})
+    if agg.empty:                 # no tokens — typed empty report
+        return pd.DataFrame({
+            "source": pd.Series(dtype="object"),
+            "n_tokens": pd.Series(dtype="int64"),
+            "n_types": pd.Series(dtype="int64"),
+            "entropy_bits": pd.Series(dtype="float64"),
+            "type_token_ratio": pd.Series(dtype="float64")})
     N = agg["n_tokens"].to_numpy(dtype=np.float64)
     assert (N > 0).all(), "source with zero tokens — entropy undefined"
     out = pd.DataFrame({

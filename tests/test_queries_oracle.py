@@ -265,6 +265,16 @@ def test_new_reports_empty_corpus_typed(ray_session, tmp_path):
         "event_type", "n_first", "n_second", "psi"]
     assert str(psi["psi"].dtype) == "float64"
 
+    corr = QUERIES["events_value_hour_corr"](str(tmp_path))
+    assert len(corr) == 0 and list(corr.columns) == [
+        "event_type", "n_events", "corr_value_hour",
+        "slope_cents_per_hour"]
+
+    ent = QUERIES["docs_source_entropy"](str(tmp_path))
+    assert len(ent) == 0 and list(ent.columns) == [
+        "source", "n_tokens", "n_types", "entropy_bits",
+        "type_token_ratio"]
+
 
 def test_vocab_overlap_partition_invariance(ray_session, tmp_path):
     """The k x k co-occurrence matrix is a sum of per-batch bit-matrix
