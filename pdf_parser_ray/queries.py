@@ -3626,13 +3626,19 @@ def events_value_hour_corr(sf_dir: str) -> pd.DataFrame:
     cov = n * sxy - sx * sy
     vx = n * sxx - sx * sx
     vy = n * syy - sy * sy
-    assert (vx > 0).all() and (vy > 0).all(), \
-        "degenerate column (zero variance) — corr undefined"
+    # zero-variance groups (single event, constant column): the exact
+    # integer sums make cov exactly 0 there too, and the SQL oracle's
+    # x/0 yields NULL — mirror it with NaN instead of crashing the
+    # whole report on an assert
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = np.where((vx > 0) & (vy > 0),
+                        cov / np.sqrt(vx * vy), np.nan)
+        slope = np.where(vx > 0, cov / vx, np.nan)
     out = pd.DataFrame({
         "event_type": g["event_type"],
         "n_events": g["n"].astype("int64"),
-        "corr_value_hour": np.round(cov / np.sqrt(vx * vy), 6),
-        "slope_cents_per_hour": np.round(cov / vx, 6)})
+        "corr_value_hour": np.round(corr, 6),
+        "slope_cents_per_hour": np.round(slope, 6)})
     return out.sort_values("event_type").reset_index(drop=True)
 
 
@@ -3765,25 +3771,31 @@ def docs_vocab_overlap(sf_dir: str) -> pd.DataFrame:
                                        batch_format="pandas"),
                      ["i", "j"], {"c": ("sum", "c")})
     mat = np.zeros((k, k), dtype=np.int64)
-    mat[cc["i"].to_numpy(dtype=np.int64),
-        cc["j"].to_numpy(dtype=np.int64)] = cc["c"].to_numpy(np.int64)
+    if not cc.empty:              # empty when every text tokenizes to 0
+        mat[cc["i"].to_numpy(dtype=np.int64),
+            cc["j"].to_numpy(dtype=np.int64)] = cc["c"].to_numpy(np.int64)
 
     recs = []
     for i, sa in enumerate(names):
         n_a = int(mat[i, i])
+        if n_a == 0:              # token-less source: the oracle's cnt
+            continue              # CTE omits it, so pairs must too
         for j in range(i + 1, k):
             sb = names[j]
             n_b = int(mat[j, j])
+            if n_b == 0:
+                continue
             common = int(mat[i, j])
             union = n_a + n_b - common
             recs.append({"source_a": sa, "source_b": sb,
                          "n_a": n_a, "n_b": n_b, "n_common": common,
                          "n_union": union,
                          "jaccard": round(common / union, 6)})
-    return (pd.DataFrame(recs)
-            .astype({"n_a": "int64", "n_b": "int64",
-                     "n_common": "int64", "n_union": "int64"})
-            .sort_values(["source_a", "source_b"])
+    cols = {"source_a": "object", "source_b": "object",
+            "n_a": "int64", "n_b": "int64", "n_common": "int64",
+            "n_union": "int64", "jaccard": "float64"}
+    out = pd.DataFrame(recs, columns=list(cols))
+    return (out.astype(cols).sort_values(["source_a", "source_b"])
             .reset_index(drop=True))
 
 
@@ -3823,7 +3835,8 @@ def events_value_drift_psi(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({
             "event_type": b["event_type"].values,
             "w": (us >= split_us).astype(np.int64),
-            "bin": np.minimum(N_BINS - 1, c // BIN_W)})
+            "bin": np.minimum(N_BINS - 1,
+                              np.maximum(0, c // BIN_W))})
 
     g = grouped_agg(ds.map_batches(binned, batch_format="pandas"),
                     ["event_type", "w", "bin"],
@@ -5455,7 +5468,8 @@ ORACLES["events_value_drift_psi"] = """
     b AS (SELECT event_type,
                  CASE WHEN epoch_us(ts) >= (r.lo + r.hi) // 2
                       THEN 1 ELSE 0 END AS w,
-                 LEAST(9, CAST(ROUND(value * 100) AS BIGINT) // 5000)
+                 LEAST(9, GREATEST(0,
+                     CAST(ROUND(value * 100) AS BIGINT) // 5000))
                    AS bin
           FROM events, r),
     c AS (SELECT event_type, w, bin, COUNT(*) AS n

@@ -295,8 +295,8 @@ def test_vocab_overlap_partition_invariance(ray_session, tmp_path):
     rows = [(i, t, "en", s, len(t))
             for i, (s, t) in enumerate(
                 (s, t) for s, ts in docs.items() for t in ts)]
-    for reps in (1, 7):
-        d = tmp_path / f"p{reps}"
+    for layout in ("single", "per_row"):
+        d = tmp_path / f"p_{layout}"
         d.mkdir()
         tbl = pa.table({
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -304,7 +304,7 @@ def test_vocab_overlap_partition_invariance(ray_session, tmp_path):
             "lang": pa.array([r[2] for r in rows], pa.string()),
             "source": pa.array([r[3] for r in rows], pa.string()),
             "n_chars": pa.array([r[4] for r in rows], pa.int64())})
-        if reps == 1:
+        if layout == "single":
             pq.write_table(tbl, str(d / "documents.parquet"))
         else:  # one row per file -> every batch boundary exercised
             (d / "documents.parquet").mkdir()
@@ -319,3 +319,92 @@ def test_vocab_overlap_partition_invariance(ray_session, tmp_path):
         assert got == {("a", "b"): (4, 3, 2, 5),
                        ("a", "c"): (4, 3, 0, 7),
                        ("b", "c"): (3, 3, 0, 6)}, got
+
+
+def _write_docs(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64())}),
+        str(path / "documents.parquet"))
+
+
+def _write_events(path, rows):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([dt.datetime(2024, 1, 1) + dt.timedelta(hours=r[1])
+                        for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())}),
+        str(path / "events.parquet"))
+
+
+def _oracle_on(tmp, name):
+    c = duckdb.connect()
+    for t, f in (("documents", "documents.parquet"),
+                 ("events", "events.parquet")):
+        p = tmp / f
+        if p.exists():
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return c.sql(ORACLES[name]).df()
+
+
+def test_vocab_overlap_tokenless_source_matches_oracle(ray_session,
+                                                       tmp_path):
+    """A source whose every doc tokenizes to nothing must be OMITTED
+    from the pair list (the oracle's cnt CTE never sees it), not
+    emitted with n=0 — and two such sources must not 0/0."""
+    _write_docs(tmp_path, [(1, "x y z", "a"), (2, "x q", "a"),
+                           (3, "x y", "b"),
+                           (4, "   ", "c"), (5, "", "c"),
+                           (6, " \t ", "d")])
+    got = QUERIES["docs_vocab_overlap"](str(tmp_path))
+    want = _oracle_on(tmp_path, "docs_vocab_overlap")
+    assert list(got["source_a"]) == ["a"] and list(got["source_b"]) == ["b"]
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+
+
+def test_drift_psi_negative_values_match_oracle(ray_session, tmp_path):
+    """Negative values (refunds/deltas) must clamp into bin 0 on BOTH
+    sides — floor-vs-truncate division and the unclamped fancy-index
+    overwrite were three different answers before the clamp."""
+    rows = [(i, i % 48, "t", v) for i, v in enumerate(
+        [-1.0, -120.5, -0.01, 3.0, 499.99, 250.0, -75.25, 10.0] * 4)]
+    _write_events(tmp_path, rows)
+    got = QUERIES["events_value_drift_psi"](str(tmp_path))
+    want = _oracle_on(tmp_path, "events_value_drift_psi")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    assert (got["n_first"] + got["n_second"]).sum() == len(rows)
+
+
+def test_corr_degenerate_groups_match_oracle(ray_session, tmp_path):
+    """Zero-variance groups (single event; constant hour; constant
+    value) must yield NaN corr like the oracle's NULL, without
+    crashing the report for the healthy types."""
+    rows = ([(0, 5, "single", 3.5)] +                # n=1: vx=vy=0
+            [(10 + i, 7, "const_hour", 1.0 + i) for i in range(5)] +
+            [(20 + i, i, "const_value", 2.0) for i in range(5)] +
+            [(30 + i, i, "healthy", 1.0 + 2.0 * i) for i in range(6)])
+    _write_events(tmp_path, rows)
+    got = QUERIES["events_value_hour_corr"](str(tmp_path))
+    want = _oracle_on(tmp_path, "events_value_hour_corr")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    by = got.set_index("event_type")
+    assert np.isnan(by.loc["single", "corr_value_hour"])
+    assert np.isnan(by.loc["const_hour", "corr_value_hour"])
+    assert np.isnan(by.loc["const_value", "corr_value_hour"])
+    assert by.loc["const_value", "slope_cents_per_hour"] == 0.0
+    assert abs(by.loc["healthy", "corr_value_hour"] - 1.0) < 1e-9
