@@ -3617,6 +3617,14 @@ def events_value_hour_corr(sf_dir: str) -> pd.DataFrame:
             "n_events": pd.Series(dtype="int64"),
             "corr_value_hour": pd.Series(dtype="float64"),
             "slope_cents_per_hour": pd.Series(dtype="float64")})
+    # the exact-mirror contract needs every sum to cast to double
+    # losslessly; Σy² breaks that first at extreme scale (int64 would
+    # wrap even earlier, silently) — fail loudly, don't drift quietly
+    for col in ("sx", "sy", "sxy", "sxx", "syy"):
+        assert g[col].abs().max() < 2 ** 53, (
+            f"{col} exceeds 2^53: the int->double cast is no longer "
+            "exact — split this sum into two int64 limbs (see the "
+            "packed-uint64 co-count combine) before trusting corr")
     n = g["n"].to_numpy(dtype=np.float64)
     sx = g["sx"].to_numpy(dtype=np.float64)
     sy = g["sy"].to_numpy(dtype=np.float64)
