@@ -408,3 +408,36 @@ def test_corr_degenerate_groups_match_oracle(ray_session, tmp_path):
     assert np.isnan(by.loc["const_value", "corr_value_hour"])
     assert by.loc["const_value", "slope_cents_per_hour"] == 0.0
     assert abs(by.loc["healthy", "corr_value_hour"] - 1.0) < 1e-9
+
+
+def test_corr_matches_numpy_corrcoef(ray_session, tmp_path):
+    """The sufficient-statistics formula against numpy's independent
+    two-pass implementation on seeded random data (many types, varied
+    sizes): agreement at the 6-decimal output surface everywhere both
+    are defined."""
+    rng = np.random.default_rng(7)
+    rows, eid = [], 0
+    for t in range(8):
+        for _ in range(int(rng.integers(2, 40))):
+            rows.append((eid, int(rng.integers(0, 24)), f"ty{t}",
+                         round(float(rng.uniform(0.01, 490.0)), 2)))
+            eid += 1
+    _write_events(tmp_path, rows)
+    got = QUERIES["events_value_hour_corr"](str(tmp_path))
+    df = pd.DataFrame(rows, columns=["eid", "hour", "ty", "value"])
+    df["cents"] = np.rint(df["value"] * 100).astype("int64")
+    for r in got.itertuples():
+        sub = df[df["ty"] == r.event_type]
+        x = sub["hour"].to_numpy(np.float64)
+        y = sub["cents"].to_numpy(np.float64)
+        if x.std() == 0 or y.std() == 0:
+            assert np.isnan(r.corr_value_hour)
+            continue
+        # query surfaces are rounded to 6 decimals; compare there
+        ref = float(np.corrcoef(x, y)[0, 1])
+        assert abs(r.corr_value_hour - ref) < 1e-6, (r.event_type,
+                                                     r.corr_value_hour,
+                                                     ref)
+        ref_slope = float(np.polyfit(x, y, 1)[0])
+        assert abs(r.slope_cents_per_hour - ref_slope) < \
+            1e-6 + 1e-9 * abs(ref_slope)

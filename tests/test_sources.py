@@ -83,3 +83,35 @@ def test_run_extraction_from_source_jsonl(ray_session, tmp_path):
     assert len(a) > 50
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_read_transcripts_gzip_jsonl(ray_session, tmp_path):
+    """Compressed exports: a .jsonl.gz file reads through the same
+    jsonl path (Ray/Arrow infer the codec from the extension) and
+    normalizes to the canonical schema — pinned so a Ray upgrade that
+    drops the inference fails here, not in an ingest job."""
+    import gzip
+
+    from pdf_parser_ray.sources.transcripts import (TRANSCRIPT_SCHEMA,
+                                                    read_transcripts,
+                                                    transcripts_table)
+
+    df = transcripts_table("/root/testdata/sf0.001",
+                           limit_docs=10).to_pandas()
+    plain, gzp = tmp_path / "t.jsonl", tmp_path / "t.jsonl.gz"
+    js = df.to_json(orient="records", lines=True, date_format="iso",
+                    force_ascii=False)
+    plain.write_text(js)
+    with gzip.open(gzp, "wt") as f:
+        f.write(js)
+
+    a = read_transcripts(str(plain), format="jsonl")
+    b = read_transcripts(str(gzp), format="jsonl")
+    for f in TRANSCRIPT_SCHEMA:
+        got = dict(zip(b.schema().names, b.schema().types))[f.name]
+        assert got == f.type, (f.name, got)
+    pa_, pb = a.to_pandas(), b.to_pandas()
+    key = ["conv_id", "turn_idx"]
+    pd.testing.assert_frame_equal(
+        pa_.sort_values(key).reset_index(drop=True),
+        pb.sort_values(key).reset_index(drop=True))
