@@ -3720,9 +3720,11 @@ def docs_vocab_overlap(sf_dir: str) -> pd.DataFrame:
     sizes the diagonal. Contrast the SQL oracle's token self-join,
     which is Σ_token df² rows — the bitmask plan replaces that blowup
     with one linear pass."""
-    from .relational import distinct_ds, guard_broadcast_bytes
-    from .stages.text_analysis import tf_rows_arrow
+    import pyarrow as pa  # noqa: F401 — or_partial's batch type
     import ray
+
+    from .relational import bucketed_map_groups, guard_broadcast_bytes
+    from .stages.text_analysis import tf_rows_arrow
 
     ds = read_table(sf_dir, "documents", ["source", "text"])
     srcs = grouped_agg(read_table(sf_dir, "documents", ["source"]),
@@ -3745,21 +3747,27 @@ def docs_vocab_overlap(sf_dir: str) -> pd.DataFrame:
                           "co-partition the bit attach by source")
     ref = ray.put(bit_of)
 
-    st = distinct_ds(
-        ds.map_batches(
-            lambda t: tf_rows_arrow(t, id_col="source")
-            .select(["source", "token"]),
-            batch_format="pyarrow"),
-        ["source", "token"])
-
-    def to_bits(b: pd.DataFrame) -> pd.DataFrame:
+    # bit-OR is idempotent, so no distinct pass is needed before the
+    # combine: per-batch (source, token) rows map straight to bits and
+    # OR down to one mask row per token — ONE token-keyed shuffle
+    # where distinct-then-sum would take two
+    def or_partial(t: pa.Table) -> pd.DataFrame:
         bm = ray.get(ref)
-        return pd.DataFrame({
-            "token": b["token"].values,
-            "bit": b["source"].map(bm).to_numpy(dtype=np.int64)})
+        st = tf_rows_arrow(t, id_col="source")
+        b = pd.DataFrame({
+            "token": st.column("token").to_pandas(),
+            "mask": st.column("source").to_pandas().map(bm)
+            .to_numpy(dtype=np.int64)})
+        return (b.groupby("token", as_index=False, sort=False)["mask"]
+                .agg(lambda s: np.bitwise_or.reduce(s.to_numpy())))
 
-    masks = grouped_agg_ds(st.map_batches(to_bits, batch_format="pandas"),
-                           ["token"], {"mask": ("sum", "bit")})
+    def or_final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("token", as_index=False, sort=False)["mask"]
+                .agg(lambda s: np.bitwise_or.reduce(s.to_numpy())))
+
+    masks = bucketed_map_groups(
+        ds.map_batches(or_partial, batch_format="pyarrow"),
+        ["token"], or_final)
 
     k = len(names)
 
