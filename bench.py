@@ -174,7 +174,8 @@ def run_queries() -> dict:
                 # round 4 (late): sufficient-stats corr, per-source
                 # entropy, bitmask vocabulary-overlap matrix
                 "events_value_hour_corr", "docs_source_entropy",
-                "docs_vocab_overlap", "events_value_drift_psi"]
+                "docs_vocab_overlap", "events_value_drift_psi",
+                "events_rolling_wau"]
     import gc
     out = {}
     for name in headline:

@@ -3878,6 +3878,61 @@ def events_value_drift_psi(sf_dir: str) -> pd.DataFrame:
             .sort_values("event_type").reset_index(drop=True))
 
 
+def events_rolling_wau(sf_dir: str) -> pd.DataFrame:
+    """Rolling 7-day active users per day (DAU + WAU) — the
+    window-DISTINCT shape none of the other aggregates cover: a
+    distinct count over a sliding set union, not a sum (a user active
+    on 3 of the 7 days counts once). Plan: one distinct pass to
+    (day, user), then each row explodes to the <= 7 OBSERVED window
+    days it serves (searchsorted against the broadcast day spine —
+    day count is calendar-bounded, unlike users), and one more
+    bucketed distinct + count gives WAU. Every stage's cardinality is
+    bounded by days x users, never events; the x7 explode is the
+    exact price the SQL self-join pays, made explicit."""
+    import ray
+
+    from .relational import distinct_ds, guard_broadcast_bytes
+    ds = read_table(sf_dir, "events", ["ts", "user_id"])
+
+    def du_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": b["ts"].dt.floor("D"),
+            "user_id": b["user_id"].values}).drop_duplicates()
+
+    du = distinct_ds(ds.map_batches(du_partial, batch_format="pandas"),
+                     ["day", "user_id"])
+    du = du.materialize()          # two consumers: spine + explode
+    dau = grouped_agg(du, ["day"], {"dau": ("count", None)})
+    days_arr = np.sort(dau["day"].to_numpy(dtype="datetime64[ns]"))
+    guard_broadcast_bytes(8 * len(days_arr), "observed-day spine",
+                          "chunk the spine by date range")
+    spine = ray.put(days_arr)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        days = ray.get(spine)
+        d = b["day"].to_numpy(dtype="datetime64[ns]")
+        lo = np.searchsorted(days, d, side="left")
+        hi = np.searchsorted(days, d + np.timedelta64(6, "D"),
+                             side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        return pd.DataFrame({
+            "day": days[np.repeat(lo, cnt) + idx],
+            "user_id": np.repeat(b["user_id"].to_numpy(np.int64), cnt)})
+
+    win = distinct_ds(du.map_batches(explode, batch_format="pandas"),
+                      ["day", "user_id"])
+    wau = grouped_agg(win, ["day"], {"wau": ("count", None)})
+    out = dau.merge(wau, on="day", how="inner")
+    out["dau"] = out["dau"].astype("int64")
+    out["wau"] = out["wau"].astype("int64")
+    return (out[["day", "dau", "wau"]]
+            .sort_values("day").reset_index(drop=True))
+
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4009,6 +4064,7 @@ QUERIES = {
     "docs_source_entropy": docs_source_entropy,
     "docs_vocab_overlap": docs_vocab_overlap,
     "events_value_drift_psi": events_value_drift_psi,
+    "events_rolling_wau": events_rolling_wau,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -5517,4 +5573,19 @@ ORACLES["events_value_drift_psi"] = """
            CAST(MAX(n_second) AS BIGINT) AS n_second,
            ROUND(SUM((p - q) * ln(p / q)), 6) AS psi
     FROM pq GROUP BY event_type ORDER BY event_type
+"""
+
+# The WAU oracle pays the same explode as a day-spine self-join; the
+# window is the 6 preceding OBSERVED days plus the current one.
+ORACLES["events_rolling_wau"] = """
+    WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    win AS (SELECT d.day AS day, du.user_id
+            FROM days d JOIN du
+              ON du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day)
+    SELECT w.day,
+           (SELECT COUNT(*) FROM du WHERE du.day = w.day) AS dau,
+           COUNT(DISTINCT w.user_id) AS wau
+    FROM win w GROUP BY w.day ORDER BY w.day
 """
