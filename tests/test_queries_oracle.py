@@ -441,3 +441,46 @@ def test_corr_matches_numpy_corrcoef(ray_session, tmp_path):
         ref_slope = float(np.polyfit(x, y, 1)[0])
         assert abs(r.slope_cents_per_hour - ref_slope) < \
             1e-6 + 1e-9 * abs(ref_slope)
+
+
+def test_rolling_wau_gap_days_match_oracle(ray_session, tmp_path):
+    """Calendar gaps: the 7-day window is a DATE range, so a user
+    active 8+ days before an observed day must NOT count even when
+    fewer than 7 observed days intervene. The sf corpora are gap-free;
+    this pins the searchsorted window against SQL BETWEEN on a corpus
+    with gaps, plus hand-computed expectations."""
+    rows = [
+        (0, 0, "t", 1.0),     # day 0: users 1..2 (via below)
+        (1, 0, "t", 1.0),
+        (2, 24 * 2, "t", 1.0),      # day 2
+        (3, 24 * 9, "t", 1.0),      # day 9 (gap: days 3-8 absent)
+        (4, 24 * 10, "t", 1.0),     # day 10
+    ]
+    # rows: (event_id, hour offset, type, value); users assigned below
+    users = [1, 2, 1, 1, 3]
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([dt.datetime(2024, 3, 1)
+                        + dt.timedelta(hours=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())}),
+        str(tmp_path / "events.parquet"))
+    got = QUERIES["events_rolling_wau"](str(tmp_path))
+    want = _oracle_on(tmp_path, "events_rolling_wau")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    by = got.set_index(got["day"].dt.day)   # days: Mar 1/3/10/11
+    # Mar 10's window (Mar 4-10) holds only Mar 10 itself: Mar 3 is
+    # 7 days back and must NOT count despite being the previous
+    # OBSERVED day — the window is a date range, not a row count
+    assert by.loc[1, "wau"] == 2 and by.loc[1, "dau"] == 2
+    assert by.loc[3, "wau"] == 2 and by.loc[3, "dau"] == 1  # Mar 1-3
+    assert by.loc[10, "wau"] == 1 and by.loc[10, "dau"] == 1
+    assert by.loc[11, "wau"] == 2 and by.loc[11, "dau"] == 1
