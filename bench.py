@@ -175,7 +175,7 @@ def run_queries() -> dict:
                 # entropy, bitmask vocabulary-overlap matrix
                 "events_value_hour_corr", "docs_source_entropy",
                 "docs_vocab_overlap", "events_value_drift_psi",
-                "events_rolling_wau"]
+                "events_rolling_wau", "orders_customer_bucketed_join"]
     import gc
     out = {}
     for name in headline:

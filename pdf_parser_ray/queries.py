@@ -3933,6 +3933,58 @@ def events_rolling_wau(sf_dir: str) -> pd.DataFrame:
 
 
 
+def orders_customer_bucketed_join(sf_dir: str) -> pd.DataFrame:
+    """STORAGE-PARTITIONED join (state.shards.write_bucketed_export /
+    read_bucketed_join): both tables are exported hash-bucketed on the
+    customer key ONCE, then joined bucket-by-bucket with ZERO shuffle
+    at read time — the co-partitioning exchange `hash_join` pays per
+    run was paid at write time and is reusable by every later join on
+    the same key (the Iceberg/SPJ bucketing technique; at 100 TB the
+    write is amortized across the many joins a warehouse key sees).
+    Same aggregate surface and SQL oracle expression as
+    orders_customer_join_stats, so the driver verifies the disk path
+    end to end; a live assert pins that at least one bucket holds
+    rows from BOTH sides (the co-location is real, not vacuous)."""
+    import shutil
+    import tempfile
+
+    from .state.shards import read_bucketed_join, write_bucketed_export
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer",
+                      ["c_custkey", "c_mktsegment"])
+    da = tempfile.mkdtemp(prefix="bkt_orders_")
+    db = tempfile.mkdtemp(prefix="bkt_customer_")
+    try:
+        ma = write_bucketed_export(orders, da, key="o_custkey",
+                                   n_buckets=16,
+                                   tiebreak_cols=["o_totalprice"])
+        mb = write_bucketed_export(cust, db, key="c_custkey",
+                                   n_buckets=16,
+                                   tiebreak_cols=["c_mktsegment"])
+        both = set(ma["bucket"]) & set(mb["bucket"])
+        assert both, "no bucket holds rows from both sides"
+        joined = read_bucketed_join(da, db, how="inner")
+
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "c_mktsegment": b["c_mktsegment"].values,
+                "price_c": _cents(b["o_totalprice"])})
+
+        g = grouped_agg(joined.map_batches(prep, batch_format="pandas"),
+                        ["c_mktsegment"],
+                        {"n_orders": ("count", None),
+                         "s": ("sum", "price_c")})
+        out = g[["c_mktsegment", "n_orders"]].copy()
+        out["n_orders"] = out["n_orders"].astype("int64")
+        out["total_price"] = _d(g["s"]) / 100.0
+        return (out.sort_values("c_mktsegment")
+                .reset_index(drop=True))
+    finally:
+        shutil.rmtree(da, ignore_errors=True)
+        shutil.rmtree(db, ignore_errors=True)
+
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4065,6 +4117,7 @@ QUERIES = {
     "docs_vocab_overlap": docs_vocab_overlap,
     "events_value_drift_psi": events_value_drift_psi,
     "events_rolling_wau": events_rolling_wau,
+    "orders_customer_bucketed_join": orders_customer_bucketed_join,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -5588,4 +5641,14 @@ ORACLES["events_rolling_wau"] = """
            (SELECT COUNT(*) FROM du WHERE du.day = w.day) AS dau,
            COUNT(DISTINCT w.user_id) AS wau
     FROM win w GROUP BY w.day ORDER BY w.day
+"""
+
+# Same expression tree as orders_customer_join_stats: the bucketed
+# disk path must produce the identical aggregate.
+ORACLES["orders_customer_bucketed_join"] = """
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
 """

@@ -682,3 +682,186 @@ def read_zorder_range(out_dir: str, preds: dict,
         return b.loc[m]
 
     return ds.map_batches(trim, batch_format="pandas"), len(files)
+
+
+# ------------------------------------------------ storage-partitioned join
+
+def write_bucketed_export(ds, out_dir: str, *, key: str,
+                          n_buckets: int,
+                          tiebreak_cols: Optional[List[str]] = None,
+                          shared_fs: bool = False,
+                          row_group_size: int = _ROW_GROUP
+                          ) -> pd.DataFrame:
+    """HASH-BUCKETED export: rows land in ``bucket=NNNNN/`` by the
+    fixed-key siphash of ``key`` mod ``n_buckets`` — the durable form
+    of "pick ONE partitioning key and reuse it": two tables exported
+    with the same (hash family, n_buckets) co-locate matching keys ON
+    DISK, so `read_bucketed_join` joins them bucket-by-bucket with
+    ZERO shuffle at read time (the storage-partitioned join). Same
+    atomic rename commit, resume, `_SUCCESS` markers and content-hash
+    manifest as the sorted/z-order exports; `_BUCKETED.json` records
+    the layout and a resume or join against a different layout is
+    refused, never silently mis-bucketed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    if ray.is_initialized() and not shared_fs:
+        alive = [n for n in ray.nodes() if n.get("Alive")]
+        if len(alive) > 1:
+            raise ValueError(
+                f"write_bucketed_export writes through the filesystem "
+                f"path {out_dir!r}; on a multi-node cluster it must be "
+                "shared storage — pass shared_fs=True to assert it is")
+
+    from ..relational import bucketed_map_groups
+
+    os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "_BUCKETED.json")
+    layout = {"key": key, "n_buckets": int(n_buckets),
+              "hash": "pandas-siphash-v1"}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if prev != layout:
+            raise ValueError(
+                f"resume mismatch: directory has layout {prev}, "
+                f"requested {layout}")
+    else:
+        with open(meta_path, "w") as f:
+            json.dump(layout, f)
+
+    done = {
+        int(d.split("=")[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("bucket=") and not d.endswith(".tmp")
+        and os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))}
+
+    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["__bkt"] = (pd.util.hash_pandas_object(b[key], index=False)
+                      .to_numpy() % np.uint64(n_buckets)).astype("int32")
+        return b.loc[~b["__bkt"].isin(done)]
+
+    sort_by = [key, *(tiebreak_cols or [])]
+
+    def write_bucket(g: pd.DataFrame) -> dict:
+        bkt = int(g["__bkt"].iloc[0])
+        sdir = os.path.join(out_dir, f"bucket={bkt:05d}")
+        if os.path.exists(os.path.join(sdir, "_meta.json")):
+            return _read_meta(sdir)
+        g = (g.sort_values(sort_by, kind="mergesort")
+             .drop(columns="__bkt").reset_index(drop=True))
+        tmp = f"{sdir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        ppath = os.path.join(tmp, "part.parquet")
+        schema = pa.Schema.from_pandas(g, preserve_index=False)
+        with pq.ParquetWriter(ppath, schema) as w:
+            for i in range(0, max(len(g), 1), row_group_size):
+                w.write_table(pa.Table.from_pandas(
+                    g.iloc[i:i + row_group_size], schema=schema,
+                    preserve_index=False))
+        hasher = hashlib.blake2b(digest_size=16)
+        with open(ppath, "rb") as f:
+            for chunk in iter(lambda: f.read(_HASH_CHUNK), b""):
+                hasher.update(chunk)
+        meta = {"bucket": bkt, "rows": int(len(g)),
+                "content_hash": hasher.hexdigest()}
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("")
+        try:
+            os.rename(tmp, sdir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            meta = _read_meta(sdir)
+        return meta
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "rows": pd.Series([], dtype="int64"),
+                                 "content_hash": pd.Series([],
+                                                           dtype=object)})
+        return pd.DataFrame([write_bucket(gg)
+                             for _, gg in g.groupby("__bkt", sort=False)])
+
+    tagged = ds.map_batches(add_bkt, batch_format="pandas")
+    written = bucketed_map_groups(tagged, ["__bkt"], run_bucket,
+                                  n_buckets=n_buckets).to_pandas()
+    rows = [] if written.empty else written.to_dict("records")
+    for bkt in done:
+        rows.append(_read_meta(os.path.join(out_dir,
+                                            f"bucket={bkt:05d}")))
+    rows = [{"bucket": int(m["bucket"]), "rows": int(m["rows"]),
+             "content_hash": str(m["content_hash"])} for m in rows]
+    rows.sort(key=lambda m: m["bucket"])
+    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
+        json.dump({**layout, "buckets": rows}, f, indent=1)
+    return pd.DataFrame(rows).reset_index(drop=True)
+
+
+def read_bucketed_join(dir_left: str, dir_right: str, *,
+                       how: str = "inner"):
+    """STORAGE-PARTITIONED JOIN over two `write_bucketed_export`
+    directories: matching keys already share a bucket index on disk,
+    so the join is one independent task per bucket — read both sides'
+    bucket files, pandas-merge, emit — with ZERO shuffle at read time
+    (contrast `relational.hash_join`, which pays the co-partitioning
+    exchange per run; here it was paid once at write time and is
+    reused by every subsequent join on the same key). Layouts must
+    agree exactly (key hash family + n_buckets) — a mismatch is
+    refused up front, never silently wrong. NULL keys follow SQL:
+    they never match; ``how='left'`` keeps left nulls unmatched."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"read_bucketed_join supports inner/left, "
+                         f"got {how!r}")
+    metas = []
+    for d in (dir_left, dir_right):
+        p = os.path.join(d, "_BUCKETED.json")
+        if not os.path.exists(p):
+            raise ValueError(f"{d!r} is not a bucketed export "
+                             "(no _BUCKETED.json)")
+        with open(p) as f:
+            metas.append(json.load(f))
+    ml, mr = metas
+    if (ml["n_buckets"], ml["hash"]) != (mr["n_buckets"], mr["hash"]):
+        raise ValueError(
+            f"bucket layout mismatch: {ml} vs {mr} — the "
+            "storage-partitioned join needs identical hash family "
+            "and bucket count; re-export one side")
+    kl, kr, n = ml["key"], mr["key"], int(ml["n_buckets"])
+
+    def join_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for bkt in b["id"].tolist():
+            pl = os.path.join(dir_left, f"bucket={bkt:05d}",
+                              "part.parquet")
+            pr = os.path.join(dir_right, f"bucket={bkt:05d}",
+                              "part.parquet")
+            lf = (pq.read_table(pl).to_pandas() if os.path.exists(pl)
+                  else None)
+            rf = (pq.read_table(pr).to_pandas() if os.path.exists(pr)
+                  else None)
+            if lf is None or not len(lf):
+                continue
+            if rf is None:
+                rf = pd.DataFrame({kr: pd.Series([], dtype=object)})
+            rf = rf.rename(columns={kr: kl})
+            rf = rf.loc[rf[kl].notna()]      # SQL: nulls never match
+            if how == "inner":
+                lf = lf.loc[lf[kl].notna()]
+            outs.append(lf.merge(rf, on=kl, how=how))
+        if not outs:
+            return pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    ids = rd.range(n, override_num_blocks=n)
+    ids = ids.map_batches(lambda b: pd.DataFrame({"id": b["id"]}),
+                          batch_format="pandas")
+    return ids.map_batches(join_bucket, batch_format="pandas")

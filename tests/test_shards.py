@@ -367,3 +367,68 @@ def test_zorder_pruned_read_property(ray_session, tmp_path):
             pd.testing.assert_frame_equal(
                 got[sorted(got.columns)], want[sorted(want.columns)],
                 check_dtype=False)
+
+
+def test_bucketed_export_join_semantics(ray_session, tmp_path):
+    """Storage-partitioned join: inner/left parity with pandas merge
+    on constructed frames (keys missing from either side, NULL keys
+    never matching), layout-mismatch refusal, and resume rewriting
+    only the deleted bucket."""
+    import json
+
+    import pytest
+    import ray.data as rd
+
+    from pdf_parser_ray.state.shards import (read_bucketed_join,
+                                             write_bucketed_export)
+
+    left = pd.DataFrame({
+        "k": pd.array([1, 2, 2, 3, None, 9], dtype="Int64"),
+        "lv": [10, 20, 21, 30, 40, 90]})
+    right = pd.DataFrame({
+        "rk": pd.array([2, 3, 3, 7, None], dtype="Int64"),
+        "rv": ["b", "c", "d", "x", "n"]})
+    da, db = str(tmp_path / "L"), str(tmp_path / "R")
+    ma = write_bucketed_export(rd.from_pandas(left), da, key="k",
+                               n_buckets=8, tiebreak_cols=["lv"])
+    mb = write_bucketed_export(rd.from_pandas(right), db, key="rk",
+                               n_buckets=8, tiebreak_cols=["rv"])
+    assert int(ma["rows"].sum()) == 6 and int(mb["rows"].sum()) == 5
+
+    inner = (read_bucketed_join(da, db, how="inner").to_pandas()
+             .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    want = (left.dropna(subset=["k"])
+            .merge(right.dropna(subset=["rk"]).rename(columns={"rk": "k"}),
+                   on="k", how="inner")
+            .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    assert list(inner["lv"]) == list(want["lv"])
+    assert list(inner["rv"]) == list(want["rv"])
+
+    lj = (read_bucketed_join(da, db, how="left").to_pandas()
+          .sort_values(["lv"]).reset_index(drop=True))
+    # every left row survives (6), unmatched (incl. the null key) with
+    # missing right values
+    assert len(lj) == 7                     # k=2 x1 right + k=3 x2
+    assert lj.loc[lj["lv"] == 90, "rv"].isna().all()
+    assert lj.loc[lj["lv"] == 40, "rv"].isna().all()
+
+    # layout mismatch refused
+    dc = str(tmp_path / "C")
+    write_bucketed_export(rd.from_pandas(right), dc, key="rk",
+                          n_buckets=4, tiebreak_cols=["rv"])
+    with pytest.raises(ValueError, match="layout mismatch"):
+        read_bucketed_join(da, dc)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        write_bucketed_export(rd.from_pandas(left), da, key="lv",
+                              n_buckets=8)
+
+    # resume: drop one committed bucket -> only it is rewritten,
+    # content hashes identical
+    import shutil
+    victim = f"bucket={int(ma['bucket'].iloc[0]):05d}"
+    shutil.rmtree(f"{da}/{victim}")
+    ma2 = write_bucketed_export(rd.from_pandas(left), da, key="k",
+                                n_buckets=8, tiebreak_cols=["lv"])
+    assert list(ma2["content_hash"]) == list(ma["content_hash"])
+    man = json.load(open(f"{da}/_MANIFEST.json"))
+    assert man["n_buckets"] == 8 and man["key"] == "k"
