@@ -2505,6 +2505,56 @@ def docs_bm25_topk(sf_dir: str) -> pd.DataFrame:
             .sort_values(["doc_id", "token"]).reset_index(drop=True))
 
 
+def docs_unigram_ce(sf_dir: str) -> pd.DataFrame:
+    """Per-document unigram cross-entropy against the corpus's OWN
+    unigram LM — the CCNet-style fluency/quality proxy (Wenzek et al.
+    2020 rank web documents by LM perplexity; with no external model
+    allowed, the corpus-self unigram CE has the same shape: docs made
+    of common tokens score low, rare-token docs score high, and the
+    score feeds the same quality-gate/temperature-mix stages). Shape:
+    ONE Arrow tokenize pass pinned for both consumers, corpus token
+    counts via grouped_agg_ds over the vocabulary (never assumed
+    driver-small), partitioned hash_join tf x cnt on token, then
+    per-doc sufficient statistics (sum tf*ln p, dl) through one more
+    grouped_agg_ds — no per-doc Python, no doc-keyed wide shuffle
+    beyond the aggregate. ce is rounded to 3dp (np.log and DuckDB ln
+    differ by ulps — the established float surface; dl is exact
+    int64)."""
+    from .relational import grouped_agg_ds, hash_join
+    from .stages.text_analysis import tf_rows_arrow
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    tf = ds.map_batches(tf_rows_arrow,
+                        batch_format="pyarrow").materialize()
+    cnt = grouped_agg_ds(tf, ["token"], {"cnt": ("sum", "tf")})
+    sums = tf.map_batches(
+        lambda b: pd.DataFrame({"s": [b["tf"].sum()]}),
+        batch_format="pandas").to_pandas()
+    n_toks = int(sums["s"].sum()) if "s" in sums.columns else 0
+    if n_toks == 0:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "dl": pd.array([], dtype="int64"),
+                             "ce": pd.array([], dtype="float64")})
+    joined = hash_join(tf, cnt, on="token")
+
+    def contrib(b: pd.DataFrame) -> pd.DataFrame:
+        tfv = b["tf"].to_numpy(dtype=np.float64)
+        p = b["cnt"].to_numpy(dtype=np.float64) / float(n_toks)
+        return pd.DataFrame({"doc_id": b["doc_id"].values,
+                             "w": tfv * np.log(p),
+                             "tf": b["tf"].values})
+
+    per_doc = grouped_agg_ds(
+        joined.map_batches(contrib, batch_format="pandas"),
+        ["doc_id"], {"sw": ("sum", "w"),
+                     "dl": ("sum", "tf")}).to_pandas()
+    per_doc["ce"] = np.round(
+        -per_doc["sw"].to_numpy(dtype=np.float64)
+        / per_doc["dl"].to_numpy(dtype=np.float64), 3)
+    return (per_doc[["doc_id", "dl", "ce"]]
+            .astype({"doc_id": "int64", "dl": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def docs_shuffle_order(sf_dir: str) -> pd.DataFrame:
     """Deterministic global training-order shuffle: every doc gets a
     dense position 0..N-1 in multiplicative-hash order — the epoch
@@ -2995,6 +3045,77 @@ def embeddings_near_dup(sf_dir: str) -> pd.DataFrame:
     from .stages.dedup import embedding_dedup_pairs
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     return embedding_dedup_pairs(ds, threshold=0.95)
+
+
+def _semantic_pairs_ds(sf_dir: str):
+    """Shared SemDeDup pair stage: inject the deterministic collinear
+    duplicates (the raw sf corpus is near-orthogonal — max within-label
+    cosine 0.47 at sf0.01, so the pass would be vacuous), then a tiled
+    within-block pairwise cosine scan at threshold 0.9. Blocking key is
+    the label column (kmeans cluster id in production — labels make the
+    blocking SQL-mirrorable); one bucketed shuffle on the block key
+    moves each block's vectors together, and the scan inside is tiled
+    matmul so peak memory is tile^2 regardless of block size. Returns
+    a DATASET of integer-only (vec_a, vec_b, block), vec_a < vec_b."""
+    from .relational import bucketed_map_groups
+    from .stages.similarity import (semantic_inject_batch,
+                                    semantic_pairs_group)
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        out = semantic_inject_batch(b)
+        return out.assign(label=out["label"].astype("int64"))
+
+    return bucketed_map_groups(
+        ds.map_batches(inject, batch_format="pandas"), ["label"],
+        lambda g: semantic_pairs_group(g, threshold=0.9,
+                                       block_col="label"))
+
+
+def embeddings_semantic_pairs(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style semantic near-duplicate PAIRS (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — block by cluster, pairwise cosine within blocks).
+    The verified surface is integer-only (vec_a, vec_b, block): the
+    injected duplicates sit at cosine ~1.0 and the natural corpus at
+    <= 0.65, so the 0.9 threshold decision is immune to the
+    summation-order ulps that keep raw cosines out of hash-verified
+    outputs elsewhere (see docs_tfidf_topk's docstring)."""
+    out = _semantic_pairs_ds(sf_dir).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"vec_a": pd.array([], dtype="int64"),
+                             "vec_b": pd.array([], dtype="int64"),
+                             "block": pd.array([], dtype="int64")})
+    return (out.astype({"vec_a": "int64", "vec_b": "int64",
+                        "block": "int64"})
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+
+
+def embeddings_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup KEEP-LIST: connected components over the semantic pair
+    graph, min-id representative per component — kept=1 rows are the
+    exemplars a SemDeDup prune retains, kept=0 rows the semantic
+    duplicates it drops. Components via the same adaptive distributed
+    min-label propagation the MinHash keep-set uses (driver union-find
+    only under the broadcast byte budget). Oracle: a recursive-CTE
+    min-label closure in DuckDB, so the full graph semantics — not
+    just the pair list — are value-hash-verified end to end."""
+    import pyarrow as pa
+
+    from .stages.dedup import components_min_label
+    pairs = _semantic_pairs_ds(sf_dir).map_batches(
+        lambda t: pa.table({"id_a": t.column("vec_a"),
+                            "id_b": t.column("vec_b")}),
+        batch_format="pyarrow")
+    comp = components_min_label(pairs)
+    if comp.empty:
+        return pd.DataFrame({"vec_id": pd.array([], dtype="int64"),
+                             "rep": pd.array([], dtype="int64"),
+                             "kept": pd.array([], dtype="int64")})
+    out = comp.rename(columns={"node": "vec_id"})
+    out["kept"] = (out["vec_id"] == out["rep"]).astype("int64")
+    return (out.astype({"vec_id": "int64", "rep": "int64"})
+            .sort_values("vec_id").reset_index(drop=True))
 
 
 # ------------------------------------------------- rows-only: dedup family
@@ -4084,6 +4205,9 @@ QUERIES = {
     "embeddings_knn_lsh": embeddings_knn_lsh,
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "embeddings_near_dup": embeddings_near_dup,
+    "embeddings_semantic_pairs": embeddings_semantic_pairs,
+    "embeddings_semantic_dedup": embeddings_semantic_dedup,
+    "docs_unigram_ce": docs_unigram_ce,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_containment_pairs": docs_containment_pairs,
     "dedup_minhash_word": dedup_minhash_word,
@@ -5651,4 +5775,73 @@ ORACLES["orders_customer_bucketed_join"] = """
              / 100.0 AS total_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+# The SemDeDup oracles share one augmented-corpus CTE body: the
+# deterministic collinear-duplicate injection mirrored expression-for-
+# expression from stages.similarity.semantic_inject_batch (embedding
+# cast to DOUBLE before scaling on both sides, so the vectors are
+# bit-identical; cosine is scale-invariant, and the 0.9 threshold sits
+# between the injected ~1.0 pairs and the natural <=0.65 corpus, so
+# ulp-level expression-tree differences cannot flip a pair).
+_SEMANTIC_AUG_SQL = """
+    aug AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, CAST(label AS BIGINT) AS label
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding::DOUBLE[], x -> x * 1.25),
+             CAST(label AS BIGINT)
+      FROM embeddings WHERE vec_id % 17 = 0
+      UNION ALL
+      SELECT vec_id + 3000000,
+             list_transform(embedding::DOUBLE[], x -> x * 0.8),
+             CAST(label AS BIGINT)
+      FROM embeddings WHERE vec_id % 51 = 0),
+    sem_pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS block
+      FROM aug a JOIN aug b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9)
+"""
+
+ORACLES["embeddings_semantic_pairs"] = f"""
+    WITH {_SEMANTIC_AUG_SQL}
+    SELECT vec_a, vec_b, block FROM sem_pairs ORDER BY vec_a, vec_b
+"""
+
+# Keep-list oracle: recursive-CTE min-label closure over the pair
+# graph — cc(n, m) holds every (node, component member) pair, so
+# MIN(m) per node is the component's min id, exactly the engine's
+# distributed min-label fixpoint.
+ORACLES["embeddings_semantic_dedup"] = f"""
+    WITH RECURSIVE {_SEMANTIC_AUG_SQL},
+    edges AS (SELECT vec_a AS a, vec_b AS b FROM sem_pairs
+              UNION ALL
+              SELECT vec_b, vec_a FROM sem_pairs),
+    cc(n, m) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, cc.m FROM cc JOIN edges e ON e.a = cc.n)
+    SELECT n AS vec_id, MIN(m) AS rep,
+           CAST(n = MIN(m) AS BIGINT) AS kept
+    FROM cc GROUP BY n ORDER BY vec_id
+"""
+
+# Engine expression tree mirrored exactly: p = cnt / n (DOUBLE), then
+# w = tf * ln(p), ce = -SUM(w) / SUM(tf) rounded to 3dp.
+ORACLES["docs_unigram_ce"] = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM toks GROUP BY doc_id, token),
+    cnt AS (SELECT token, SUM(tf) AS cnt FROM tf GROUP BY token),
+    t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM cnt),
+    w AS (SELECT tf.doc_id, tf.tf,
+                 tf.tf * ln(CAST(cnt.cnt AS DOUBLE) / t.n) AS w
+          FROM tf JOIN cnt USING (token) CROSS JOIN t)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl,
+           ROUND(-SUM(w) / SUM(tf), 3) AS ce
+    FROM w GROUP BY doc_id ORDER BY doc_id
 """

@@ -143,3 +143,84 @@ def knn_lsh(ds, query_vec, k: int = 10, *, n_planes: int = 10,
                 probed.count())
     return knn_bruteforce(probed, q, k, vec_col=vec_col, id_col=id_col,
                           exclude_id=exclude_id, batch_size=batch_size)
+
+
+# ------------------------------------------------------- semantic dedup
+
+def semantic_inject_batch(b: pd.DataFrame, *, vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> pd.DataFrame:
+    """Deterministic near-duplicate fixture for the SemDeDup flow
+    (same role as text_analysis.pii_inject_batch): the sf embedding
+    corpora are near-orthogonal (max within-label cosine ~0.47 at
+    sf0.01), so a semantic-dedup pass over the raw table is vacuous.
+    Append, for every ``vec_id % 17 == 0`` row, a collinear copy at
+    ``vec_id + 1_000_000`` scaled by 1.25, and for every
+    ``vec_id % 51 == 0`` row a second copy at ``vec_id + 3_000_000``
+    scaled by 0.8 — cosine ~1.0 to the base (scale-invariant), so the
+    %51 rows form size-3 duplicate components that exercise
+    transitive clustering. Both the scaling and the id arithmetic are
+    mirrored expression-for-expression in the SQL oracle
+    (``list_transform(embedding::DOUBLE[], x -> x * 1.25)``); every
+    output embedding is float64 so the batch stays one Arrow type."""
+    ids = b[id_col].to_numpy(dtype=np.int64)
+    vecs = [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
+    out = b.copy(deep=False)
+    out[vec_col] = pd.Series(vecs, index=b.index, dtype=object)
+    parts = [out]
+    for mod, offset, scale in ((17, 1_000_000, 1.25),
+                               (51, 3_000_000, 0.8)):
+        m = ids % mod == 0
+        if m.any():
+            dup = out[m].copy(deep=False)
+            dup[id_col] = ids[m] + offset
+            dup[vec_col] = pd.Series([v * scale for v in
+                                      np.asarray(out[vec_col][m])],
+                                     index=dup.index, dtype=object)
+            parts.append(dup)
+    return pd.concat(parts, ignore_index=True)
+
+
+def semantic_pairs_group(g: pd.DataFrame, *, threshold: float,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         block_col: str = "label",
+                         tile: int = 2048) -> pd.DataFrame:
+    """All within-block pairs with cosine >= threshold, tiled so peak
+    memory is tile^2 floats regardless of block size. ``g`` holds one
+    or more complete blocks (SemDeDup's within-cluster pairwise scan:
+    the block is a kmeans cluster in production, the label column in
+    the oracled query — the paper's design point is k chosen so a
+    cluster fits one worker, which this tiling relaxes to 'one
+    worker's wall-time'; a cluster too big for one task belongs in a
+    finer clustering, not a bigger tile). Output is integer-only
+    (vec_a, vec_b, block) with vec_a < vec_b: cosine margins between
+    injected duplicates (~1.0) and the natural corpus (<=0.65) make
+    the threshold decision immune to summation-order ulps, and the
+    verified surface carries no floats at all."""
+    rows_a, rows_b, rows_l = [], [], []
+    for lb, grp in g.groupby(block_col, sort=False):
+        grp = grp.sort_values(id_col, kind="mergesort")
+        ids = grp[id_col].to_numpy(dtype=np.int64)
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in grp[vec_col]])
+        n = np.linalg.norm(X, axis=1)
+        Xn = X / np.where(n == 0, 1.0, n)[:, None]
+        m = len(ids)
+        for i0 in range(0, m, tile):
+            Xi = Xn[i0:i0 + tile]
+            for j0 in range(i0, m, tile):
+                S = Xi @ Xn[j0:j0 + tile].T
+                ai, bj = np.nonzero(S >= threshold)
+                keep = (i0 + ai) < (j0 + bj)
+                ai, bj = ai[keep], bj[keep]
+                if len(ai):
+                    rows_a.append(ids[i0 + ai])
+                    rows_b.append(ids[j0 + bj])
+                    rows_l.append(np.full(len(ai), lb, dtype=np.int64))
+    if not rows_a:
+        return pd.DataFrame({"vec_a": pd.array([], dtype="int64"),
+                             "vec_b": pd.array([], dtype="int64"),
+                             "block": pd.array([], dtype="int64")})
+    return pd.DataFrame({"vec_a": np.concatenate(rows_a),
+                         "vec_b": np.concatenate(rows_b),
+                         "block": np.concatenate(rows_l)})

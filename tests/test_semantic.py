@@ -1,0 +1,135 @@
+"""SemDeDup-style semantic dedup + unigram-CE quality score.
+
+The oracle-parametrized suites (test_queries_oracle at sf0.001, the
+sf0.01 sweep) already hash-verify the registry entries end to end;
+these tests pin the pieces the SQL compare can't see: the tiled scan's
+equality to the naive pairwise, partitioning invariance of the pair
+stage, the size-3 transitive components the injection fixture is
+designed to create, and typed empty-corpus frames.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _rand_group(n, dim, seed, dups=()):
+    """n near-orthogonal vectors plus collinear copies at given idxs."""
+    rng = np.random.RandomState(seed)
+    X = rng.standard_normal((n, dim))
+    rows = [{"vec_id": i, "embedding": X[i], "label": 0}
+            for i in range(n)]
+    for j, src in enumerate(dups):
+        rows.append({"vec_id": 10_000 + j,
+                     "embedding": X[src] * 2.0, "label": 0})
+    return pd.DataFrame(rows)
+
+
+def test_tiled_scan_equals_naive():
+    from pdf_parser_ray.stages.similarity import semantic_pairs_group
+    g = _rand_group(57, 16, seed=3, dups=(0, 5, 5))
+    naive = semantic_pairs_group(g, threshold=0.9, tile=10**6)
+    tiled = semantic_pairs_group(g, threshold=0.9, tile=7)
+    pd.testing.assert_frame_equal(
+        naive.sort_values(["vec_a", "vec_b"]).reset_index(drop=True),
+        tiled.sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    # the two copies of vector 5 pair with each other AND the base
+    got = set(map(tuple, naive[["vec_a", "vec_b"]].to_numpy()))
+    assert {(0, 10_000), (5, 10_001), (5, 10_002),
+            (10_001, 10_002)} <= got
+
+
+def test_pair_stage_partitioning_invariance(ray_session, tmp_path):
+    """Same pairs regardless of the input's physical block layout."""
+    import ray.data as rd
+
+    from pdf_parser_ray.queries import _semantic_pairs_ds
+
+    src = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = tmp_path / "emb"
+    out.mkdir()
+    # shuffled single file vs the original layout
+    shuffled = src.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    shuffled.to_parquet(out / "embeddings.parquet")
+    a = (_semantic_pairs_ds("/root/testdata/sf0.001").to_pandas()
+         .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    b = (_semantic_pairs_ds(str(out)).to_pandas()
+         .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_semantic_dedup_components(ray_session):
+    """%51 ids get TWO injected copies -> size-3 components whose rep
+    is the base id; %17-only ids get size-2 components; kept marks
+    exactly one exemplar per component."""
+    from pdf_parser_ray.queries import embeddings_semantic_dedup
+    out = embeddings_semantic_dedup("/root/testdata/sf0.001")
+    assert set(out.columns) == {"vec_id", "rep", "kept"}
+    src = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ids = src["vec_id"].to_numpy()
+    by_rep = out.groupby("rep")
+    for base in ids[ids % 51 == 0]:
+        grp = by_rep.get_group(base)
+        assert set(grp["vec_id"]) == {base, base + 1_000_000,
+                                      base + 3_000_000}
+    for base in ids[(ids % 17 == 0) & (ids % 51 != 0)]:
+        grp = by_rep.get_group(base)
+        assert set(grp["vec_id"]) == {base, base + 1_000_000}
+    assert (out.groupby("rep")["kept"].sum() == 1).all()
+    assert ((out["kept"] == 1) == (out["vec_id"] == out["rep"])).all()
+
+
+def test_semantic_empty_corpus(ray_session, tmp_path):
+    from pdf_parser_ray.queries import (embeddings_semantic_dedup,
+                                        embeddings_semantic_pairs)
+    out = tmp_path / "empty"
+    out.mkdir()
+    pd.DataFrame({"vec_id": pd.array([], dtype="int64"),
+                  "embedding": pd.Series([], dtype=object),
+                  "label": pd.array([], dtype="int32")}
+                 ).to_parquet(out / "embeddings.parquet")
+    pairs = embeddings_semantic_pairs(str(out))
+    assert list(pairs.columns) == ["vec_a", "vec_b", "block"]
+    assert pairs.empty
+    keep = embeddings_semantic_dedup(str(out))
+    assert list(keep.columns) == ["vec_id", "rep", "kept"]
+    assert keep.empty
+
+
+def test_unigram_ce_hand_computed(ray_session, tmp_path):
+    """Tiny corpus where the CE is computable by hand: common-token
+    docs score LOWER than rare-token docs (the quality-proxy
+    contract)."""
+    from pdf_parser_ray.queries import docs_unigram_ce
+    out = tmp_path / "docs"
+    out.mkdir()
+    pd.DataFrame({"doc_id": [0, 1, 2],
+                  "text": ["a a a a", "a a b b", "c d"]}
+                 ).to_parquet(out / "documents.parquet")
+    got = docs_unigram_ce(str(out))
+    # counts: a=6, b=2, c=1, d=1, n=10
+    p = {"a": 0.6, "b": 0.2, "c": 0.1, "d": 0.1}
+    want = {0: -np.log(p["a"]),
+            1: -(2 * np.log(p["a"]) + 2 * np.log(p["b"])) / 4,
+            2: -(np.log(p["c"]) + np.log(p["d"])) / 2}
+    assert got["doc_id"].tolist() == [0, 1, 2]
+    assert got["dl"].tolist() == [4, 4, 2]
+    for doc, ce in want.items():
+        assert got.loc[got["doc_id"] == doc, "ce"].iloc[0] == \
+            pytest.approx(round(ce, 3), abs=5e-4)
+    # common-token doc scores lower than rare-token doc
+    ces = got.set_index("doc_id")["ce"]
+    assert ces[0] < ces[1] < ces[2]
+
+
+def test_unigram_ce_empty_corpus(ray_session, tmp_path):
+    from pdf_parser_ray.queries import docs_unigram_ce
+    out = tmp_path / "docs"
+    out.mkdir()
+    pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                  "text": pd.array([], dtype="string")}
+                 ).to_parquet(out / "documents.parquet")
+    got = docs_unigram_ce(str(out))
+    assert list(got.columns) == ["doc_id", "dl", "ce"]
+    assert got.empty
