@@ -175,7 +175,13 @@ def run_queries() -> dict:
                 # entropy, bitmask vocabulary-overlap matrix
                 "events_value_hour_corr", "docs_source_entropy",
                 "docs_vocab_overlap", "events_value_drift_psi",
-                "events_rolling_wau", "orders_customer_bucketed_join"]
+                "events_rolling_wau", "orders_customer_bucketed_join",
+                # continuation session: SemDeDup-style semantic dedup
+                # (tiled within-block cosine + recursive-CTE-oracled
+                # keep list) and the corpus-self unigram-CE quality
+                # proxy
+                "embeddings_semantic_pairs", "embeddings_semantic_dedup",
+                "docs_unigram_ce"]
     import gc
     out = {}
     for name in headline:
