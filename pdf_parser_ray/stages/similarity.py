@@ -163,6 +163,14 @@ def semantic_inject_batch(b: pd.DataFrame, *, vec_col: str = "embedding",
     (``list_transform(embedding::DOUBLE[], x -> x * 1.25)``); every
     output embedding is float64 so the batch stays one Arrow type."""
     ids = b[id_col].to_numpy(dtype=np.int64)
+    if len(ids) and (ids.min() < 0 or ids.max() >= 1_000_000):
+        # a real id in the injected ranges would silently merge into a
+        # fixture component — refuse instead (fixture is for the sf
+        # corpora, whose ids are small and non-negative)
+        raise ValueError(
+            "semantic_inject_batch: vec_id outside [0, 1e6) collides "
+            f"with the injected-id ranges (saw min={ids.min()}, "
+            f"max={ids.max()})")
     vecs = [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
     out = b.copy(deep=False)
     out[vec_col] = pd.Series(vecs, index=b.index, dtype=object)

@@ -133,3 +133,12 @@ def test_unigram_ce_empty_corpus(ray_session, tmp_path):
     got = docs_unigram_ce(str(out))
     assert list(got.columns) == ["doc_id", "dl", "ce"]
     assert got.empty
+
+
+def test_inject_refuses_colliding_ids():
+    from pdf_parser_ray.stages.similarity import semantic_inject_batch
+    b = pd.DataFrame({"vec_id": [0, 1_000_017],
+                      "embedding": [np.ones(4), np.ones(4)],
+                      "label": [0, 0]})
+    with pytest.raises(ValueError, match="collides"):
+        semantic_inject_batch(b)
