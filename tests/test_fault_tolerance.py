@@ -41,3 +41,43 @@ def test_worker_kill_mid_extraction_retries_to_identical_output(
 
     assert os.path.exists(sentinel), "the crash branch never executed"
     pd.testing.assert_frame_equal(clean, faulted)
+
+
+def test_worker_kill_in_shuffle_reduce_retries_to_identical_output(
+        ray_session, tmp_path):
+    """Kill a worker INSIDE a post-shuffle reduce task (the bucketed
+    combine of grouped_agg_ds's shape): Ray must replay that reduce
+    from the shuffle outputs and the aggregate must come out
+    identical — the all-to-all recovery case a multi-node run hits
+    when a node dies after the map side finished."""
+    from pdf_parser_ray.relational import bucketed_map_groups, read_table
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("event_type", as_index=False, sort=False).agg(
+            n=("event_id", "size"), sum_value=("value", "sum"))
+        return out
+
+    def clean_run():
+        ds = read_table(SF, "events", ["event_id", "event_type", "value"])
+        return (bucketed_map_groups(ds, ["event_type"], combine)
+                .to_pandas().sort_values("event_type")
+                .reset_index(drop=True))
+
+    sentinel = str(tmp_path / "killed_reduce")
+
+    def crashing_combine(g: pd.DataFrame) -> pd.DataFrame:
+        try:
+            fd = os.open(sentinel, os.O_CREAT | os.O_EXCL)
+            os.close(fd)
+            os._exit(1)
+        except FileExistsError:
+            pass
+        return combine(g)
+
+    want = clean_run()
+    ds = read_table(SF, "events", ["event_id", "event_type", "value"])
+    got = (bucketed_map_groups(ds, ["event_type"], crashing_combine)
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+
+    assert os.path.exists(sentinel), "the crash branch never executed"
+    pd.testing.assert_frame_equal(want, got)
