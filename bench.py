@@ -181,7 +181,7 @@ def run_queries() -> dict:
                 # keep list) and the corpus-self unigram-CE quality
                 # proxy
                 "embeddings_semantic_pairs", "embeddings_semantic_dedup",
-                "docs_unigram_ce"]
+                "embeddings_semantic_pairs_kmeans", "docs_unigram_ce"]
     import gc
     out = {}
     for name in headline:

@@ -3091,6 +3091,107 @@ def embeddings_semantic_pairs(sf_dir: str) -> pd.DataFrame:
             .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
 
 
+def embeddings_semantic_pairs_kmeans(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup with the PAPER'S blocking: L2-normalize, k-means
+    cluster the normalized embeddings (broadcast-centroid /
+    sufficient-statistics layout, deterministic lowest-vec_id seeds,
+    5 Lloyd iterations — same distributed shape as embeddings_kmeans),
+    then the tiled within-CLUSTER cosine scan. Cross-cluster pairs are
+    missed BY DESIGN — that is SemDeDup's approximation. The SQL
+    oracle (threshold over all within-label pairs, no clustering) is
+    exact here because every >=0.9 pair in the fixture corpus is a
+    collinear injected duplicate: collinear vectors normalize to the
+    SAME point, identical points share a nearest centroid, so each
+    such pair is intra-cluster and the blocking's recall is provably
+    1.0 on this corpus (asserted in tests/test_semantic.py; natural
+    pairs max out at cosine ~0.51). Verified surface: integer-only
+    (vec_a, vec_b)."""
+    import ray
+
+    from .relational import bucketed_map_groups
+    from .stages.similarity import (semantic_inject_batch,
+                                    semantic_pairs_group)
+    k, iters = 8, 5
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        out = semantic_inject_batch(b)
+        normed = []
+        for v in out["embedding"]:
+            v = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(v)
+            normed.append(v / n if n > 0 else v)
+        out = out[["vec_id"]].copy(deep=False)
+        out["embedding"] = pd.Series(normed, index=out.index,
+                                     dtype=object)
+        return out
+
+    # iterative re-scan: pin the normalized working set once
+    nds = ds.map_batches(prep, batch_format="pandas").materialize()
+    if nds.count() == 0:
+        return pd.DataFrame({"vec_a": pd.array([], dtype="int64"),
+                             "vec_b": pd.array([], dtype="int64")})
+    seed = (nds.map_batches(
+        lambda b: b.sort_values("vec_id").head(k), batch_format="pandas")
+        .to_pandas().sort_values("vec_id").head(k))
+    centroids = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in seed["embedding"]])
+    kk = len(centroids)
+
+    def partials_for(ref):
+        def assign(b: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in b["embedding"]])
+            C = ray.get(ref)
+            d2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T)
+                  + (C * C).sum(1)[None, :])
+            a = d2.argmin(1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=kk).astype(np.int64)
+            return pd.DataFrame({
+                "cluster": np.arange(kk, dtype=np.int64),
+                "n": counts, "s": list(sums),
+                "blk": np.int64(b["vec_id"].min())})
+        return assign
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+        part = (nds.map_batches(partials_for(ref), batch_format="pandas")
+                .to_pandas().sort_values(["cluster", "blk"],
+                                         kind="mergesort"))
+        counts = part.groupby("cluster")["n"].sum()
+        sums = {c: np.sum(np.stack([np.asarray(s) for s in g["s"]]),
+                          axis=0)
+                for c, g in part.groupby("cluster")}
+        centroids = np.stack([
+            sums[c] / counts[c] if counts[c] > 0 else centroids[c]
+            for c in range(kk)])
+
+    ref = ray.put(centroids)
+
+    def add_cluster(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in b["embedding"]])
+        C = ray.get(ref)
+        d2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T)
+              + (C * C).sum(1)[None, :])
+        b = b.copy(deep=False)
+        b["cluster"] = d2.argmin(1).astype(np.int64)
+        return b
+
+    pairs = bucketed_map_groups(
+        nds.map_batches(add_cluster, batch_format="pandas"), ["cluster"],
+        lambda g: semantic_pairs_group(g, threshold=0.9,
+                                       block_col="cluster")).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"vec_a": pd.array([], dtype="int64"),
+                             "vec_b": pd.array([], dtype="int64")})
+    return (pairs[["vec_a", "vec_b"]]
+            .astype({"vec_a": "int64", "vec_b": "int64"})
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+
+
 def embeddings_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     """SemDeDup KEEP-LIST: connected components over the semantic pair
     graph, min-id representative per component — kept=1 rows are the
@@ -4206,6 +4307,7 @@ QUERIES = {
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "embeddings_near_dup": embeddings_near_dup,
     "embeddings_semantic_pairs": embeddings_semantic_pairs,
+    "embeddings_semantic_pairs_kmeans": embeddings_semantic_pairs_kmeans,
     "embeddings_semantic_dedup": embeddings_semantic_dedup,
     "docs_unigram_ce": docs_unigram_ce,
     "docs_jaccard_pairs": docs_jaccard_pairs,
@@ -5844,4 +5946,14 @@ ORACLES["docs_unigram_ce"] = r"""
     SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl,
            ROUND(-SUM(w) / SUM(tf), 3) AS ce
     FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+# The kmeans-blocked variant shares the pair-threshold oracle (no
+# block column): exact on this corpus because every >=0.9 pair is a
+# collinear injected duplicate, which normalizes to the same point and
+# therefore always shares a cluster (see the query docstring; the
+# blocking-recall property is separately asserted in tests).
+ORACLES["embeddings_semantic_pairs_kmeans"] = f"""
+    WITH {_SEMANTIC_AUG_SQL}
+    SELECT vec_a, vec_b FROM sem_pairs ORDER BY vec_a, vec_b
 """

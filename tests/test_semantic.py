@@ -142,3 +142,26 @@ def test_inject_refuses_colliding_ids():
                       "label": [0, 0]})
     with pytest.raises(ValueError, match="collides"):
         semantic_inject_batch(b)
+
+
+def test_kmeans_blocking_finds_every_injected_pair(ray_session):
+    """The production (kmeans-cluster) blocking must recall 100% of
+    the injected collinear pairs — collinear vectors normalize to the
+    same point, identical points share a nearest centroid — and on
+    the fixture corpus (no natural pair above 0.9) its pair set
+    therefore equals the label-blocked query's, minus the block
+    column."""
+    from pdf_parser_ray.queries import (embeddings_semantic_pairs,
+                                        embeddings_semantic_pairs_kmeans)
+    label_blocked = embeddings_semantic_pairs("/root/testdata/sf0.001")
+    kmeans_blocked = embeddings_semantic_pairs_kmeans(
+        "/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(
+        label_blocked[["vec_a", "vec_b"]].reset_index(drop=True),
+        kmeans_blocked)
+    # explicit recall statement on the injected fixture pairs
+    src = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ids = src["vec_id"].to_numpy()
+    injected = {(int(i), int(i) + 1_000_000) for i in ids[ids % 17 == 0]}
+    got = set(map(tuple, kmeans_blocked.to_numpy()))
+    assert injected <= got
