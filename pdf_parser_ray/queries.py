@@ -3539,6 +3539,49 @@ def transcript_train_shards(sf_dir: str) -> pd.DataFrame:
     return m
 
 
+def transcript_wave_extract(sf_dir: str) -> pd.DataFrame:
+    """Wave-level INCREMENTAL extraction (state/waves.py): the corpus
+    arrives as two daily file drops; the second submission passes the
+    full listing and must process only the new file, a third is a
+    committed no-op, and the union over waves must equal a one-shot
+    extraction of everything (asserted live). Returns the per-wave
+    report. Rows-only (stateful filesystem protocol — no SQL)."""
+    import shutil
+    import tempfile
+
+    from .sources.transcripts import transcripts_dataset
+    from .state.waves import extract_wave, read_waves
+
+    work = tempfile.mkdtemp(prefix="wave_extract_")
+    try:
+        ts = transcripts_dataset(sf_dir).to_pandas()
+        h = pd.util.hash_pandas_object(ts["conv_id"], index=False) % 2
+        files = []
+        for day in range(2):
+            p = f"{work}/day{day}.parquet"
+            ts[h == day].reset_index(drop=True).to_parquet(p)
+            files.append(p)
+        out = f"{work}/corpus"
+        rows = []
+        w0, m0 = extract_wave(files[:1], out, n_buckets=8)
+        rows.append({"wave": w0, "n_files": 1,
+                     "rows": int(m0["rows"].sum()),
+                     "error_rows": int(m0["error_rows"].sum())})
+        w1, m1 = extract_wave(files, out, n_buckets=8)
+        rows.append({"wave": w1, "n_files": 1,
+                     "rows": int(m1["rows"].sum()),
+                     "error_rows": int(m1["error_rows"].sum())})
+        w2, m2 = extract_wave(files, out, n_buckets=8)
+        assert w2 is None and m2.empty, "resubmission was not a no-op"
+        assert read_waves(out).count() == len(ts), \
+            "union over waves != one-shot extraction row count"
+        return (pd.DataFrame(rows)
+                .astype({"wave": "int64", "n_files": "int64",
+                         "rows": "int64", "error_rows": "int64"}))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def transcript_questions(sf_dir: str) -> pd.DataFrame:
     from .pipelines.extraction import run_extraction
     from .stages.questions import questions_dataset
@@ -4262,6 +4305,7 @@ QUERIES = {
     "lineitem_join_sample": lineitem_join_sample,
     "docs_exact_dedup_indexed": docs_exact_dedup_indexed,
     "transcript_train_shards": transcript_train_shards,
+    "transcript_wave_extract": transcript_wave_extract,
     "parts_anti_join": parts_anti_join,
     "tpch_fk_audit": tpch_fk_audit,
     "parts_semi_join": parts_semi_join,

@@ -1,0 +1,136 @@
+"""Wave-level incremental extraction (state/waves.py): only new files
+are processed per submission, a crashed wave resumes without
+duplicates, readers see only committed waves, and the union over waves
+equals a one-shot extraction of the same files."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return (df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+            [sorted(df.columns)])
+
+
+@pytest.fixture(scope="module")
+def corpus_files(ray_session, tmp_path_factory):
+    """The synthesized sf0.001 transcripts split into three daily
+    parquet files by conversation hash."""
+    from pdf_parser_ray.sources.transcripts import transcripts_dataset
+    ts = transcripts_dataset(SF).to_pandas()
+    d = tmp_path_factory.mktemp("wave_input")
+    h = pd.util.hash_pandas_object(ts["conv_id"], index=False) % 3
+    paths = []
+    for day in range(3):
+        p = str(d / f"day{day}.parquet")
+        ts[h == day].reset_index(drop=True).to_parquet(p)
+        paths.append(p)
+    return paths, ts
+
+
+def test_waves_process_only_new_files(ray_session, corpus_files,
+                                      tmp_path):
+    from pdf_parser_ray.pipelines.extraction import (
+        run_extraction_from_parquet)
+    from pdf_parser_ray.state.waves import (extract_wave, read_registry,
+                                            read_waves, waves_lineage)
+    paths, _ = corpus_files
+    out = str(tmp_path / "corpus")
+
+    w0, m0 = extract_wave(paths[:1], out, n_buckets=8)
+    assert w0 == 0 and m0["rows"].sum() > 0
+    # resubmit the FULL listing: only day1+day2 are new
+    w1, m1 = extract_wave(paths, out, n_buckets=8)
+    assert w1 == 1 and m1["rows"].sum() > 0
+    # fully-committed listing -> no-op
+    w2, m2 = extract_wave(paths, out, n_buckets=8)
+    assert w2 is None and m2.empty
+
+    reg = read_registry(out)
+    assert [w["wave"] for w in reg] == [0, 1]
+    assert reg[0]["files"] == [os.path.abspath(paths[0])]
+    assert sorted(reg[1]["files"]) == sorted(
+        os.path.abspath(p) for p in paths[1:])
+
+    # union over waves == one-shot extraction of all three files
+    got = _sorted(read_waves(out).to_pandas())
+    # hive-inferred provenance (zero-padded directory-name strings)
+    assert set(got["wave"]) == {"00000", "00001"}
+    want = _sorted(run_extraction_from_parquet(paths).to_pandas())
+    pd.testing.assert_frame_equal(got.drop(columns=["bucket", "wave"]),
+                                  want)
+
+    lin = waves_lineage(out)
+    assert set(lin["wave"]) == {0, 1}
+    assert lin["rows"].sum() == len(got)
+
+
+def test_crashed_wave_resumes_without_duplicates(ray_session,
+                                                 corpus_files, tmp_path):
+    """Simulate a crash AFTER the bucketed write but BEFORE the
+    registry commit: the wave dir exists (with some buckets complete),
+    the registry doesn't know it. Re-submission resumes that dir —
+    recomputing only the incomplete buckets — then commits; no
+    duplicate (conv_id, turn_idx) keys."""
+    import shutil
+
+    from pdf_parser_ray.state.waves import extract_wave, read_waves
+    paths, _ = corpus_files
+    out = str(tmp_path / "corpus")
+    extract_wave(paths[:1], out, n_buckets=8)
+
+    # run wave 1, then roll back: delete its registry entry and one
+    # bucket's _SUCCESS (a mid-write crash leaves exactly this)
+    extract_wave(paths[:2], out, n_buckets=8)
+    reg_path = os.path.join(out, "_WAVES.json")
+    reg = json.load(open(reg_path))
+    reg["waves"] = reg["waves"][:1]
+    json.dump(reg, open(reg_path, "w"))
+    wdir = os.path.join(out, "wave=00001")
+    victim = sorted(b for b in os.listdir(wdir)
+                    if b.startswith("bucket="))[0]
+    shutil.rmtree(os.path.join(wdir, victim))
+
+    w, m = extract_wave(paths[:2], out, n_buckets=8)
+    assert w == 1
+    # resume recomputed ONLY the deleted bucket
+    assert m["bucket"].tolist() == [int(victim.split("=")[1])]
+    full = read_waves(out).to_pandas()
+    assert not full.duplicated(["conv_id", "turn_idx"]).any()
+
+
+def test_uncommitted_wave_with_different_files_refused(
+        ray_session, corpus_files, tmp_path):
+    from pdf_parser_ray.state.waves import extract_wave
+    paths, _ = corpus_files
+    out = str(tmp_path / "corpus")
+    extract_wave(paths[:1], out, n_buckets=8)
+    # fake an uncommitted wave started for day1 only
+    wdir = os.path.join(out, "wave=00001")
+    os.makedirs(wdir)
+    json.dump({"files": [os.path.abspath(paths[1])]},
+              open(os.path.join(wdir, "_WAVE.json"), "w"))
+    with pytest.raises(ValueError, match="different file set"):
+        extract_wave(paths, out, n_buckets=8)
+
+
+def test_read_waves_ignores_uncommitted(ray_session, corpus_files,
+                                        tmp_path):
+    from pdf_parser_ray.state.waves import extract_wave, read_waves
+    paths, _ = corpus_files
+    out = str(tmp_path / "corpus")
+    extract_wave(paths[:1], out, n_buckets=8)
+    n_committed = read_waves(out).count()
+    # an uncommitted wave dir with data must stay invisible
+    extract_wave(paths[:2], out, n_buckets=8)
+    reg_path = os.path.join(out, "_WAVES.json")
+    reg = json.load(open(reg_path))
+    reg["waves"] = reg["waves"][:1]
+    json.dump(reg, open(reg_path, "w"))
+    assert read_waves(out).count() == n_committed
