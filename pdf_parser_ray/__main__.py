@@ -4,6 +4,11 @@ A003_colored_footer.py:363-430, A004_Vision_2025.py:446-500).
     python -m pdf_parser_ray extract   --sf-dir DIR [--out DIR] [--pages 1-5]
     python -m pdf_parser_ray questions --sf-dir DIR [--out DIR]
     python -m pdf_parser_ray markdown  --sf-dir DIR [--out DIR] [--style c001|c002]
+    python -m pdf_parser_ray wave      --files F [F ...] --out DIR
+
+``wave`` is the daily-operations entry (state/waves.py): pass the FULL
+current file listing every run; only registry-new files are extracted,
+a crashed wave resumes, a fully-committed listing is a no-op.
 
 Owns its Ray session (scripts init; the driver harness and library never
 do)."""
@@ -36,6 +41,12 @@ def main(argv=None):
                             "on small-file corpora; see bench.py)")
         if name == "extract":
             s.add_argument("--n-buckets", type=int, default=32)
+    w = sub.add_parser("wave")
+    w.add_argument("--files", nargs="+", required=True,
+                   help="the FULL current transcript-parquet listing")
+    w.add_argument("--out", required=True)
+    w.add_argument("--n-buckets", type=int, default=32)
+    w.add_argument("--num-blocks", type=int, default=None)
     args = p.parse_args(argv)
 
     import os
@@ -50,6 +61,22 @@ def main(argv=None):
                  include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "wave":
+        try:
+            from .state.waves import extract_wave
+            wave_id, metrics = extract_wave(
+                args.files, args.out, n_buckets=args.n_buckets,
+                override_num_blocks=args.num_blocks)
+            if wave_id is None:
+                print("no new files: all submitted files are committed")
+            else:
+                print(f"wave {wave_id}: "
+                      f"{int(metrics['rows'].sum())} rows")
+                print(metrics.to_string(index=False))
+        finally:
+            ray.shutdown()
+        return
 
     from .pipelines.extraction import extract_dataset
     from .sources.transcripts import transcripts_dataset
