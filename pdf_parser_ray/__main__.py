@@ -71,9 +71,12 @@ def main(argv=None):
             if wave_id is None:
                 print("no new files: all submitted files are committed")
             else:
-                print(f"wave {wave_id}: "
-                      f"{int(metrics['rows'].sum())} rows")
-                print(metrics.to_string(index=False))
+                from .state.waves import read_registry
+                total = read_registry(args.out)[wave_id]["rows"]
+                print(f"wave {wave_id}: {total} rows committed "
+                      f"({len(metrics)} buckets computed this run)")
+                if len(metrics):
+                    print(metrics.to_string(index=False))
         finally:
             ray.shutdown()
         return

@@ -3109,7 +3109,8 @@ def embeddings_semantic_pairs_kmeans(sf_dir: str) -> pd.DataFrame:
     import ray
 
     from .relational import bucketed_map_groups
-    from .stages.similarity import (semantic_inject_batch,
+    from .stages.similarity import (assign_clusters, lloyd_centroids,
+                                    semantic_inject_batch,
                                     semantic_pairs_group)
     k, iters = 8, 5
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
@@ -3131,53 +3132,12 @@ def embeddings_semantic_pairs_kmeans(sf_dir: str) -> pd.DataFrame:
     if nds.count() == 0:
         return pd.DataFrame({"vec_a": pd.array([], dtype="int64"),
                              "vec_b": pd.array([], dtype="int64")})
-    seed = (nds.map_batches(
-        lambda b: b.sort_values("vec_id").head(k), batch_format="pandas")
-        .to_pandas().sort_values("vec_id").head(k))
-    centroids = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in seed["embedding"]])
-    kk = len(centroids)
-
-    def partials_for(ref):
-        def assign(b: pd.DataFrame) -> pd.DataFrame:
-            X = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in b["embedding"]])
-            C = ray.get(ref)
-            d2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T)
-                  + (C * C).sum(1)[None, :])
-            a = d2.argmin(1)
-            sums = np.zeros_like(C)
-            np.add.at(sums, a, X)
-            counts = np.bincount(a, minlength=kk).astype(np.int64)
-            return pd.DataFrame({
-                "cluster": np.arange(kk, dtype=np.int64),
-                "n": counts, "s": list(sums),
-                "blk": np.int64(b["vec_id"].min())})
-        return assign
-
-    for _ in range(iters):
-        ref = ray.put(centroids)
-        part = (nds.map_batches(partials_for(ref), batch_format="pandas")
-                .to_pandas().sort_values(["cluster", "blk"],
-                                         kind="mergesort"))
-        counts = part.groupby("cluster")["n"].sum()
-        sums = {c: np.sum(np.stack([np.asarray(s) for s in g["s"]]),
-                          axis=0)
-                for c, g in part.groupby("cluster")}
-        centroids = np.stack([
-            sums[c] / counts[c] if counts[c] > 0 else centroids[c]
-            for c in range(kk)])
-
+    centroids = lloyd_centroids(nds, k=k, iters=iters)
     ref = ray.put(centroids)
 
     def add_cluster(b: pd.DataFrame) -> pd.DataFrame:
-        X = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in b["embedding"]])
-        C = ray.get(ref)
-        d2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T)
-              + (C * C).sum(1)[None, :])
         b = b.copy(deep=False)
-        b["cluster"] = d2.argmin(1).astype(np.int64)
+        b["cluster"] = assign_clusters(b, ray.get(ref))
         return b
 
     pairs = bucketed_map_groups(

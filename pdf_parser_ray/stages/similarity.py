@@ -232,3 +232,67 @@ def semantic_pairs_group(g: pd.DataFrame, *, threshold: float,
     return pd.DataFrame({"vec_a": np.concatenate(rows_a),
                          "vec_b": np.concatenate(rows_b),
                          "block": np.concatenate(rows_l)})
+
+
+def lloyd_centroids(nds, *, k: int, iters: int,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> np.ndarray:
+    """Distributed Lloyd's k-means returning the FINAL CENTROIDS only:
+    deterministic lowest-id seeds, per-batch vectorized assign +
+    per-cluster partial sums inside map_batches, driver combines k x
+    n_blocks tiny partials per iteration in deterministic (cluster,
+    blk) order. This is the blocking stage for kmeans-blocked
+    SemDeDup; queries.embeddings_kmeans keeps its own fused variant
+    because its REPORT (per-iteration SSE bound, assignment hashes)
+    rides the same partial pass — the assignment kernel there must
+    stay in sync with ``assign_clusters`` below."""
+    import ray
+
+    seed = (nds.map_batches(
+        lambda b: b.sort_values(id_col).head(k), batch_format="pandas")
+        .to_pandas().sort_values(id_col).head(k))
+    if len(seed) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(seed)}")
+    centroids = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in seed[vec_col]])
+
+    def partials_for(ref):
+        def assign(b: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in b[vec_col]])
+            C = ray.get(ref)
+            d2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T)
+                  + (C * C).sum(1)[None, :])
+            a = d2.argmin(1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pd.DataFrame({
+                "cluster": np.arange(k, dtype=np.int64),
+                "n": counts, "s": list(sums),
+                "blk": np.int64(b[id_col].min())})
+        return assign
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+        part = (nds.map_batches(partials_for(ref), batch_format="pandas")
+                .to_pandas().sort_values(["cluster", "blk"],
+                                         kind="mergesort"))
+        counts = part.groupby("cluster")["n"].sum()
+        sums = {c: np.sum(np.stack([np.asarray(s) for s in g["s"]]),
+                          axis=0)
+                for c, g in part.groupby("cluster")}
+        centroids = np.stack([
+            sums[c] / counts[c] if counts[c] > 0 else centroids[c]
+            for c in range(k)])
+    return centroids
+
+
+def assign_clusters(b: pd.DataFrame, centroids: np.ndarray, *,
+                    vec_col: str = "embedding") -> np.ndarray:
+    """Nearest-centroid assignment for one batch (the same d2 kernel
+    lloyd_centroids iterates with)."""
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+    d2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ centroids.T)
+          + (centroids * centroids).sum(1)[None, :])
+    return d2.argmin(1).astype(np.int64)

@@ -60,8 +60,8 @@ def test_waves_process_only_new_files(ray_session, corpus_files,
 
     # union over waves == one-shot extraction of all three files
     got = _sorted(read_waves(out).to_pandas())
-    # hive-inferred provenance (zero-padded directory-name strings)
-    assert set(got["wave"]) == {"00000", "00001"}
+    # hive-inferred provenance, cast to int64 to match waves_lineage
+    assert set(got["wave"]) == {0, 1}
     want = _sorted(run_extraction_from_parquet(paths).to_pandas())
     pd.testing.assert_frame_equal(got.drop(columns=["bucket", "wave"]),
                                   want)
@@ -103,21 +103,81 @@ def test_crashed_wave_resumes_without_duplicates(ray_session,
     assert m["bucket"].tolist() == [int(victim.split("=")[1])]
     full = read_waves(out).to_pandas()
     assert not full.duplicated(["conv_id", "turn_idx"]).any()
+    # the committed registry entry records the wave's FULL row count
+    # (from lineage), not just the recomputed bucket's
+    reg2 = json.load(open(reg_path))["waves"]
+    wave1_rows = full[full["wave"] == 1].shape[0]
+    assert reg2[1]["rows"] == wave1_rows
 
 
-def test_uncommitted_wave_with_different_files_refused(
+def test_uncommitted_wave_with_foreign_files_refused(
         ray_session, corpus_files, tmp_path):
+    """A recorded file OUTSIDE the pending listing is genuinely
+    ambiguous and refused (a subset, by contrast, resumes)."""
     from pdf_parser_ray.state.waves import extract_wave
     paths, _ = corpus_files
     out = str(tmp_path / "corpus")
     extract_wave(paths[:1], out, n_buckets=8)
-    # fake an uncommitted wave started for day1 only
     wdir = os.path.join(out, "wave=00001")
     os.makedirs(wdir)
-    json.dump({"files": [os.path.abspath(paths[1])]},
+    json.dump({"files": ["/tmp/never_submitted.parquet"]},
               open(os.path.join(wdir, "_WAVE.json"), "w"))
     with pytest.raises(ValueError, match="different file set"):
         extract_wave(paths, out, n_buckets=8)
+
+
+def test_crash_straddling_new_drop_resumes_then_continues(
+        ray_session, corpus_files, tmp_path):
+    """A crash before the registry commit, followed by a NEW file
+    landing: the next full-listing submission must resume + commit the
+    crashed wave over ITS files, then process the new file as the next
+    wave — the daily cron never wedges."""
+    from pdf_parser_ray.pipelines.extraction import (
+        run_extraction_from_parquet)
+    from pdf_parser_ray.state.waves import (extract_wave, read_registry,
+                                            read_waves, waves_lineage)
+    paths, _ = corpus_files
+    out = str(tmp_path / "corpus")
+    extract_wave(paths[:1], out, n_buckets=8)
+    extract_wave(paths[:2], out, n_buckets=8)
+    # roll back wave 1's registry entry (crash before commit)
+    reg_path = os.path.join(out, "_WAVES.json")
+    reg = json.load(open(reg_path))
+    reg["waves"] = reg["waves"][:1]
+    json.dump(reg, open(reg_path, "w"))
+
+    # day2's file has landed; submit the full listing
+    w, _ = extract_wave(paths, out, n_buckets=8)
+    assert w == 2
+    reg = read_registry(out)
+    assert [x["wave"] for x in reg] == [0, 1, 2]
+    assert reg[1]["files"] == [os.path.abspath(paths[1])]
+    assert reg[2]["files"] == [os.path.abspath(paths[2])]
+
+    got = _sorted(read_waves(out).to_pandas())
+    # the hive wave column is int64 so it joins lineage directly
+    assert got["wave"].dtype == "int64"
+    lin = waves_lineage(out)
+    joined = got.merge(lin[["wave", "bucket", "rows"]],
+                       on=["wave", "bucket"], how="left")
+    assert joined["rows"].notna().all()
+    want = _sorted(run_extraction_from_parquet(paths).to_pandas())
+    pd.testing.assert_frame_equal(
+        got.drop(columns=["bucket", "wave"]), want)
+
+
+def test_dir_without_meta_is_adopted(ray_session, corpus_files,
+                                     tmp_path):
+    """A wave dir whose _WAVE.json never landed (crash before the
+    atomic replace) has no data by construction; the next submission
+    adopts it instead of crashing."""
+    from pdf_parser_ray.state.waves import extract_wave
+    paths, _ = corpus_files
+    out = str(tmp_path / "corpus")
+    extract_wave(paths[:1], out, n_buckets=8)
+    os.makedirs(os.path.join(out, "wave=00001"))
+    w, m = extract_wave(paths[:2], out, n_buckets=8)
+    assert w == 1 and m["rows"].sum() > 0
 
 
 def test_read_waves_ignores_uncommitted(ray_session, corpus_files,
