@@ -182,6 +182,10 @@ def run_queries() -> dict:
                 # proxy
                 "embeddings_semantic_pairs", "embeddings_semantic_dedup",
                 "embeddings_semantic_pairs_kmeans", "docs_unigram_ce"]
+    # transcript_wave_extract is deliberately NOT a bench row: it is a
+    # commit-protocol demo (two full wave extractions + checkpointed
+    # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose
+    # throughput-relevant compute is exactly the flagship's
     import gc
     out = {}
     for name in headline:
