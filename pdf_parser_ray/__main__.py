@@ -5,10 +5,13 @@ A003_colored_footer.py:363-430, A004_Vision_2025.py:446-500).
     python -m pdf_parser_ray questions --sf-dir DIR [--out DIR]
     python -m pdf_parser_ray markdown  --sf-dir DIR [--out DIR] [--style c001|c002]
     python -m pdf_parser_ray wave      --files F [F ...] --out DIR
+    python -m pdf_parser_ray compact   --out DIR
 
 ``wave`` is the daily-operations entry (state/waves.py): pass the FULL
 current file listing every run; only registry-new files are extracted,
 a crashed wave resumes, a fully-committed listing is a no-op.
+``compact`` seals everything committed into one read-optimized
+generation (run it when small daily waves accumulate).
 
 Owns its Ray session (scripts init; the driver harness and library never
 do)."""
@@ -47,6 +50,8 @@ def main(argv=None):
     w.add_argument("--out", required=True)
     w.add_argument("--n-buckets", type=int, default=32)
     w.add_argument("--num-blocks", type=int, default=None)
+    c = sub.add_parser("compact")
+    c.add_argument("--out", required=True)
     args = p.parse_args(argv)
 
     import os
@@ -61,6 +66,20 @@ def main(argv=None):
                  include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "compact":
+        try:
+            from .state.waves import compact_waves
+            entry = compact_waves(args.out)
+            if entry is None:
+                print("already compacted through the latest wave")
+            else:
+                print(f"generation {entry['generation']}: "
+                      f"{entry['rows']} rows, covers waves 0.."
+                      f"{entry['covers_through']}")
+        finally:
+            ray.shutdown()
+        return
 
     if args.cmd == "wave":
         try:

@@ -41,18 +41,32 @@ def _registry_path(out_dir: str) -> str:
     return os.path.join(out_dir, _REGISTRY)
 
 
-def read_registry(out_dir: str) -> List[dict]:
+def _read_registry_full(out_dir: str) -> dict:
     p = _registry_path(out_dir)
     if not os.path.exists(p):
-        return []
+        return {"waves": [], "compactions": []}
     with open(p) as f:
-        return json.load(f)["waves"]
+        reg = json.load(f)
+    reg.setdefault("compactions", [])
+    return reg
 
 
-def _commit_registry(out_dir: str, waves: List[dict]) -> None:
+def read_registry(out_dir: str) -> List[dict]:
+    return _read_registry_full(out_dir)["waves"]
+
+
+def read_compactions(out_dir: str) -> List[dict]:
+    return _read_registry_full(out_dir)["compactions"]
+
+
+def _commit_registry(out_dir: str, waves: List[dict],
+                     compactions: Optional[List[dict]] = None) -> None:
+    if compactions is None:
+        compactions = _read_registry_full(out_dir)["compactions"]
     tmp = _registry_path(out_dir) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"waves": waves}, f, sort_keys=True)
+        json.dump({"waves": waves, "compactions": compactions}, f,
+                  sort_keys=True)
     os.replace(tmp, _registry_path(out_dir))
 
 
@@ -143,17 +157,26 @@ def extract_wave(transcript_files: Sequence[str], out_dir: str, *,
         last = (wave_id, metrics)
 
 
-def read_waves(out_dir: str, *, columns: Optional[List[str]] = None):
-    """One Dataset over every COMMITTED wave's bucket parquet files
-    (an uncommitted, half-written wave is invisible — readers only see
-    registry-committed data). Hive-style path inference surfaces the
-    ``wave`` directory key as a provenance column alongside the stored
-    ``bucket`` column; both are cast to int64 so they join directly
-    against ``waves_lineage`` / the registry (the raw hive values are
-    zero-padded directory strings)."""
-    import ray.data as rd
+def _canonicalize(t):
+    """Shared read-surface shape: hive-inferred wave/bucket cast to
+    int64 (zero-padded directory strings otherwise), columns in sorted
+    name order so the compacted and delta branches union cleanly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if "compact" in t.column_names:
+        # the generation dir's own hive key — layout detail, not data
+        t = t.drop_columns(["compact"])
+    for name in ("wave", "bucket"):
+        idx = t.schema.get_field_index(name)
+        if idx >= 0 and not pa.types.is_integer(t.column(idx).type):
+            t = t.set_column(idx, name,
+                             pc.cast(t.column(idx), pa.int64()))
+    return t.select(sorted(t.column_names))
+
+
+def _wave_bucket_paths(out_dir: str, waves: List[dict]) -> List[str]:
     paths: List[str] = []
-    for w in read_registry(out_dir):
+    for w in waves:
         wdir = os.path.join(out_dir, f"wave={w['wave']:05d}")
         for b in sorted(os.listdir(wdir)):
             if not b.startswith("bucket="):
@@ -164,21 +187,88 @@ def read_waves(out_dir: str, *, columns: Optional[List[str]] = None):
             paths.extend(sorted(
                 os.path.join(bdir, f) for f in os.listdir(bdir)
                 if f.endswith(".parquet")))
-    if not paths:
+    return paths
+
+
+def read_waves(out_dir: str, *, columns: Optional[List[str]] = None):
+    """One Dataset over everything COMMITTED: the latest compaction
+    generation (if any) plus the delta waves committed after it. An
+    uncommitted half-written wave or compaction dir is invisible —
+    readers only follow the registry. Hive-style path inference
+    surfaces the ``wave`` directory key as a provenance column
+    alongside the stored ``bucket`` column; both are int64 (stored
+    columns in compacted files, cast from the zero-padded directory
+    strings on the wave-dir branch) so they join ``waves_lineage`` /
+    the registry directly."""
+    import ray.data as rd
+    reg = _read_registry_full(out_dir)
+    comps = reg["compactions"]
+    latest = comps[-1] if comps else None
+    parts = []
+    if latest is not None:
+        cdir = os.path.join(out_dir,
+                            f"compact={latest['generation']:05d}")
+        cfiles = sorted(os.path.join(cdir, f) for f in os.listdir(cdir)
+                        if f.endswith(".parquet"))
+        if cfiles:
+            parts.append(rd.read_parquet(cfiles, columns=columns)
+                         .map_batches(_canonicalize,
+                                      batch_format="pyarrow"))
+        delta = [w for w in reg["waves"]
+                 if w["wave"] > latest["covers_through"]]
+    else:
+        delta = reg["waves"]
+    paths = _wave_bucket_paths(out_dir, delta)
+    if paths:
+        parts.append(rd.read_parquet(paths, columns=columns)
+                     .map_batches(_canonicalize,
+                                  batch_format="pyarrow"))
+    if not parts:
         raise ValueError(f"no committed wave data under {out_dir}")
-    ds = rd.read_parquet(paths, columns=columns)
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
 
-    def cast_hive(t):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        for name in ("wave", "bucket"):
-            idx = t.schema.get_field_index(name)
-            if idx >= 0 and not pa.types.is_integer(t.column(idx).type):
-                t = t.set_column(idx, name,
-                                 pc.cast(t.column(idx), pa.int64()))
-        return t
 
-    return ds.map_batches(cast_hive, batch_format="pyarrow")
+def compact_waves(out_dir: str) -> Optional[dict]:
+    """Rewrite everything committed into ONE compacted generation —
+    the lakehouse read-optimization for an append-only corpus whose
+    daily waves each left n_buckets smallish files: readers then open
+    the compacted files plus only the post-compaction delta waves.
+    Provenance survives (wave/bucket become stored int64 columns).
+
+    Protocol mirrors extract_wave: the generation dir is fully written
+    BEFORE its registry entry lands (atomic replace); a crash leaves an
+    uncommitted dir that readers never see and the next compaction
+    rebuilds (compacted data is derivable, unlike wave data). After the
+    commit, superseded generations are pruned — wave dirs are kept (they
+    carry the lineage). Single-writer, like the rest of the registry.
+    Returns the committed registry entry, or None when the latest
+    generation already covers every committed wave (idempotent)."""
+    import shutil
+
+    reg = _read_registry_full(out_dir)
+    waves, comps = reg["waves"], reg["compactions"]
+    if not waves:
+        raise ValueError(f"nothing to compact under {out_dir}")
+    covers_through = waves[-1]["wave"]
+    if comps and comps[-1]["covers_through"] == covers_through:
+        return None
+    gen = len(comps)
+    cdir = os.path.join(out_dir, f"compact={gen:05d}")
+    if os.path.exists(cdir):
+        shutil.rmtree(cdir)   # uncommitted leftover: derivable, rebuild
+    ds = read_waves(out_dir)  # the committed view this generation seals
+    ds.write_parquet(cdir)
+    entry = {"generation": gen, "covers_through": covers_through,
+             "rows": int(sum(w["rows"] for w in waves))}
+    _commit_registry(out_dir, waves, comps + [entry])
+    for old in comps:
+        shutil.rmtree(os.path.join(
+            out_dir, f"compact={old['generation']:05d}"),
+            ignore_errors=True)
+    return entry
 
 
 def waves_lineage(out_dir: str) -> pd.DataFrame:

@@ -194,3 +194,61 @@ def test_read_waves_ignores_uncommitted(ray_session, corpus_files,
     reg["waves"] = reg["waves"][:1]
     json.dump(reg, open(reg_path, "w"))
     assert read_waves(out).count() == n_committed
+
+
+def test_compaction_preserves_view_and_prunes(ray_session,
+                                              corpus_files, tmp_path):
+    """compact_waves seals the committed view into one generation:
+    the read surface is frame-identical before/after, delta waves
+    landed after a compaction union in, a second generation prunes
+    the first, and recompaction with nothing new is a no-op."""
+    from pdf_parser_ray.state.waves import (compact_waves, extract_wave,
+                                            read_compactions, read_waves)
+    paths, _ = corpus_files
+    out = str(tmp_path / "corpus")
+    extract_wave(paths[:1], out, n_buckets=8)
+    extract_wave(paths[:2], out, n_buckets=8)
+
+    before = _sorted(read_waves(out).to_pandas())
+    entry = compact_waves(out)
+    assert entry["generation"] == 0 and entry["covers_through"] == 1
+    assert entry["rows"] == len(before)
+    after = _sorted(read_waves(out).to_pandas())
+    pd.testing.assert_frame_equal(before, after)
+
+    assert compact_waves(out) is None   # nothing new: idempotent
+
+    # a delta wave after the compaction unions into the view
+    extract_wave(paths, out, n_buckets=8)
+    view = _sorted(read_waves(out).to_pandas())
+    assert set(view["wave"]) == {0, 1, 2}
+    assert len(view) > len(before)
+
+    # second generation covers the delta and prunes the first
+    entry2 = compact_waves(out)
+    assert entry2["generation"] == 1 and entry2["covers_through"] == 2
+    assert not os.path.exists(os.path.join(out, "compact=00000"))
+    assert os.path.exists(os.path.join(out, "wave=00000"))  # lineage kept
+    pd.testing.assert_frame_equal(
+        _sorted(read_waves(out).to_pandas()), view)
+    assert [c["generation"] for c in read_compactions(out)] == [0, 1]
+
+
+def test_uncommitted_compaction_invisible_and_rebuilt(
+        ray_session, corpus_files, tmp_path):
+    from pdf_parser_ray.state.waves import (compact_waves, extract_wave,
+                                            read_waves)
+    paths, _ = corpus_files
+    out = str(tmp_path / "corpus")
+    extract_wave(paths[:2], out, n_buckets=8)
+    before = _sorted(read_waves(out).to_pandas())
+    # a crashed compaction: dir exists with partial junk, no registry
+    cdir = os.path.join(out, "compact=00000")
+    os.makedirs(cdir)
+    before.head(3).to_parquet(os.path.join(cdir, "partial.parquet"))
+    pd.testing.assert_frame_equal(
+        _sorted(read_waves(out).to_pandas()), before)  # invisible
+    entry = compact_waves(out)                          # rebuilt clean
+    assert entry["generation"] == 0
+    pd.testing.assert_frame_equal(
+        _sorted(read_waves(out).to_pandas()), before)
