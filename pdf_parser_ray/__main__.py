@@ -52,6 +52,10 @@ def main(argv=None):
     w.add_argument("--num-blocks", type=int, default=None)
     c = sub.add_parser("compact")
     c.add_argument("--out", required=True)
+    c.add_argument("--prune", action="store_true",
+                   help="delete superseded generations after the "
+                        "commit (only when no reader may still be "
+                        "streaming them)")
     args = p.parse_args(argv)
 
     import os
@@ -70,7 +74,7 @@ def main(argv=None):
     if args.cmd == "compact":
         try:
             from .state.waves import compact_waves
-            entry = compact_waves(args.out)
+            entry = compact_waves(args.out, prune=args.prune)
             if entry is None:
                 print("already compacted through the latest wave")
             else:

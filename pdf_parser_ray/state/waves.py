@@ -61,13 +61,25 @@ def read_compactions(out_dir: str) -> List[dict]:
 
 def _commit_registry(out_dir: str, waves: List[dict],
                      compactions: Optional[List[dict]] = None) -> None:
+    """Durable atomic registry replace: tmp is fsynced before the
+    rename and the directory after it, so a power loss can never
+    surface a registry state newer than the data it points at (the
+    ordering prune_superseded relies on before deleting the only copy
+    of a superseded generation)."""
     if compactions is None:
         compactions = _read_registry_full(out_dir)["compactions"]
     tmp = _registry_path(out_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"waves": waves, "compactions": compactions}, f,
                   sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, _registry_path(out_dir))
+    dfd = os.open(out_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _empty_metrics() -> pd.DataFrame:
@@ -190,18 +202,11 @@ def _wave_bucket_paths(out_dir: str, waves: List[dict]) -> List[str]:
     return paths
 
 
-def read_waves(out_dir: str, *, columns: Optional[List[str]] = None):
-    """One Dataset over everything COMMITTED: the latest compaction
-    generation (if any) plus the delta waves committed after it. An
-    uncommitted half-written wave or compaction dir is invisible —
-    readers only follow the registry. Hive-style path inference
-    surfaces the ``wave`` directory key as a provenance column
-    alongside the stored ``bucket`` column; both are int64 (stored
-    columns in compacted files, cast from the zero-padded directory
-    strings on the wave-dir branch) so they join ``waves_lineage`` /
-    the registry directly."""
+def _view_parts(out_dir: str, reg: dict,
+                columns: Optional[List[str]]) -> list:
+    """The committed view AS OF the given registry snapshot: the
+    latest compaction generation plus the delta waves after it."""
     import ray.data as rd
-    reg = _read_registry_full(out_dir)
     comps = reg["compactions"]
     latest = comps[-1] if comps else None
     parts = []
@@ -223,6 +228,20 @@ def read_waves(out_dir: str, *, columns: Optional[List[str]] = None):
         parts.append(rd.read_parquet(paths, columns=columns)
                      .map_batches(_canonicalize,
                                   batch_format="pyarrow"))
+    return parts
+
+
+def read_waves(out_dir: str, *, columns: Optional[List[str]] = None):
+    """One Dataset over everything COMMITTED: the latest compaction
+    generation (if any) plus the delta waves committed after it. An
+    uncommitted half-written wave or compaction dir is invisible —
+    readers only follow the registry. Hive-style path inference
+    surfaces the ``wave`` directory key as a provenance column
+    alongside the stored ``bucket`` column; both are int64 (stored
+    columns in compacted files, cast from the zero-padded directory
+    strings on the wave-dir branch) so they join ``waves_lineage`` /
+    the registry directly."""
+    parts = _view_parts(out_dir, _read_registry_full(out_dir), columns)
     if not parts:
         raise ValueError(f"no committed wave data under {out_dir}")
     ds = parts[0]
@@ -231,7 +250,7 @@ def read_waves(out_dir: str, *, columns: Optional[List[str]] = None):
     return ds
 
 
-def compact_waves(out_dir: str) -> Optional[dict]:
+def compact_waves(out_dir: str, *, prune: bool = False) -> Optional[dict]:
     """Rewrite everything committed into ONE compacted generation —
     the lakehouse read-optimization for an append-only corpus whose
     daily waves each left n_buckets smallish files: readers then open
@@ -239,13 +258,19 @@ def compact_waves(out_dir: str) -> Optional[dict]:
     Provenance survives (wave/bucket become stored int64 columns).
 
     Protocol mirrors extract_wave: the generation dir is fully written
-    BEFORE its registry entry lands (atomic replace); a crash leaves an
-    uncommitted dir that readers never see and the next compaction
-    rebuilds (compacted data is derivable, unlike wave data). After the
-    commit, superseded generations are pruned — wave dirs are kept (they
-    carry the lineage). Single-writer, like the rest of the registry.
-    Returns the committed registry entry, or None when the latest
-    generation already covers every committed wave (idempotent)."""
+    BEFORE its registry entry lands (durable atomic replace); a crash
+    leaves an uncommitted dir that readers never see and the next
+    compaction rebuilds (compacted data is derivable, unlike wave
+    data). The generation's CONTENT and its covers_through both come
+    from ONE registry snapshot, and the commit re-reads the registry —
+    so a wave the daily job lands mid-compaction is neither baked into
+    the generation nor erased from the registry: it simply stays a
+    delta. Superseded generations are NOT deleted unless ``prune``
+    (see prune_superseded — an in-flight reader may still be streaming
+    the previous generation); wave dirs are always kept (they carry
+    the lineage). Compaction itself is single-writer. Returns the
+    committed registry entry, or None when the latest generation
+    already covers every committed wave (idempotent)."""
     import shutil
 
     reg = _read_registry_full(out_dir)
@@ -259,16 +284,42 @@ def compact_waves(out_dir: str) -> Optional[dict]:
     cdir = os.path.join(out_dir, f"compact={gen:05d}")
     if os.path.exists(cdir):
         shutil.rmtree(cdir)   # uncommitted leftover: derivable, rebuild
-    ds = read_waves(out_dir)  # the committed view this generation seals
+    # the view of THIS snapshot — not a re-read that could bake in a
+    # wave committed while the rewrite runs
+    parts = _view_parts(out_dir, reg, None)
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
     ds.write_parquet(cdir)
     entry = {"generation": gen, "covers_through": covers_through,
              "rows": int(sum(w["rows"] for w in waves))}
-    _commit_registry(out_dir, waves, comps + [entry])
-    for old in comps:
-        shutil.rmtree(os.path.join(
-            out_dir, f"compact={old['generation']:05d}"),
-            ignore_errors=True)
+    # commit against the CURRENT registry: waves appended since the
+    # snapshot survive as deltas of the new generation
+    cur = _read_registry_full(out_dir)
+    _commit_registry(out_dir, cur["waves"], cur["compactions"] + [entry])
+    if prune:
+        prune_superseded(out_dir)
     return entry
+
+
+def prune_superseded(out_dir: str) -> List[str]:
+    """Delete every compaction generation older than the latest.
+    Separate from compact_waves on purpose: an in-flight reader may
+    still be streaming the previous generation's files, so run this
+    after your own grace period. The registry commit is durable
+    (fsynced file + dir) BEFORE any data is deleted, so a crash can
+    never leave the registry pointing at a pruned generation. Returns
+    the removed directories."""
+    import shutil
+
+    comps = _read_registry_full(out_dir)["compactions"]
+    removed: List[str] = []
+    for old in comps[:-1]:
+        d = os.path.join(out_dir, f"compact={old['generation']:05d}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+            removed.append(d)
+    return removed
 
 
 def waves_lineage(out_dir: str) -> pd.DataFrame:

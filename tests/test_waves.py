@@ -224,14 +224,23 @@ def test_compaction_preserves_view_and_prunes(ray_session,
     assert set(view["wave"]) == {0, 1, 2}
     assert len(view) > len(before)
 
-    # second generation covers the delta and prunes the first
+    # second generation covers the delta; WITHOUT prune the previous
+    # generation stays on disk (an in-flight reader may stream it)
     entry2 = compact_waves(out)
     assert entry2["generation"] == 1 and entry2["covers_through"] == 2
-    assert not os.path.exists(os.path.join(out, "compact=00000"))
-    assert os.path.exists(os.path.join(out, "wave=00000"))  # lineage kept
+    assert os.path.exists(os.path.join(out, "compact=00000"))
     pd.testing.assert_frame_equal(
         _sorted(read_waves(out).to_pandas()), view)
     assert [c["generation"] for c in read_compactions(out)] == [0, 1]
+
+    # explicit prune removes only superseded generations
+    from pdf_parser_ray.state.waves import prune_superseded
+    removed = prune_superseded(out)
+    assert removed == [os.path.join(out, "compact=00000")]
+    assert os.path.exists(os.path.join(out, "compact=00001"))
+    assert os.path.exists(os.path.join(out, "wave=00000"))  # lineage kept
+    pd.testing.assert_frame_equal(
+        _sorted(read_waves(out).to_pandas()), view)
 
 
 def test_uncommitted_compaction_invisible_and_rebuilt(
@@ -252,3 +261,41 @@ def test_uncommitted_compaction_invisible_and_rebuilt(
     assert entry["generation"] == 0
     pd.testing.assert_frame_equal(
         _sorted(read_waves(out).to_pandas()), before)
+
+
+def test_wave_landed_mid_compaction_stays_a_delta(
+        ray_session, corpus_files, tmp_path, monkeypatch):
+    """A wave the daily job commits WHILE a compaction rewrite is
+    running must end up neither baked into the generation (would
+    duplicate) nor erased by the commit (would lose rows): content and
+    covers_through come from one snapshot, the commit re-reads the
+    registry, so the interleaved wave stays a delta."""
+    import ray.data
+
+    from pdf_parser_ray.pipelines.extraction import (
+        run_extraction_from_parquet)
+    from pdf_parser_ray.state.waves import (compact_waves, extract_wave,
+                                            read_registry, read_waves)
+    paths, _ = corpus_files
+    out = str(tmp_path / "corpus")
+    extract_wave(paths[:2], out, n_buckets=8)   # wave 0 = day0+day1
+
+    orig = ray.data.Dataset.write_parquet
+    fired = {}
+
+    def hooked(self, path, *a, **kw):
+        if not fired:            # day2's wave lands mid-rewrite
+            fired["x"] = True
+            extract_wave(paths, out, n_buckets=8)
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(ray.data.Dataset, "write_parquet", hooked)
+    entry = compact_waves(out)
+    monkeypatch.undo()
+
+    assert fired and entry["covers_through"] == 0
+    assert [w["wave"] for w in read_registry(out)] == [0, 1]
+    got = _sorted(read_waves(out).to_pandas())
+    want = _sorted(run_extraction_from_parquet(paths).to_pandas())
+    pd.testing.assert_frame_equal(
+        got.drop(columns=["bucket", "wave"]), want)
