@@ -27,6 +27,7 @@ guard — never silently mixed.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 from typing import List, Optional, Sequence, Tuple
@@ -60,14 +61,13 @@ def read_compactions(out_dir: str) -> List[dict]:
 
 
 def _commit_registry(out_dir: str, waves: List[dict],
-                     compactions: Optional[List[dict]] = None) -> None:
+                     compactions: List[dict]) -> None:
     """Durable atomic registry replace: tmp is fsynced before the
-    rename and the directory after it, so a power loss can never
-    surface a registry state newer than the data it points at (the
-    ordering prune_superseded relies on before deleting the only copy
-    of a superseded generation)."""
-    if compactions is None:
-        compactions = _read_registry_full(out_dir)["compactions"]
+    rename and the directory after it. Callers must first fsync the
+    DATA the new entry points at (`_fsync_tree`), so a power loss can
+    never surface a registry state newer than its data — the ordering
+    prune_superseded relies on before deleting the only copy of a
+    superseded generation."""
     tmp = _registry_path(out_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"waves": waves, "compactions": compactions}, f,
@@ -80,6 +80,59 @@ def _commit_registry(out_dir: str, waves: List[dict],
         os.fsync(dfd)
     finally:
         os.close(dfd)
+
+
+@contextlib.contextmanager
+def _registry_lock(out_dir: str):
+    """Exclusive flock serializing registry read-modify-write: the
+    supported concurrency is one daily extractor + one compactor, and
+    without this either commit could overwrite the other's entry
+    (lockless JSON read-modify-write). flock is advisory and
+    single-filesystem — on a multi-node cluster the registry lives on
+    the shared fs and writers run on one coordinator, like the shard
+    manifest."""
+    import fcntl
+    fd = os.open(os.path.join(out_dir, "_WAVES.lock"),
+                 os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def _commit_with(out_dir: str, *, add_wave: Optional[dict] = None,
+                 add_compaction: Optional[dict] = None) -> None:
+    """Append an entry under the registry lock, against the CURRENT
+    registry — a wave or compaction committed by the other writer
+    while this one worked is preserved."""
+    with _registry_lock(out_dir):
+        cur = _read_registry_full(out_dir)
+        if add_wave is not None:
+            cur["waves"].append(add_wave)
+        if add_compaction is not None:
+            cur["compactions"].append(add_compaction)
+        _commit_registry(out_dir, cur["waves"], cur["compactions"])
+
+
+def _fsync_tree(root: str) -> None:
+    """fsync every file and directory under ``root`` (and root
+    itself): the data a registry entry is about to point at must be
+    durable BEFORE the entry is — otherwise a power loss can leave a
+    committed entry whose files vanish from page cache."""
+    for dirpath, _dirnames, filenames in os.walk(root, topdown=False):
+        for name in filenames:
+            fd = os.open(os.path.join(dirpath, name), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        dfd = os.open(dirpath, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
 
 def _empty_metrics() -> pd.DataFrame:
@@ -160,12 +213,13 @@ def extract_wave(transcript_files: Sequence[str], out_dir: str, *,
             metrics = _empty_metrics()
 
         # lineage is the wave's TRUE total: on a resume the returned
-        # metrics cover only the recomputed buckets
+        # metrics cover only the recomputed buckets. Data durable
+        # before the entry that points at it.
         lineage = read_lineage(wdir)
-        waves.append({"wave": wave_id, "files": wave_files,
-                      "rows": int(lineage["rows"].sum())
-                      if len(lineage) else 0})
-        _commit_registry(out_dir, waves)
+        _fsync_tree(wdir)
+        _commit_with(out_dir, add_wave={
+            "wave": wave_id, "files": wave_files,
+            "rows": int(lineage["rows"].sum()) if len(lineage) else 0})
         last = (wave_id, metrics)
 
 
@@ -241,7 +295,12 @@ def read_waves(out_dir: str, *, columns: Optional[List[str]] = None):
     columns in compacted files, cast from the zero-padded directory
     strings on the wave-dir branch) so they join ``waves_lineage`` /
     the registry directly."""
-    parts = _view_parts(out_dir, _read_registry_full(out_dir), columns)
+    return _union_view(out_dir, _read_registry_full(out_dir), columns)
+
+
+def _union_view(out_dir: str, reg: dict,
+                columns: Optional[List[str]]):
+    parts = _view_parts(out_dir, reg, columns)
     if not parts:
         raise ValueError(f"no committed wave data under {out_dir}")
     ds = parts[0]
@@ -279,6 +338,10 @@ def compact_waves(out_dir: str, *, prune: bool = False) -> Optional[dict]:
         raise ValueError(f"nothing to compact under {out_dir}")
     covers_through = waves[-1]["wave"]
     if comps and comps[-1]["covers_through"] == covers_through:
+        # already sealed — but still honor prune: the documented safe
+        # workflow is compact today, prune after a grace period
+        if prune:
+            prune_superseded(out_dir)
         return None
     gen = len(comps)
     cdir = os.path.join(out_dir, f"compact={gen:05d}")
@@ -286,17 +349,15 @@ def compact_waves(out_dir: str, *, prune: bool = False) -> Optional[dict]:
         shutil.rmtree(cdir)   # uncommitted leftover: derivable, rebuild
     # the view of THIS snapshot — not a re-read that could bake in a
     # wave committed while the rewrite runs
-    parts = _view_parts(out_dir, reg, None)
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
+    ds = _union_view(out_dir, reg, None)
     ds.write_parquet(cdir)
+    _fsync_tree(cdir)   # generation durable BEFORE its entry
     entry = {"generation": gen, "covers_through": covers_through,
              "rows": int(sum(w["rows"] for w in waves))}
-    # commit against the CURRENT registry: waves appended since the
-    # snapshot survive as deltas of the new generation
-    cur = _read_registry_full(out_dir)
-    _commit_registry(out_dir, cur["waves"], cur["compactions"] + [entry])
+    # commit against the CURRENT registry under the lock: waves
+    # appended since the snapshot survive as deltas of the new
+    # generation, and a commit racing this one cannot be overwritten
+    _commit_with(out_dir, add_compaction=entry)
     if prune:
         prune_superseded(out_dir)
     return entry

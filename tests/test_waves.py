@@ -299,3 +299,41 @@ def test_wave_landed_mid_compaction_stays_a_delta(
     want = _sorted(run_extraction_from_parquet(paths).to_pandas())
     pd.testing.assert_frame_equal(
         got.drop(columns=["bucket", "wave"]), want)
+
+
+def test_prune_honored_when_already_compacted(ray_session,
+                                              corpus_files, tmp_path):
+    """The documented safe workflow — compact today, prune after a
+    grace period — must work from the same entry point: a compact
+    call that finds nothing new still prunes when asked."""
+    from pdf_parser_ray.state.waves import compact_waves, extract_wave
+    paths, _ = corpus_files
+    out = str(tmp_path / "corpus")
+    extract_wave(paths[:1], out, n_buckets=8)
+    compact_waves(out)                       # gen 0
+    extract_wave(paths[:2], out, n_buckets=8)
+    compact_waves(out)                       # gen 1, gen 0 kept
+    assert os.path.exists(os.path.join(out, "compact=00000"))
+    assert compact_waves(out, prune=True) is None   # nothing new
+    assert not os.path.exists(os.path.join(out, "compact=00000"))
+    assert os.path.exists(os.path.join(out, "compact=00001"))
+
+
+def test_compact_empty_corpus_raises_cleanly(ray_session, tmp_path):
+    """Waves committed with zero rows leave no bucket data; compaction
+    refuses with the documented error instead of an IndexError."""
+    import pandas as pd
+
+    from pdf_parser_ray.state.waves import compact_waves, extract_wave
+    cols = {"conv_id": pd.array([], dtype="string"),
+            "turn_idx": pd.array([], dtype="int32"),
+            "role": pd.array([], dtype="string"),
+            "text": pd.array([], dtype="string"),
+            "tool": pd.array([], dtype="string")}
+    p = str(tmp_path / "empty.parquet")
+    pd.DataFrame(cols).to_parquet(p)
+    out = str(tmp_path / "corpus")
+    w, _ = extract_wave([p], out, n_buckets=4)
+    assert w == 0
+    with pytest.raises(ValueError, match="no committed wave data"):
+        compact_waves(out)
