@@ -2585,6 +2585,21 @@ def docs_shuffle_order(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_gopher_rules(sf_dir: str) -> pd.DataFrame:
+    """The published Gopher quality-filter rule set (Rae et al. 2021
+    table A1) over the documents table — word-count bounds, mean-word-
+    length bounds, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, stop-word floor, and the
+    duplicate-line-fraction repetition rule. One vectorized
+    map_batches pass (pandas .str regex kernels); every threshold is a
+    cross-multiplied INTEGER comparison so the whole verified surface
+    is float-free and the DuckDB oracle matches bit-exactly."""
+    from .stages.text_analysis import gopher_rules_batch
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.map_batches(gopher_rules_batch, batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
 def docs_quality_scores(sf_dir: str) -> pd.DataFrame:
     from .stages.text_analysis import quality_batch
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -4292,6 +4307,7 @@ QUERIES = {
     "docs_bm25_topk": docs_bm25_topk,
     "docs_shuffle_order": docs_shuffle_order,
     "docs_quality_scores": docs_quality_scores,
+    "docs_gopher_rules": docs_gopher_rules,
     "docs_quality_gate": docs_quality_gate,
     "docs_top_tokens": docs_top_tokens,
     "docs_freq_spectrum": docs_freq_spectrum,
@@ -5960,4 +5976,60 @@ ORACLES["docs_unigram_ce"] = r"""
 ORACLES["embeddings_semantic_pairs_kmeans"] = f"""
     WITH {_SEMANTIC_AUG_SQL}
     SELECT vec_a, vec_b FROM sem_pairs ORDER BY vec_a, vec_b
+"""
+
+# Gopher-rule thresholds mirrored as the SAME cross-multiplied integer
+# comparisons the engine evaluates — no float ever enters the compare.
+ORACLES["docs_gopher_rules"] = r"""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+               AS word_count,
+             CAST(len(regexp_extract_all(text, '\S')) AS BIGINT)
+               AS word_chars,
+             CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+               AS symbols,
+             CAST(length(text) - length(replace(text, chr(10), '')) + 1
+                  AS BIGINT) AS n_lines,
+             CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*]'))
+                  AS BIGINT) AS bullet_lines,
+             CAST(len(regexp_extract_all(text, '(?m)\.\.\.$'))
+                  AS BIGINT) AS ellipsis_lines,
+             CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*'))
+                  AS BIGINT) AS alpha_words,
+             CAST(len(regexp_extract_all(
+                  text, '\b(the|be|to|of|and|that|have|with)\b'))
+                  AS BIGINT) AS stop_hits,
+             (SELECT COUNT(DISTINCT l.line) FROM
+                unnest(string_split(text, chr(10))) AS l(line))
+               AS n_distinct
+      FROM documents)
+    SELECT doc_id, word_count, word_chars, symbols, n_lines,
+           bullet_lines, ellipsis_lines, alpha_words, stop_hits,
+           CAST(n_lines - n_distinct AS BIGINT) AS dup_lines,
+           CAST(word_count >= 50 AND word_count <= 100000 AS BIGINT)
+             AS r_word_count,
+           CAST(word_chars >= 3 * word_count
+                AND word_chars <= 10 * word_count AS BIGINT)
+             AS r_mean_word_len,
+           CAST(10 * symbols <= word_count AS BIGINT) AS r_symbol_ratio,
+           CAST(10 * bullet_lines <= 9 * n_lines AS BIGINT) AS r_bullet,
+           CAST(10 * ellipsis_lines <= 3 * n_lines AS BIGINT)
+             AS r_ellipsis,
+           CAST(5 * alpha_words >= 4 * word_count AS BIGINT)
+             AS r_alpha_words,
+           CAST(stop_hits >= 2 AS BIGINT) AS r_stopwords,
+           CAST(10 * (n_lines - n_distinct) <= 3 * n_lines AS BIGINT)
+             AS r_dup_lines,
+           CAST((word_count >= 50 AND word_count <= 100000)
+                AND (word_chars >= 3 * word_count
+                     AND word_chars <= 10 * word_count)
+                AND 10 * symbols <= word_count
+                AND 10 * bullet_lines <= 9 * n_lines
+                AND 10 * ellipsis_lines <= 3 * n_lines
+                AND 5 * alpha_words >= 4 * word_count
+                AND stop_hits >= 2
+                AND 10 * (n_lines - n_distinct) <= 3 * n_lines
+                AS BIGINT) AS passes
+    FROM sig ORDER BY doc_id
 """

@@ -294,3 +294,62 @@ def winnow_batch(batch: pd.DataFrame, *, k: int = 5, window: int = 4
         "fp_min": pd.array(min_fps, dtype="uint64").astype("float64"),
         "fp_max": pd.array(max_fps, dtype="uint64").astype("float64"),
     })
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1): the
+# published heuristic document filters. Every threshold is evaluated
+# as a CROSS-MULTIPLIED INTEGER comparison (mean_word_len >= 3 becomes
+# word_chars >= 3 * word_count), so the verified surface carries no
+# floats at all and the DuckDB oracle is bit-exact by construction.
+_GOPHER_STOPWORDS = r"\b(the|be|to|of|and|that|have|with)\b"
+
+
+def gopher_rules_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc Gopher rule signals + rule booleans (int64 throughout).
+
+    Rules: 50 <= word_count <= 100000; 3 <= mean word length <= 10;
+    symbol-to-word ratio ('#' or '...') <= 0.1; bullet-started lines
+    <= 90%; ellipsis-ended lines <= 30%; >= 80% of words contain an
+    alphabetic character; >= 2 stop-word hits; duplicate-line
+    fraction <= 30% (the repetition-family member of the set)."""
+    text = b["text"]
+    word_count = text.str.count(r"\S+").astype("int64")
+    word_chars = text.str.count(r"\S").astype("int64")
+    symbols = text.str.count(r"#|\.\.\.").astype("int64")
+    n_lines = (text.str.count("\n") + 1).astype("int64")
+    bullet_lines = text.str.count(r"(?m)^[ \t]*[-*]").astype("int64")
+    ellipsis_lines = text.str.count(r"(?m)\.\.\.$").astype("int64")
+    alpha_words = text.str.count(r"\S*[A-Za-z]\S*").astype("int64")
+    stop_hits = text.str.count(_GOPHER_STOPWORDS).astype("int64")
+    lines = text.str.split("\n")
+    ex = lines.explode()
+    distinct_lines = (ex.groupby(level=0).nunique()
+                      .reindex(b.index).fillna(0).astype("int64"))
+    dup_lines = n_lines - distinct_lines
+
+    out = pd.DataFrame({
+        "doc_id": b["doc_id"].astype("int64"),
+        "word_count": word_count, "word_chars": word_chars,
+        "symbols": symbols, "n_lines": n_lines,
+        "bullet_lines": bullet_lines,
+        "ellipsis_lines": ellipsis_lines,
+        "alpha_words": alpha_words, "stop_hits": stop_hits,
+        "dup_lines": dup_lines,
+    })
+    out["r_word_count"] = ((word_count >= 50)
+                           & (word_count <= 100_000)).astype("int64")
+    out["r_mean_word_len"] = ((word_chars >= 3 * word_count)
+                              & (word_chars <= 10 * word_count)
+                              ).astype("int64")
+    out["r_symbol_ratio"] = (10 * symbols <= word_count).astype("int64")
+    out["r_bullet"] = (10 * bullet_lines <= 9 * n_lines).astype("int64")
+    out["r_ellipsis"] = (10 * ellipsis_lines
+                         <= 3 * n_lines).astype("int64")
+    out["r_alpha_words"] = (5 * alpha_words
+                            >= 4 * word_count).astype("int64")
+    out["r_stopwords"] = (stop_hits >= 2).astype("int64")
+    out["r_dup_lines"] = (10 * dup_lines <= 3 * n_lines).astype("int64")
+    rules = [c for c in out.columns if c.startswith("r_")]
+    out["passes"] = (out[rules].sum(axis=1) == len(rules)).astype("int64")
+    return out

@@ -165,3 +165,31 @@ def test_kmeans_blocking_finds_every_injected_pair(ray_session):
     injected = {(int(i), int(i) + 1_000_000) for i in ids[ids % 17 == 0]}
     got = set(map(tuple, kmeans_blocked.to_numpy()))
     assert injected <= got
+
+
+def test_gopher_rules_hand_computed(ray_session, tmp_path):
+    """Constructed docs exercising each Gopher rule: a good doc, a
+    bullet wall, an ellipsis spammer, a duplicate-line wall, a
+    symbol-ridden doc, and a numbers-only doc."""
+    from pdf_parser_ray.queries import docs_gopher_rules
+    out = tmp_path / "docs"
+    out.mkdir()
+    good = ("the quick brown fox and the lazy dog have been seen "
+            "with that other animal of note near the old mill " * 5)
+    bullets = "\n".join("- item the and of" for _ in range(10))
+    ellipsis = "\n".join(f"the and of that line {i}..."
+                         for i in range(10))
+    dups = "\n".join(["the same line of text and that"] * 10)
+    symbols = "the and " + "# " * 50
+    numbers = " ".join(str(i) for i in range(100))
+    pd.DataFrame({"doc_id": range(6),
+                  "text": [good, bullets, ellipsis, dups, symbols,
+                           numbers]}).to_parquet(out / "documents.parquet")
+    got = docs_gopher_rules(str(out)).set_index("doc_id")
+    assert got.loc[0, "passes"] == 1
+    assert got.loc[1, "r_bullet"] == 0 and got.loc[1, "passes"] == 0
+    assert got.loc[2, "r_ellipsis"] == 0
+    assert got.loc[3, "r_dup_lines"] == 0 and got.loc[3, "dup_lines"] == 9
+    assert got.loc[4, "r_symbol_ratio"] == 0
+    assert got.loc[5, "r_alpha_words"] == 0
+    assert got.loc[5, "r_stopwords"] == 0
