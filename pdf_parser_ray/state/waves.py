@@ -309,7 +309,9 @@ def _union_view(out_dir: str, reg: dict,
     return ds
 
 
-def compact_waves(out_dir: str, *, prune: bool = False) -> Optional[dict]:
+def compact_waves(out_dir: str, *, prune: bool = False,
+                  target_rows_per_file: int = 1_000_000
+                  ) -> Optional[dict]:
     """Rewrite everything committed into ONE compacted generation —
     the lakehouse read-optimization for an append-only corpus whose
     daily waves each left n_buckets smallish files: readers then open
@@ -350,6 +352,11 @@ def compact_waves(out_dir: str, *, prune: bool = False) -> Optional[dict]:
     # the view of THIS snapshot — not a re-read that could bake in a
     # wave committed while the rewrite runs
     ds = _union_view(out_dir, reg, None)
+    # the point of compaction is FEWER, bigger files: coalesce the
+    # accumulated small wave blocks to ~target_rows_per_file each
+    # (block-level rebalance, not a keyed shuffle)
+    total = sum(w["rows"] for w in waves)
+    ds = ds.repartition(max(1, -(-total // target_rows_per_file)))
     ds.write_parquet(cdir)
     _fsync_tree(cdir)   # generation durable BEFORE its entry
     entry = {"generation": gen, "covers_through": covers_through,
