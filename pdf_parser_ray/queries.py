@@ -5980,32 +5980,46 @@ ORACLES["embeddings_semantic_pairs_kmeans"] = f"""
 
 # Gopher-rule thresholds mirrored as the SAME cross-multiplied integer
 # comparisons the engine evaluates — no float ever enters the compare.
-ORACLES["docs_gopher_rules"] = r"""
+ORACLES["docs_gopher_rules"] = """
     WITH sig AS (
       SELECT doc_id,
-             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
-               AS word_count,
-             CAST(len(regexp_extract_all(text, '\S')) AS BIGINT)
-               AS word_chars,
-             CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
-               AS symbols,
+             CAST(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))
+                  AS BIGINT) AS word_count,
+             CAST(len(regexp_extract_all(text, '[^ \t\n\f\r]'))
+                  AS BIGINT) AS word_chars,
+             CAST(len(regexp_extract_all(text, '#|\.\.\.|…'))
+                  AS BIGINT) AS symbols,
              CAST(length(text) - length(replace(text, chr(10), '')) + 1
                   AS BIGINT) AS n_lines,
-             CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*]'))
+             CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]'))
                   AS BIGINT) AS bullet_lines,
-             CAST(len(regexp_extract_all(text, '(?m)\.\.\.$'))
-                  AS BIGINT) AS ellipsis_lines,
-             CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*'))
-                  AS BIGINT) AS alpha_words,
-             CAST(len(regexp_extract_all(
-                  text, '\b(the|be|to|of|and|that|have|with)\b'))
-                  AS BIGINT) AS stop_hits,
+             CAST(len(regexp_extract_all(text,
+                  '(?m)(\.\.\.|…)$')) AS BIGINT) AS ellipsis_lines,
+             CAST(len(regexp_extract_all(text,
+                  '[^ \t\n\f\r]*[A-Za-z][^ \t\n\f\r]*')) AS BIGINT)
+               AS alpha_words,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                unnest(regexp_extract_all(text, '[^ \t\n\f\r]+'))
+                  AS t(tok)
+              WHERE regexp_replace(lower(tok),
+                      '^[^0-9a-z]+|[^0-9a-z]+$', '', 'g')
+                    IN ('the','be','to','of','and','that','have','with'))
+               AS stop_hits,
+             (SELECT CAST(COUNT(DISTINCT regexp_replace(lower(tok),
+                      '^[^0-9a-z]+|[^0-9a-z]+$', '', 'g')) AS BIGINT)
+              FROM unnest(regexp_extract_all(text, '[^ \t\n\f\r]+'))
+                  AS t(tok)
+              WHERE regexp_replace(lower(tok),
+                      '^[^0-9a-z]+|[^0-9a-z]+$', '', 'g')
+                    IN ('the','be','to','of','and','that','have','with'))
+               AS stop_distinct,
              (SELECT COUNT(DISTINCT l.line) FROM
                 unnest(string_split(text, chr(10))) AS l(line))
                AS n_distinct
       FROM documents)
     SELECT doc_id, word_count, word_chars, symbols, n_lines,
            bullet_lines, ellipsis_lines, alpha_words, stop_hits,
+           stop_distinct,
            CAST(n_lines - n_distinct AS BIGINT) AS dup_lines,
            CAST(word_count >= 50 AND word_count <= 100000 AS BIGINT)
              AS r_word_count,

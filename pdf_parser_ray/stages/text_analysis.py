@@ -301,31 +301,59 @@ def winnow_batch(batch: pd.DataFrame, *, k: int = 5, window: int = 4
 # published heuristic document filters. Every threshold is evaluated
 # as a CROSS-MULTIPLIED INTEGER comparison (mean_word_len >= 3 becomes
 # word_chars >= 3 * word_count), so the verified surface carries no
-# floats at all and the DuckDB oracle is bit-exact by construction.
-_GOPHER_STOPWORDS = r"\b(the|be|to|of|and|that|have|with)\b"
+# floats at all. Character classes are ASCII-EXPLICIT throughout (the
+# BPE_TOKEN_PATTERN convention above): Python re defaults \\S/\\b to
+# unicode while DuckDB's RE2 is ASCII, so \\S / \\b in this kernel
+# would silently diverge from the oracle on NBSP, vertical-tab, or
+# non-ASCII-adjacent text (a review pass reproduced all three).
+_GOPHER_STOPSET = ("the", "be", "to", "of", "and", "that", "have",
+                   "with")
+_NONSPACE = r"[^ \t\n\f\r]"     # RE2 \S, spelled out for both engines
+_EDGE_PUNCT = r"^[^0-9a-z]+|[^0-9a-z]+$"
 
 
 def gopher_rules_batch(b: pd.DataFrame) -> pd.DataFrame:
     """Per-doc Gopher rule signals + rule booleans (int64 throughout).
 
     Rules: 50 <= word_count <= 100000; 3 <= mean word length <= 10;
-    symbol-to-word ratio ('#' or '...') <= 0.1; bullet-started lines
-    <= 90%; ellipsis-ended lines <= 30%; >= 80% of words contain an
-    alphabetic character; >= 2 stop-word hits; duplicate-line
-    fraction <= 30% (the repetition-family member of the set)."""
+    symbol-to-word ratio ('#', '...' or the unicode ellipsis) <= 0.1;
+    bullet-started lines (-, *, or the unicode bullet) <= 90%;
+    ellipsis-ended lines <= 30%; >= 80% of words contain an alphabetic
+    character; >= 2 stop-word OCCURRENCES (token-equality after
+    lowercasing and stripping edge punctuation — the paper's "contain
+    at least two of the following words" is read as occurrences, the
+    common reproduction choice; the DISTINCT count is also emitted so
+    a caller preferring that stricter reading can gate on
+    stop_distinct >= 2); duplicate-line fraction <= 30% (the
+    repetition-family member of the set)."""
     text = b["text"]
-    word_count = text.str.count(r"\S+").astype("int64")
-    word_chars = text.str.count(r"\S").astype("int64")
-    symbols = text.str.count(r"#|\.\.\.").astype("int64")
+    word_count = text.str.count(_NONSPACE + "+").astype("int64")
+    word_chars = text.str.count(_NONSPACE).astype("int64")
+    symbols = text.str.count("#|\\.\\.\\.|\u2026").astype("int64")
     n_lines = (text.str.count("\n") + 1).astype("int64")
-    bullet_lines = text.str.count(r"(?m)^[ \t]*[-*]").astype("int64")
-    ellipsis_lines = text.str.count(r"(?m)\.\.\.$").astype("int64")
-    alpha_words = text.str.count(r"\S*[A-Za-z]\S*").astype("int64")
-    stop_hits = text.str.count(_GOPHER_STOPWORDS).astype("int64")
-    lines = text.str.split("\n")
-    ex = lines.explode()
-    distinct_lines = (ex.groupby(level=0).nunique()
-                      .reindex(b.index).fillna(0).astype("int64"))
+    bullet_lines = text.str.count(
+        "(?m)^[ \\t]*[-*\u2022]").astype("int64")
+    ellipsis_lines = text.str.count(
+        "(?m)(\\.\\.\\.|\u2026)$").astype("int64")
+    alpha_words = text.str.count(
+        _NONSPACE + "*[A-Za-z]" + _NONSPACE + "*").astype("int64")
+
+    # stop words by token equality: lowercase, strip edge punctuation,
+    # match against the fixed 8-word set; both total hits and the
+    # DISTINCT count (the rule input) are emitted
+    toks = text.str.split()
+    ex = toks.explode().dropna()
+    norm = ex.str.lower().str.replace(_EDGE_PUNCT, "", regex=True)
+    hit = norm[norm.isin(_GOPHER_STOPSET)]
+    stop_hits = (hit.groupby(level=0).size()
+                 .reindex(b.index).fillna(0).astype("int64"))
+    stop_distinct = (hit.groupby(level=0).nunique()
+                     .reindex(b.index).fillna(0).astype("int64"))
+
+    # row-local distinct-line count: no index alignment to go wrong on
+    # a non-unique batch index
+    distinct_lines = text.str.split("\n").map(
+        lambda ls: len(set(ls))).astype("int64")
     dup_lines = n_lines - distinct_lines
 
     out = pd.DataFrame({
@@ -335,6 +363,7 @@ def gopher_rules_batch(b: pd.DataFrame) -> pd.DataFrame:
         "bullet_lines": bullet_lines,
         "ellipsis_lines": ellipsis_lines,
         "alpha_words": alpha_words, "stop_hits": stop_hits,
+        "stop_distinct": stop_distinct,
         "dup_lines": dup_lines,
     })
     out["r_word_count"] = ((word_count >= 50)

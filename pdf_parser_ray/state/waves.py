@@ -360,7 +360,7 @@ def compact_waves(out_dir: str, *, prune: bool = False,
     ds.write_parquet(cdir)
     _fsync_tree(cdir)   # generation durable BEFORE its entry
     entry = {"generation": gen, "covers_through": covers_through,
-             "rows": int(sum(w["rows"] for w in waves))}
+             "rows": int(total)}
     # commit against the CURRENT registry under the lock: waves
     # appended since the snapshot survive as deltas of the new
     # generation, and a commit racing this one cannot be overwritten

@@ -193,3 +193,39 @@ def test_gopher_rules_hand_computed(ray_session, tmp_path):
     assert got.loc[4, "r_symbol_ratio"] == 0
     assert got.loc[5, "r_alpha_words"] == 0
     assert got.loc[5, "r_stopwords"] == 0
+
+
+def test_gopher_rules_unicode_parity(ray_session, tmp_path):
+    """Engine (Python re) vs oracle (DuckDB RE2) on the unicode
+    divergence cases a review pass reproduced against the first
+    version: NBSP/vertical-tab whitespace, stop words adjacent to
+    non-ASCII letters, unicode ellipsis/bullet. ASCII-explicit
+    classes + token-equality stop words keep the two engines
+    bit-equal."""
+    import duckdb
+
+    from pdf_parser_ray.queries import ORACLES, QUERIES
+    texts = ["word joined the and of that be",
+             "col1\x0bcol2 the be to of",
+             "voilàthe café the and of be",
+             "line one…\nline two…\n• bullet the of and",
+             "the, and. of! that? be; with: to have",
+             "こんにちはthe and of be"]
+    out = tmp_path / "docs"
+    out.mkdir()
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}
+                 ).to_parquet(out / "documents.parquet")
+    got = QUERIES["docs_gopher_rules"](str(out))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{out}/documents.parquet'")
+    want = con.sql(ORACLES["docs_gopher_rules"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype(got.dtypes.to_dict()).reset_index(drop=True))
+    g = got.set_index("doc_id")
+    assert g.loc[0, "word_count"] == 6      # NBSP is NOT a separator
+    assert g.loc[1, "word_count"] == 5      # \x0b is NOT a separator
+    assert g.loc[3, "ellipsis_lines"] == 2  # unicode ellipsis counted
+    assert g.loc[3, "bullet_lines"] == 1    # unicode bullet counted
+    assert g.loc[4, "stop_distinct"] == 8   # edge punctuation stripped
