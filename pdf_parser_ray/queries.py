@@ -2600,6 +2600,21 @@ def docs_gopher_rules(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_c4_filters(sf_dir: str) -> pd.DataFrame:
+    """The C4 cleaning filters (Raffel et al. 2020 §2.2) as a
+    TRANSFORM over the documents table: terminal-punctuation /
+    5-word / no-javascript line retention, brace / lorem-ipsum /
+    min-3-sentences page gating. One vectorized map_batches pass;
+    the verified surface is the retained text itself plus int64
+    signals, mirrored lambda-for-lambda in the DuckDB oracle
+    (list_filter over the same ASCII-explicit RE2 predicates)."""
+    from .stages.text_analysis import c4_filters_batch, c4_inject_batch
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.map_batches(c4_inject_batch, batch_format="pandas")
+            .map_batches(c4_filters_batch, batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
 def docs_quality_scores(sf_dir: str) -> pd.DataFrame:
     from .stages.text_analysis import quality_batch
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -4308,6 +4323,7 @@ QUERIES = {
     "docs_shuffle_order": docs_shuffle_order,
     "docs_quality_scores": docs_quality_scores,
     "docs_gopher_rules": docs_gopher_rules,
+    "docs_c4_filters": docs_c4_filters,
     "docs_quality_gate": docs_quality_gate,
     "docs_top_tokens": docs_top_tokens,
     "docs_freq_spectrum": docs_freq_spectrum,
@@ -6046,4 +6062,55 @@ ORACLES["docs_gopher_rules"] = """
                 AND 10 * (n_lines - n_distinct) <= 3 * n_lines
                 AS BIGINT) AS passes
     FROM sig ORDER BY doc_id
+"""
+
+# C4 line retention mirrored lambda-for-lambda: list_filter over the
+# same ASCII-explicit RE2 predicates the engine's per-line masks use.
+ORACLES["docs_c4_filters"] = """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN regexp_replace(text,
+                       '((?:[^ ]+ ){5}[^ ]+) ', '\\1.' || chr(10), 'g')
+                  ELSE text END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN chr(10) || 'see var x = {1} in code'
+                     ELSE '' END
+             || CASE WHEN doc_id % 17 = 0
+                     THEN chr(10)
+                          || 'lorem ipsum dolor sit amet today ok.'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN chr(10)
+                          || 'This menu needs javascript enabled today.'
+                     ELSE '' END AS text
+      FROM documents),
+    f AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)),
+               l -> regexp_matches(l, '[.!?\\"]$')
+                    AND len(regexp_extract_all(l,
+                            '[^ \\t\\n\\f\\r]+')) >= 5
+                    AND NOT regexp_matches(l, '(?i)javascript'))
+               AS kept
+      FROM aug),
+    s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, chr(10))) AS BIGINT)
+               AS n_lines,
+             CAST(len(kept) AS BIGINT) AS kept_lines,
+             COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+             CAST(contains(text, '{') AS BIGINT) AS has_brace,
+             CAST(regexp_matches(text, '(?i)lorem ipsum') AS BIGINT)
+               AS has_lorem
+      FROM f)
+    SELECT doc_id, n_lines, kept_lines,
+           CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT)
+             AS n_sentences,
+           has_brace, has_lorem,
+           CAST(has_brace = 0 AND has_lorem = 0
+                AND len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+                AS BIGINT) AS keep_page,
+           clean_text
+    FROM s ORDER BY doc_id
 """

@@ -382,3 +382,66 @@ def gopher_rules_batch(b: pd.DataFrame) -> pd.DataFrame:
     rules = [c for c in out.columns if c.startswith("r_")]
     out["passes"] = (out[rules].sum(axis=1) == len(rules)).astype("int64")
     return out
+
+
+def c4_inject_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic C4 fixture (same role as pii_inject_batch): the
+    sf documents are single-line punctuation-free word salad, so every
+    C4 line filter would be vacuous. Sentence-ize every doc_id % 7 == 0
+    row (each 6-word run gets '.' + newline), and append page-drop /
+    line-drop markers to fixed id slices — a brace line (%13), a lorem
+    ipsum line (%17), and a javascript line (%11). Mirrored
+    expression-for-expression in the SQL oracle."""
+    import re
+    ids = b["doc_id"].to_numpy()
+    text = b["text"].copy()
+    m = ids % 7 == 0
+    text[m] = text[m].str.replace(r"((?:[^ ]+ ){5}[^ ]+) ",
+                                  r"\1.\n", regex=True)
+    m = ids % 13 == 0
+    text[m] = text[m] + "\nsee var x = {1} in code"
+    m = ids % 17 == 0
+    text[m] = text[m] + "\nlorem ipsum dolor sit amet today ok."
+    m = ids % 11 == 0
+    text[m] = text[m] + "\nThis menu needs javascript enabled today."
+    out = b.copy(deep=False)
+    out["text"] = text
+    return out
+
+
+def c4_filters_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """C4 cleaning filters (Raffel et al. 2020 §2.2 — the 'Colossal
+    Clean Crawled Corpus' heuristics), as a TRANSFORM: lines are
+    retained only if they end in a terminal punctuation mark
+    ([.!?"]), contain at least 5 words, and do not mention javascript
+    (case-insensitive); pages are dropped when they contain a curly
+    brace or 'lorem ipsum', or when the retained text has fewer than
+    3 sentences (terminal-punctuation count over the KEPT text — the
+    sentence proxy both engines can mirror). Character classes are
+    ASCII-explicit (see gopher_rules_batch); the verified surface is
+    the kept text itself plus int64 signals."""
+    text = b["text"]
+    lines = text.str.split("\n")
+    ex = lines.explode()
+    terminal = ex.str.contains(r'[.!?"]$', regex=True, na=False)
+    words5 = ex.str.count(r"[^ \t\n\f\r]+") >= 5
+    nojs = ~ex.str.contains(r"(?i)javascript", regex=True, na=False)
+    keep = terminal & words5 & nojs
+    kept_text = (ex[keep].groupby(level=0).agg("\n".join)
+                 .reindex(b.index).fillna(""))
+    kept_lines = (keep.groupby(level=0).sum()
+                  .reindex(b.index).fillna(0).astype("int64"))
+    n_lines = lines.str.len().astype("int64")
+    n_sentences = kept_text.str.count(r"[.!?]").astype("int64")
+    has_brace = text.str.contains("{", regex=False).astype("int64")
+    has_lorem = text.str.contains(r"(?i)lorem ipsum",
+                                  regex=True).astype("int64")
+    keep_page = ((has_brace == 0) & (has_lorem == 0)
+                 & (n_sentences >= 3)).astype("int64")
+    return pd.DataFrame({
+        "doc_id": b["doc_id"].astype("int64"),
+        "n_lines": n_lines, "kept_lines": kept_lines,
+        "n_sentences": n_sentences, "has_brace": has_brace,
+        "has_lorem": has_lorem, "keep_page": keep_page,
+        "clean_text": kept_text.astype(str),
+    })

@@ -229,3 +229,50 @@ def test_gopher_rules_unicode_parity(ray_session, tmp_path):
     assert g.loc[3, "ellipsis_lines"] == 2  # unicode ellipsis counted
     assert g.loc[3, "bullet_lines"] == 1    # unicode bullet counted
     assert g.loc[4, "stop_distinct"] == 8   # edge punctuation stripped
+
+
+def test_c4_filters_hand_computed():
+    """Line/page rules on a constructed corpus: terminal punctuation,
+    5-word minimum, javascript lines, brace/lorem page drops, and the
+    3-sentence floor."""
+    from pdf_parser_ray.stages.text_analysis import c4_filters_batch
+    b = pd.DataFrame({"doc_id": [0, 1, 2], "text": [
+        ("A good long sentence right here.\nshort one.\n"
+         "No terminal punct here at all\n"
+         "Another full sentence is here! And more? Yes."),
+        "Uses javascript for the menu bar.\nlorem ipsum dolor sit.",
+        "var x = {a: 1}\nA fine sentence with five words."]})
+    got = c4_filters_batch(b).set_index("doc_id")
+    assert got.loc[0, "kept_lines"] == 2      # short + unterminated drop
+    assert got.loc[0, "n_sentences"] == 4 and got.loc[0, "keep_page"] == 1
+    assert got.loc[1, "kept_lines"] == 0      # javascript line dropped
+    assert got.loc[1, "has_lorem"] == 1 and got.loc[1, "keep_page"] == 0
+    assert got.loc[2, "has_brace"] == 1 and got.loc[2, "keep_page"] == 0
+    assert got.loc[0, "clean_text"].count("\n") == 1
+
+
+def test_c4_fixture_parity_on_constructed_corpus(ray_session, tmp_path):
+    """Engine vs oracle through the full injected path on ids hitting
+    every fixture slice (7/11/13/17 multiples and none)."""
+    import duckdb
+
+    from pdf_parser_ray.queries import ORACLES, QUERIES
+    out = tmp_path / "docs"
+    out.mkdir()
+    base = " ".join(f"w{i}" for i in range(40))
+    ids = [0, 7, 11, 13, 17, 77, 91, 187, 221, 3]
+    pd.DataFrame({"doc_id": ids, "text": [base] * len(ids)}
+                 ).to_parquet(out / "documents.parquet")
+    got = QUERIES["docs_c4_filters"](str(out))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{out}/documents.parquet'")
+    want = (con.sql(ORACLES["docs_c4_filters"]).df()
+            .astype(got.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+    g = got.set_index("doc_id")
+    assert g.loc[7, "kept_lines"] > 0          # sentence-ized
+    assert g.loc[13, "has_brace"] == 1         # brace marker
+    assert g.loc[17, "has_lorem"] == 1
+    assert g.loc[3, "kept_lines"] == 0         # untouched word salad
