@@ -3127,22 +3127,27 @@ def embeddings_semantic_pairs_kmeans(sf_dir: str) -> pd.DataFrame:
     sufficient-statistics layout, deterministic lowest-vec_id seeds,
     5 Lloyd iterations — same distributed shape as embeddings_kmeans),
     then the tiled within-CLUSTER cosine scan. Cross-cluster pairs are
-    missed BY DESIGN — that is SemDeDup's approximation. The SQL
-    oracle (threshold over all within-label pairs, no clustering) is
-    exact here because every >=0.9 pair in the fixture corpus is a
-    collinear injected duplicate: collinear vectors normalize to the
-    SAME point, identical points share a nearest centroid, so each
-    such pair is intra-cluster and the blocking's recall is provably
-    1.0 on this corpus (asserted in tests/test_semantic.py; natural
-    pairs max out at cosine ~0.51). Verified surface: integer-only
+    missed BY DESIGN — that is SemDeDup's approximation. Scale shape
+    (stages/similarity.kmeans_blocked_pairs): k = max(8, ceil(n /
+    target_cluster_rows)) — the paper's "cluster fits a worker" design
+    point, ~110k clusters at web scale — the within-cluster scan
+    enforces a hard 4x-target per-cluster row budget, and an oversized
+    cluster is recursively re-clustered, never materialized in one
+    task. At fixture scale (<= 32k rows) k stays 8, so the pair set is
+    unchanged from the fixed-k version. The SQL oracle (threshold over
+    all within-LABEL pairs, no clustering) is exact here because every
+    >=0.9 pair in the fixture corpus is a collinear injected
+    duplicate: collinear vectors normalize to the SAME point,
+    identical points share a nearest centroid, so each such pair is
+    intra-cluster and the blocking's recall is provably 1.0 on this
+    corpus (natural pairs max out at cosine ~0.51). That
+    within-label invariant is FIXTURE-CORPUS-SCOPED and asserted at
+    runtime (label_col below): a future corpus with a legitimate
+    cross-label pair fails loudly in the scan task, not as an opaque
+    driver hash mismatch. Verified surface: integer-only
     (vec_a, vec_b)."""
-    import ray
-
-    from .relational import bucketed_map_groups
-    from .stages.similarity import (assign_clusters, lloyd_centroids,
-                                    semantic_inject_batch,
-                                    semantic_pairs_group)
-    k, iters = 8, 5
+    from .stages.similarity import (kmeans_blocked_pairs,
+                                    semantic_inject_batch)
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
@@ -3152,33 +3157,20 @@ def embeddings_semantic_pairs_kmeans(sf_dir: str) -> pd.DataFrame:
             v = np.asarray(v, dtype=np.float64)
             n = np.linalg.norm(v)
             normed.append(v / n if n > 0 else v)
+        lab = out["label"].astype("int64")
         out = out[["vec_id"]].copy(deep=False)
         out["embedding"] = pd.Series(normed, index=out.index,
                                      dtype=object)
+        out["label"] = lab
         return out
 
     # iterative re-scan: pin the normalized working set once
     nds = ds.map_batches(prep, batch_format="pandas").materialize()
-    if nds.count() == 0:
-        return pd.DataFrame({"vec_a": pd.array([], dtype="int64"),
-                             "vec_b": pd.array([], dtype="int64")})
-    centroids = lloyd_centroids(nds, k=k, iters=iters)
-    ref = ray.put(centroids)
-
-    def add_cluster(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy(deep=False)
-        b["cluster"] = assign_clusters(b, ray.get(ref))
-        return b
-
-    pairs = bucketed_map_groups(
-        nds.map_batches(add_cluster, batch_format="pandas"), ["cluster"],
-        lambda g: semantic_pairs_group(g, threshold=0.9,
-                                       block_col="cluster")).to_pandas()
+    pairs = kmeans_blocked_pairs(nds, threshold=0.9, label_col="label")
     if pairs.empty:
         return pd.DataFrame({"vec_a": pd.array([], dtype="int64"),
                              "vec_b": pd.array([], dtype="int64")})
-    return (pairs[["vec_a", "vec_b"]]
-            .astype({"vec_a": "int64", "vec_b": "int64"})
+    return (pairs.astype({"vec_a": "int64", "vec_b": "int64"})
             .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
 
 

@@ -296,3 +296,122 @@ def assign_clusters(b: pd.DataFrame, centroids: np.ndarray, *,
     d2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ centroids.T)
           + (centroids * centroids).sum(1)[None, :])
     return d2.argmin(1).astype(np.int64)
+
+
+def kmeans_blocked_pairs(nds, *, threshold: float,
+                         target_cluster_rows: int = 4096,
+                         iters: int = 5, k_floor: int = 8,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         label_col: str = None,
+                         _depth: int = 0,
+                         max_depth: int = 4) -> pd.DataFrame:
+    """SemDeDup's kmeans blocking at the PAPER'S design point: k scales
+    with corpus size (k = ceil(n / target_cluster_rows), so ~110k
+    clusters on the paper's web corpus) instead of a fixed small k that
+    would put corpus/k rows in one within-cluster scan task. The scan
+    itself enforces a hard per-cluster row budget (4x target), and a
+    cluster past the budget — skew kmeans couldn't balance — is
+    RECURSIVELY re-clustered on its own rows rather than scanned
+    oversized; a cluster kmeans provably cannot split (every row
+    identical, or max_depth reached) is refused loudly instead of
+    silently materializing it in one task.
+
+    ``label_col`` (optional) enables the fixture-corpus runtime
+    invariant the SQL oracle depends on: the oracle enumerates
+    within-LABEL pairs, so an emitted pair crossing labels — legal
+    SemDeDup output on some future corpus — must fail HERE with a
+    clear message, not as an opaque driver hash mismatch.
+
+    Returns the (vec_a, vec_b) pair frame, vec_a < vec_b, unsorted."""
+    import ray
+
+    from ..relational import bucketed_map_groups
+
+    empty = pd.DataFrame({"vec_a": pd.array([], dtype="int64"),
+                          "vec_b": pd.array([], dtype="int64")})
+    n = nds.count()
+    if n == 0:
+        return empty
+    row_budget = 4 * target_cluster_rows
+    # floor k at k_floor on the top-level call (cheap insurance for
+    # balance on small corpora), at 2 in recursion (the point there is
+    # only to split); always clamp to the corpus size so a tiny
+    # post-injection corpus never trips lloyd's seed check
+    k = min(n, max(k_floor if _depth == 0 else 2,
+                   -(-n // target_cluster_rows)))
+    centroids = lloyd_centroids(nds, k=k, iters=iters,
+                                vec_col=vec_col, id_col=id_col)
+    ref = ray.put(centroids)
+
+    def add_cluster(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["cluster"] = assign_clusters(b, ray.get(ref), vec_col=vec_col)
+        return b
+
+    cds = nds.map_batches(add_cluster, batch_format="pandas")
+    if k == 1:
+        # n <= target_cluster_rows: one block, inherently under budget
+        sizes = pd.Series({0: n})
+    else:
+        # per-cluster sizes as k-row partials combined on the driver
+        # (k rows per block — never a keyed shuffle)
+        cds = cds.materialize()
+        sizes = (cds.map_batches(
+            lambda b: pd.DataFrame({
+                "cluster": np.arange(k, dtype=np.int64),
+                "n": np.bincount(b["cluster"], minlength=k)}),
+            batch_format="pandas")
+            .to_pandas().groupby("cluster")["n"].sum())
+    oversized = set(sizes.index[sizes > row_budget].tolist())
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["cluster"].value_counts()
+        if (vc > row_budget).any():
+            raise RuntimeError(
+                f"within-cluster scan received a cluster of "
+                f"{int(vc.max())} rows past the {row_budget}-row "
+                "budget — the oversized-cluster re-clustering guard "
+                "is broken")
+        out = semantic_pairs_group(g, threshold=threshold,
+                                   block_col="cluster",
+                                   vec_col=vec_col, id_col=id_col)
+        if label_col is not None and len(out):
+            lab = g.set_index(id_col)[label_col]
+            cross = (lab.reindex(out["vec_a"]).to_numpy()
+                     != lab.reindex(out["vec_b"]).to_numpy())
+            if cross.any():
+                raise RuntimeError(
+                    f"{int(cross.sum())} emitted pair(s) cross labels "
+                    "— legal SemDeDup output, but this query's SQL "
+                    "oracle enumerates within-label pairs only and is "
+                    "FIXTURE-CORPUS-SCOPED; the corpus no longer "
+                    "satisfies its invariant (see "
+                    "semantic_inject_batch)")
+        return out[["vec_a", "vec_b"]]
+
+    within = cds if not oversized else cds.map_batches(
+        lambda b: b[~b["cluster"].isin(oversized)],
+        batch_format="pandas")
+    parts = [bucketed_map_groups(within, ["cluster"], scan).to_pandas()]
+    for c in sorted(oversized):
+        if sizes[c] >= n or _depth >= max_depth:
+            raise RuntimeError(
+                f"cluster {c} holds {int(sizes[c])} of {n} rows at "
+                f"depth {_depth} and cannot be split further "
+                f"(max_depth={max_depth}) — refusing to run a "
+                f"{int(sizes[c])}-row within-cluster scan in one "
+                "task; raise target_cluster_rows deliberately if "
+                "that is intended")
+        sub = cds.map_batches(
+            lambda b, c=c: b[b["cluster"] == c].drop(columns="cluster"),
+            batch_format="pandas")
+        parts.append(kmeans_blocked_pairs(
+            sub, threshold=threshold,
+            target_cluster_rows=target_cluster_rows, iters=iters,
+            vec_col=vec_col, id_col=id_col, label_col=label_col,
+            _depth=_depth + 1, max_depth=max_depth))
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return empty
+    return pd.concat(parts, ignore_index=True)

@@ -340,8 +340,10 @@ def gopher_rules_batch(b: pd.DataFrame) -> pd.DataFrame:
 
     # stop words by token equality: lowercase, strip edge punctuation,
     # match against the fixed 8-word set; both total hits and the
-    # DISTINCT count (the rule input) are emitted
-    toks = text.str.split()
+    # DISTINCT count (the rule input) are emitted. Tokenize with the
+    # same ASCII class as word_count and the oracle (str.split() would
+    # treat NBSP/\x0b/  as separators and diverge from RE2).
+    toks = text.str.findall(_NONSPACE + "+")
     ex = toks.explode().dropna()
     norm = ex.str.lower().str.replace(_EDGE_PUNCT, "", regex=True)
     hit = norm[norm.isin(_GOPHER_STOPSET)]

@@ -82,21 +82,83 @@ def _commit_registry(out_dir: str, waves: List[dict],
         os.close(dfd)
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 @contextlib.contextmanager
-def _registry_lock(out_dir: str):
-    """Exclusive flock serializing registry read-modify-write: the
+def _registry_lock(out_dir: str, timeout: float = 30.0):
+    """Exclusive lock serializing registry read-modify-write: the
     supported concurrency is one daily extractor + one compactor, and
     without this either commit could overwrite the other's entry
-    (lockless JSON read-modify-write). flock is advisory and
-    single-filesystem — on a multi-node cluster the registry lives on
-    the shared fs and writers run on one coordinator, like the shard
-    manifest."""
+    (lockless JSON read-modify-write).
+
+    Two layers, because flock alone is advisory AND node-local: on a
+    shared fs that does not forward flock across nodes (NFSv3, some
+    FUSE mounts) two writers on different machines would both "hold"
+    it. So after the flock, the critical section is fenced by an
+    O_CREAT|O_EXCL lease file (atomic create on local fs and NFSv3+).
+    A second writer the flock failed to exclude sees the live lease
+    and raises LOUDLY after ``timeout`` instead of interleaving the
+    read-modify-write. A stale lease from a crashed writer on the
+    SAME host (pid provably dead) is reclaimed automatically; a
+    foreign-host lease is never stolen — operator removes it after
+    confirming the writer is gone."""
     import fcntl
+    import socket
+    import time
     fd = os.open(os.path.join(out_dir, "_WAVES.lock"),
                  os.O_CREAT | os.O_RDWR)
+    lease = os.path.join(out_dir, "_WAVES.lease")
+    host = socket.gethostname()
     try:
         fcntl.flock(fd, fcntl.LOCK_EX)
-        yield
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                lfd = os.open(lease,
+                              os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    with open(lease) as f:
+                        info = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    info = None   # mid-write or just released; retry
+                if (info and info.get("host") == host
+                        and not _pid_alive(int(info.get("pid", -1)))):
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(lease)   # same-host crash: reclaim
+                    continue
+                if time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"registry lease {lease!r} is held by "
+                        f"{info or 'an unreadable writer'} while this "
+                        "process holds the flock — either the shared "
+                        "filesystem does not forward flock between "
+                        "writers (NFSv3/FUSE) and another node is "
+                        "mid-commit, or a writer crashed on another "
+                        "host. Refusing to interleave the registry "
+                        "read-modify-write; remove the lease file "
+                        "only after confirming that writer is gone.")
+                time.sleep(0.1)
+        try:
+            os.write(lfd, json.dumps(
+                {"host": host, "pid": os.getpid()}).encode())
+            os.fsync(lfd)
+        finally:
+            os.close(lfd)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(lease)
     finally:
         fcntl.flock(fd, fcntl.LOCK_UN)
         os.close(fd)
@@ -199,10 +261,22 @@ def extract_wave(transcript_files: Sequence[str], out_dir: str, *,
             # adopt the dir for the current pending set
             wave_files = new_files
             os.makedirs(wdir, exist_ok=True)
+            # durable atomic write, mirroring _commit_registry: fsync
+            # the content before the rename and the dir after it, so
+            # "absent or valid" holds through a power loss (a rename
+            # can be durable while un-fsynced content is not, which
+            # would leave a truncated meta wedging every re-submission)
             tmp = meta_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"files": wave_files}, f, sort_keys=True)
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, meta_path)
+            dfd = os.open(wdir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
 
         metrics = run_extraction_from_parquet(
             wave_files, out_dir=wdir, n_buckets=n_buckets,

@@ -210,7 +210,8 @@ def test_gopher_rules_unicode_parity(ray_session, tmp_path):
              "voilàthe café the and of be",
              "line one…\nline two…\n• bullet the of and",
              "the, and. of! that? be; with: to have",
-             "こんにちはthe and of be"]
+             "こんにちはthe and of be",
+             "of the\xa0be and that x"]
     out = tmp_path / "docs"
     out.mkdir()
     pd.DataFrame({"doc_id": range(len(texts)), "text": texts}
@@ -229,6 +230,9 @@ def test_gopher_rules_unicode_parity(ray_session, tmp_path):
     assert g.loc[3, "ellipsis_lines"] == 2  # unicode ellipsis counted
     assert g.loc[3, "bullet_lines"] == 1    # unicode bullet counted
     assert g.loc[4, "stop_distinct"] == 8   # edge punctuation stripped
+    # stop-word-adjacent NBSP: 'the\xa0be' is ONE token in both engines
+    # (not 'the' + 'be' — str.split() would have made it two)
+    assert g.loc[6, "stop_hits"] == 3       # of, and, that only
 
 
 def test_c4_filters_hand_computed():
@@ -276,3 +280,123 @@ def test_c4_fixture_parity_on_constructed_corpus(ray_session, tmp_path):
     assert g.loc[13, "has_brace"] == 1         # brace marker
     assert g.loc[17, "has_lorem"] == 1
     assert g.loc[3, "kept_lines"] == 0         # untouched word salad
+
+
+def test_kmeans_blocked_pairs_16x_replication_bounded(ray_session):
+    """16x-replicated fixture embeddings (distinct ids, identical
+    vectors per replica group) through the scale-shaped blocking:
+    k scales with n, the scan task RAISES on any cluster past the
+    4x-target row budget — so completion itself proves bounded
+    per-task rows — and the pair set is exactly the within-replica
+    cliques (identical vectors always share a nearest centroid, so
+    the blocking loses none of them; natural cross-base cosine maxes
+    out ~0.65 < 0.9)."""
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_parser_ray.stages.similarity import kmeans_blocked_pairs
+    base = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    reps = []
+    for r in range(16):
+        d = base.copy(deep=False)
+        d["vec_id"] = base["vec_id"].to_numpy() + r * 10_000
+        reps.append(d)
+    big = pd.concat(reps, ignore_index=True)
+    big["embedding"] = [np.asarray(v, dtype=np.float64)
+                        for v in big["embedding"]]
+    nds = rd.from_pandas(big).repartition(16).materialize()
+    pairs = kmeans_blocked_pairs(nds, threshold=0.9,
+                                 target_cluster_rows=256)
+    # every replica pair, nothing else: 500 bases x C(16,2)
+    assert len(pairs) == len(base) * 120
+    assert (pairs["vec_a"] % 10_000 == pairs["vec_b"] % 10_000).all()
+
+
+def test_kmeans_blocked_pairs_tiny_corpus(ray_session):
+    """Fewer vectors than the k floor must return the pair set, not
+    raise 'k exceeds corpus size' (k clamps to the corpus)."""
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_parser_ray.stages.similarity import kmeans_blocked_pairs
+    df = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [np.array([1.0, 0.0]), np.array([1.0, 0.0]),
+                      np.array([0.0, 1.0])]})
+    pairs = kmeans_blocked_pairs(rd.from_pandas(df), threshold=0.9)
+    assert pairs.values.tolist() == [[0, 1]]
+
+
+def test_kmeans_blocked_pairs_oversized_cluster_recurses(ray_session):
+    """A skew-shaped corpus where the top-level clustering leaves one
+    cluster past the row budget: 12 far-apart anchor points own the
+    lowest ids (deterministic seeds), 501 distinct points pile onto
+    anchor 0. The oversized cluster must be recursively re-clustered
+    (bounded sub-scans — the scan raises past the budget) and the
+    collinear duplicate pair planted inside the pile must survive
+    the recursion."""
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_parser_ray.stages.similarity import kmeans_blocked_pairs
+    rng = np.random.RandomState(7)
+    anchors = np.eye(12)
+    rows = [(i, anchors[i]) for i in range(12)]
+    nid = 12
+    for j in range(500):
+        v = anchors[0] + rng.uniform(-0.01, 0.01, 12)
+        rows.append((nid, v / np.linalg.norm(v)))
+        nid += 1
+    # the planted collinear pair, deep in the pile
+    rows.append((9000, rows[100][1].copy()))
+    for i in range(1, 12):           # ~60 per other anchor
+        for j in range(60):
+            v = anchors[i] + rng.uniform(-0.01, 0.01, 12)
+            rows.append((nid, v / np.linalg.norm(v)))
+            nid += 1
+    df = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                       "embedding": [r[1] for r in rows]})
+    nds = rd.from_pandas(df).repartition(8).materialize()
+    pairs = kmeans_blocked_pairs(nds, threshold=0.999,
+                                 target_cluster_rows=100)
+    assert [100, 9000] in pairs.values.tolist()
+
+
+def test_kmeans_blocked_pairs_unsplittable_cluster_refused(ray_session):
+    """A cluster of IDENTICAL points past the budget cannot be split
+    by any k — the guard must refuse loudly instead of scanning
+    corpus/k rows in one task."""
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_parser_ray.stages.similarity import kmeans_blocked_pairs
+    v = np.array([1.0, 0.0, 0.0])
+    df = pd.DataFrame({"vec_id": range(600),
+                       "embedding": [v.copy() for _ in range(600)]})
+    nds = rd.from_pandas(df).repartition(4).materialize()
+    with pytest.raises(Exception, match="cannot be split"):
+        kmeans_blocked_pairs(nds, threshold=0.9,
+                             target_cluster_rows=100)
+
+
+def test_kmeans_semantic_cross_label_pair_fails_loudly(
+        ray_session, tmp_path):
+    """ADVICE r4: the kmeans variant's oracle is within-LABEL pairs,
+    an invariant of the fixture corpus, not the operator. A corpus
+    with a genuine cross-label near-duplicate must fail with the
+    documented message, not an opaque driver hash mismatch."""
+    import numpy as np
+
+    from pdf_parser_ray.queries import QUERIES
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((20, 8))
+    vecs[8] = vecs[3] * 1.5          # collinear across labels (1 vs 0)
+    df = pd.DataFrame({"vec_id": np.arange(20, dtype="int64"),
+                       "embedding": list(vecs),
+                       "label": (np.arange(20) % 2).astype("int64")})
+    out = tmp_path / "emb"
+    out.mkdir()
+    df.to_parquet(out / "embeddings.parquet")
+    with pytest.raises(Exception, match="cross labels"):
+        QUERIES["embeddings_semantic_pairs_kmeans"](str(out))

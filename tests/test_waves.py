@@ -337,3 +337,53 @@ def test_compact_empty_corpus_raises_cleanly(ray_session, tmp_path):
     assert w == 0
     with pytest.raises(ValueError, match="no committed wave data"):
         compact_waves(out)
+
+
+def test_lease_blocks_writer_when_flock_does_not_forward(
+        monkeypatch, tmp_path):
+    """Simulated non-flock-forwarding shared fs (flock monkeypatched
+    to a no-op, as NFSv3 / some FUSE mounts behave across nodes):
+    with writer A inside the critical section, writer B must fail
+    LOUDLY instead of interleaving the registry read-modify-write.
+    The O_EXCL lease file is the fence the flock no longer provides."""
+    import fcntl
+
+    from pdf_parser_ray.state import waves
+
+    monkeypatch.setattr(fcntl, "flock", lambda *a, **k: None)
+    out = str(tmp_path / "corpus")
+    os.makedirs(out)
+    a = waves._registry_lock(out)
+    a.__enter__()           # writer A holds the lease
+    try:
+        # pretend the lease belongs to a live writer on another host —
+        # same-host dead-pid reclaim must NOT fire
+        lease = os.path.join(out, "_WAVES.lease")
+        with open(lease, "w") as f:
+            json.dump({"host": "other-node", "pid": 1}, f)
+        with pytest.raises(RuntimeError, match="does not forward flock"):
+            with waves._registry_lock(out, timeout=0.5):
+                pass
+    finally:
+        a.__exit__(None, None, None)
+
+
+def test_stale_same_host_lease_is_reclaimed(tmp_path):
+    """A lease left by a crashed writer on THIS host (dead pid) must
+    not wedge the daily job: the next writer reclaims it and commits."""
+    import socket
+
+    from pdf_parser_ray.state import waves
+
+    out = str(tmp_path / "corpus")
+    os.makedirs(out)
+    # a pid that cannot be alive: fork and reap a child
+    pid = os.fork()
+    if pid == 0:
+        os._exit(0)
+    os.waitpid(pid, 0)
+    with open(os.path.join(out, "_WAVES.lease"), "w") as f:
+        json.dump({"host": socket.gethostname(), "pid": pid}, f)
+    waves._commit_with(out, add_wave={"wave": 0, "files": [], "rows": 0})
+    assert waves.read_registry(out)[0]["wave"] == 0
+    assert not os.path.exists(os.path.join(out, "_WAVES.lease"))
