@@ -92,6 +92,28 @@ def test_readme_registry_counts_in_sync():
         assert int(m.group(2)) == len(ORACLES), (pat, m.group(2))
 
 
+def test_driver_window_is_all_oracled():
+    """The correctness driver samples the FIRST 50 registry entries;
+    a future append must not silently push an oracled query out of
+    the window or a rows-only query into it (r4 VERDICT item 8).
+    Also pins that the rotation actually promoted the 36 queries
+    rounds 1-4 never sampled (r4 VERDICT item 1)."""
+    order = list(QUERIES)
+    window = order[:50]
+    not_oracled = [q for q in window if q not in ORACLES]
+    assert not not_oracled, (
+        f"driver window contains non-oracled queries: {not_oracled}")
+    for q in ("docs_gopher_rules", "docs_c4_filters",
+              "docs_jaccard_pairs", "docs_curation_funnel",
+              "docs_vocab_overlap", "embeddings_semantic_pairs",
+              "embeddings_semantic_pairs_kmeans",
+              "embeddings_semantic_dedup", "tpch_fk_audit",
+              "orders_customer_bucketed_join"):
+        assert q in window, f"{q} fell out of the driver window"
+    for q in ("embeddings_kmeans", "embeddings_ann_recall"):
+        assert q not in window, f"rows-only {q} re-entered the window"
+
+
 def test_pii_scrub_kernel_semantics():
     """Constructed-string check of the scrub kernel itself (the corpus
     path is covered by the SQL oracle): counts are pre-replacement,
