@@ -188,19 +188,30 @@ def run_queries() -> dict:
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose
     # throughput-relevant compute is exactly the flagship's
     import gc
-    out = {}
+    # two draws per query, headline = best (like the flagship):
+    # single-shot rows carry worker-pool/table-cache ramp (measured:
+    # dedup_minhash_eval 7.7 s first draw vs 3.4-3.9 steady), so the
+    # recorded number should reflect plan cost, not ramp. Both draws
+    # are kept in the output ("query_draws") so the ramp stays
+    # visible. GRAFT_BENCH_QUERY_DRAWS=1 restores single-shot.
+    draws = int(os.environ.get("GRAFT_BENCH_QUERY_DRAWS", "2"))
+    out, all_draws = {}, {}
     for name in headline:
-        t0 = time.perf_counter()
-        QUERIES[name](SF_DIR)
-        out[name] = round(time.perf_counter() - t0, 3)
-        # release the query's Dataset/ObjectRef graph NOW: dropped
-        # results sit in reference CYCLES until a full gc pass, and
-        # the pinned object-store blocks they hold degraded late-list
-        # queries ~3x (measured: docs_jaccard_pairs 9.0-9.7 s after a
-        # 30-query session without this, 2.7 s with it; 2.8-3.9 s in
-        # a fresh session)
-        gc.collect()
-    return out
+        times = []
+        for _ in range(draws):
+            t0 = time.perf_counter()
+            QUERIES[name](SF_DIR)
+            times.append(time.perf_counter() - t0)
+            # release the query's Dataset/ObjectRef graph NOW: dropped
+            # results sit in reference CYCLES until a full gc pass, and
+            # the pinned object-store blocks they hold degraded
+            # late-list queries ~3x (measured: docs_jaccard_pairs
+            # 9.0-9.7 s after a 30-query session without this, 2.7 s
+            # with it; 2.8-3.9 s in a fresh session)
+            gc.collect()
+        out[name] = round(min(times), 3)
+        all_draws[name] = [round(t, 3) for t in times]
+    return out, all_draws
 
 
 def main():
@@ -218,7 +229,7 @@ def main():
         pq.read_table(f"{SF_DIR}/{t}.parquet")
 
     flagship = run_flagship()
-    queries = run_queries()
+    queries, query_draws = run_queries()
     ray.shutdown()
 
     print(json.dumps({
@@ -226,6 +237,7 @@ def main():
         "value": flagship["sec"],
         "unit": "sec",
         "queries": queries,
+        "query_draws": query_draws,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "turns": flagship["turns"],

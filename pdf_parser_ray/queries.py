@@ -3528,6 +3528,7 @@ def transcript_wave_extract(sf_dir: str) -> pd.DataFrame:
     committed no-op, and the union over waves must equal a one-shot
     extraction of everything (asserted live). Returns the per-wave
     report. Rows-only (stateful filesystem protocol — no SQL)."""
+    import glob
     import shutil
     import tempfile
 
@@ -3536,26 +3537,38 @@ def transcript_wave_extract(sf_dir: str) -> pd.DataFrame:
 
     work = tempfile.mkdtemp(prefix="wave_extract_")
     try:
-        ts = transcripts_dataset(sf_dir).to_pandas()
-        h = pd.util.hash_pandas_object(ts["conv_id"], index=False) % 2
+        # build the two daily drops as STREAMED writes — the corpus
+        # never lands on the driver (r4 VERDICT item 7); the split
+        # hash is per-row, so a map_batches filter is exact
+        ts = transcripts_dataset(sf_dir).materialize()
+        total_rows = ts.count()
+
+        def day_slice(b: pd.DataFrame, day: int) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(b["conv_id"],
+                                           index=False).to_numpy() % 2
+            return b[h == day]
+
         files = []
         for day in range(2):
-            p = f"{work}/day{day}.parquet"
-            ts[h == day].reset_index(drop=True).to_parquet(p)
-            files.append(p)
+            ddir = f"{work}/day{day}"
+            (ts.map_batches(day_slice, fn_kwargs={"day": day},
+                            batch_format="pandas")
+             .write_parquet(ddir))
+            files.extend(sorted(glob.glob(f"{ddir}/*.parquet")))
+        day0 = [f for f in files if "/day0/" in f]
         out = f"{work}/corpus"
         rows = []
-        w0, m0 = extract_wave(files[:1], out, n_buckets=8)
-        rows.append({"wave": w0, "n_files": 1,
+        w0, m0 = extract_wave(day0, out, n_buckets=8)
+        rows.append({"wave": w0, "n_files": len(day0),
                      "rows": int(m0["rows"].sum()),
                      "error_rows": int(m0["error_rows"].sum())})
         w1, m1 = extract_wave(files, out, n_buckets=8)
-        rows.append({"wave": w1, "n_files": 1,
+        rows.append({"wave": w1, "n_files": len(files) - len(day0),
                      "rows": int(m1["rows"].sum()),
                      "error_rows": int(m1["error_rows"].sum())})
         w2, m2 = extract_wave(files, out, n_buckets=8)
         assert w2 is None and m2.empty, "resubmission was not a no-op"
-        assert read_waves(out).count() == len(ts), \
+        assert read_waves(out).count() == total_rows, \
             "union over waves != one-shot extraction row count"
         return (pd.DataFrame(rows)
                 .astype({"wave": "int64", "n_files": "int64",
