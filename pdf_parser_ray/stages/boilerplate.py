@@ -61,38 +61,51 @@ def _pair_key(conv, line_h) -> np.ndarray:
 def _strip_rows(turns: pd.DataFrame, drop_keys: np.ndarray,
                 text_col: str) -> pd.DataFrame:
     """Strip boilerplate lines from one batch of turns given the
-    sorted combined-hash key array. Pure per-turn; order preserved."""
+    sorted combined-hash key array. Pure per-turn; order preserved.
+    Split, per-turn rebuild, and the final join all run as Arrow C++
+    kernels (split_pattern / list offsets / binary_join) — the line
+    HASHING stays the pandas siphash so strip keys match the count
+    side bit-for-bit; the only remaining Python-per-line work is that
+    one vectorized hash call."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     if not len(turns):
         empty = turns.copy()
         empty["n_stripped_lines"] = pd.Series([], dtype="int64")
         return empty
-    # explode the whole batch once, hash every line in one vectorized
-    # call, rebuild per-turn texts by offset slicing
-    lines = turns[text_col].astype(str).str.split("\n")
-    nl = lines.str.len().to_numpy(dtype=np.int64)
-    flat = lines.explode().astype(str).to_numpy()
+    ta = pa.array(turns[text_col].astype(str).to_numpy(),
+                  type=pa.large_string())
+    lines = pc.split_pattern(ta, pattern="\n")
+    flat = pc.list_flatten(lines)
+    par = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    nl = pc.list_value_length(lines).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat_np = flat.to_numpy(zero_copy_only=False)
     conv_rep = np.repeat(turns["conv_id"].to_numpy(), nl)
-    hs = _line_hash(pd.Series(flat, dtype=object))
+    hs = _line_hash(pd.Series(flat_np, dtype=object))
     if len(drop_keys):
         keys = _pair_key(conv_rep, hs)
         is_bp = np.isin(keys, drop_keys)
     else:
         is_bp = np.zeros(len(hs), dtype=bool)
-    # (empty lines always survive; elementwise compare on the existing
-    # object array — an astype(str) here would copy every line into a
+    # empty lines always survive (elementwise compare on the object
+    # array — an astype(str) here would copy every line into a
     # fixed-width unicode array sized by the LONGEST line per batch)
-    keep = ~is_bp | (flat == "")
+    keep = ~is_bp | (flat_np == "")
+    kept_counts = np.bincount(par[keep], minlength=len(turns)
+                              ).astype(np.int64)
     offs = np.zeros(len(turns) + 1, dtype=np.int64)
-    np.cumsum(nl, out=offs[1:])
-    new_texts, n_stripped = [], []
-    for i in range(len(turns)):
-        sl = slice(offs[i], offs[i + 1])
-        kept = flat[sl][keep[sl]]
-        new_texts.append("\n".join(kept))
-        n_stripped.append(int(nl[i] - len(kept)))
+    np.cumsum(kept_counts, out=offs[1:])
+    kept_lists = pa.LargeListArray.from_arrays(
+        pa.array(offs, type=pa.int64()), flat.filter(pa.array(keep)))
+    new_texts = pc.binary_join(
+        kept_lists, pa.scalar("\n", type=pa.large_string()))
     turns = turns.copy(deep=False)
-    turns[text_col] = new_texts
-    turns["n_stripped_lines"] = pd.array(n_stripped, dtype="int64")
+    # positional assignment (to_numpy, not a to_pandas Series): the
+    # batch index need not be the default RangeIndex
+    turns[text_col] = new_texts.to_numpy(zero_copy_only=False)
+    turns["n_stripped_lines"] = pd.array(nl - kept_counts,
+                                         dtype="int64")
     return turns
 
 

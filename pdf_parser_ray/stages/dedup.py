@@ -50,9 +50,42 @@ import pyarrow as pa
 
 
 
+import re
+
+# RE2 \S spelled out (no \v — RE2's \s is [ \t\n\f\r]), matching
+# text_analysis._NONSPACE and the pc.split_pattern_regex(r"\s+") the
+# exact-verification join tokenizes with
+_ASCII_TOKEN_RE = re.compile(r"[^ \t\n\f\r]+")
+
+
 def _stable_u64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"),
                                           digest_size=8).digest(), "big")
+
+
+# per-worker shingle-hash memo: template-heavy corpora repeat most
+# shingles across batches, so the blake2b (the sig stage's largest
+# single cost, ~38% profiled) runs once per distinct shingle per
+# worker, not once per batch. Bounded: cleared wholesale past the cap
+# (simple and allocation-free vs LRU bookkeeping).
+_SHINGLE_HASH_MEMO: dict = {}
+_SHINGLE_MEMO_CAP = 4_000_000
+
+
+def _stable_u64_arr(uniq) -> np.ndarray:
+    """blake2b-u64 per unique shingle string, memoized per worker."""
+    memo = _SHINGLE_HASH_MEMO
+    if len(memo) > _SHINGLE_MEMO_CAP:
+        memo.clear()
+    out = np.empty(len(uniq), dtype=np.uint64)
+    get = memo.get
+    for i, s in enumerate(uniq):
+        v = get(s)
+        if v is None:
+            v = _stable_u64(s)
+            memo[s] = v
+        out[i] = v
+    return out
 
 
 # ------------------------------------------------------------- exact dedup
@@ -129,7 +162,13 @@ class MinHasher:
     def shingle_strings(self, text: str) -> set:
         if self.shingle.startswith("word"):
             n = int(self.shingle[4:])
-            toks = text.split()
+            # ASCII-explicit tokens (the repo-wide RE2 \S convention,
+            # see text_analysis._NONSPACE): ONE token definition shared
+            # with the exact union-Jaccard verification join
+            # (_shingle_postings, RE2 \s+) and the Arrow batch path
+            # below — Python str.split()'s unicode whitespace would
+            # silently diverge from all three on NBSP/  text
+            toks = _ASCII_TOKEN_RE.findall(text)
             items = {" ".join(toks[i:i + n])
                      for i in range(max(0, len(toks) - n + 1))}
         else:  # charN
@@ -155,35 +194,89 @@ class MinHasher:
         (minhash_band_rows) must produce byte-identical values."""
         return self.signature_from_strings(self.shingle_strings(text))
 
+    def _word_shingles_arrow(self, texts):
+        """(flat shingle object array WITH duplicates, per-doc counts)
+        via Arrow C++: RE2 split, element-wise join of the k shifted
+        token slices (the _shingle_postings kernel — a window stays
+        inside one doc iff its first and last token share the list
+        parent index). Duplicates are NOT removed: min() is
+        idempotent, so the per-doc set() the scalar path builds is
+        unnecessary work here. Docs with < k tokens contribute zero
+        shingles (the caller substitutes the scalar path's ``""``
+        fallback)."""
+        import pyarrow.compute as pc
+        k = int(self.shingle[4:])
+        n_docs = len(texts)
+        toks = pc.split_pattern_regex(
+            pa.array(texts, type=pa.large_string()), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        flat, par = flat.filter(mask), par.filter(mask)
+        m = len(flat) - k + 1
+        if m <= 0:
+            return (np.empty(0, dtype=object),
+                    np.zeros(n_docs, dtype=np.int64))
+        parts = [flat.slice(i, m) for i in range(k)]
+        sh = pc.binary_join_element_wise(
+            *parts, pa.scalar(" ", type=pa.large_string()))
+        owner = par.slice(0, m)
+        same = pc.equal(owner, par.slice(k - 1, m))
+        sh = sh.filter(same)
+        owner = owner.filter(same).to_numpy(zero_copy_only=False)
+        counts = np.bincount(owner, minlength=n_docs).astype(np.int64)
+        return sh.to_numpy(zero_copy_only=False), counts
+
     def signatures_batch(self, texts) -> np.ndarray:
-        """(n_docs, num_perm) signature matrix, vectorized: every
-        UNIQUE shingle string in the batch is blake2b-hashed ONCE
-        (template-heavy corpora share most shingles across docs), and
-        the per-permutation min runs as one segment-min
+        """(n_docs, num_perm) signature matrix, vectorized: word-k
+        shingling runs in Arrow C++ (RE2 split + element-wise join —
+        no per-doc Python), every UNIQUE shingle string in the batch
+        is blake2b-hashed ONCE through the per-worker memo
+        (template-heavy corpora share most shingles across docs AND
+        batches), and the per-permutation min runs as one segment-min
         (np.minimum.reduceat) per lane over the flattened shingle-id
         array instead of a per-doc matrix. Byte-identical to
         signature() per doc (pinned by test)."""
-        sets = [self.shingle_strings(t) for t in texts]
-        if not sets:
+        texts = list(texts)
+        if not texts:
             return np.empty((0, self.num_perm), dtype=np.int64)
-        lens = np.fromiter((len(s) for s in sets), np.int64,
-                           count=len(sets))
-        flat = np.asarray([s for ss in sets for s in ss], dtype=object)
+        if self.shingle.startswith("word"):
+            flat, lens = self._word_shingles_arrow(texts)
+        else:
+            sets = [self.shingle_strings(t) for t in texts]
+            lens = np.fromiter((len(s) for s in sets), np.int64,
+                               count=len(sets))
+            flat = np.asarray([s for ss in sets for s in ss],
+                              dtype=object)
         # factorize, not np.unique: hash-based first-occurrence codes
         # (~17x faster than unique's sort on object strings; order of
         # the unique array is irrelevant here)
         inv, uniq = pd.factorize(flat)
-        uh = np.fromiter((_stable_u64(s) for s in uniq),
-                         np.uint64, count=len(uniq))
-        offs = np.zeros(len(sets) + 1, np.int64)
-        np.cumsum(lens, out=offs[1:])
-        sigs = np.empty((len(sets), self.num_perm), dtype=np.int64)
-        starts = offs[:-1]
+        uh = _stable_u64_arr(uniq)
+        empty_docs = lens == 0
+        if empty_docs.any():
+            # scalar-path fallback for shingle-less docs: the {""}
+            # singleton (its lane values are a fixed vector, cached)
+            if not hasattr(self, "_empty_sig"):
+                self._empty_sig = np.fromiter(
+                    (self._lane(np.array([_stable_u64("")], np.uint64),
+                                s)[0] for s in self.seeds),
+                    np.int64, count=self.num_perm)
+            empty_sig = self._empty_sig
+        starts = np.zeros(len(texts), np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.int64)
+        nonempty = ~empty_docs
+        ne_starts = starts[nonempty]
         for j in range(self.num_perm):
             # mix the UNIQUE ids (U ≤ flat count, far below it on
             # template corpora), then gather back to flat positions
             vals_u = self._lane(uh, self.seeds[j])
-            sigs[:, j] = np.minimum.reduceat(vals_u[inv], starts)
+            if len(flat):
+                sigs[nonempty, j] = np.minimum.reduceat(
+                    vals_u[inv], ne_starts)
+        if empty_docs.any():
+            sigs[empty_docs] = empty_sig
         return sigs
 
 
