@@ -2600,6 +2600,32 @@ def docs_gopher_rules(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_gopher_repetition(sf_dir: str) -> pd.DataFrame:
+    """The Gopher REPETITION-removal family (Rae et al. 2021 table A1
+    — the rules docs_gopher_rules only samples via its duplicate-line
+    count): top 2/3/4-gram character fraction, duplicate 5..10-gram
+    character fraction, duplicate-line character fraction. N-gram
+    generation is the Arrow slice+join shingle kernel (one C++ pass
+    per n); occurrence counting and the per-doc max / dup-sum are
+    numpy segment ops. All thresholds are cross-multiplied int64
+    comparisons over (count x chars, word_chars) integers — the
+    verified surface carries no floats and the DuckDB oracle mirrors
+    the reproduction choices expression-for-expression (see
+    stages/text_analysis.py for the documented choices). The sf docs
+    are near-unique word salad (every duplicate-n-gram signal zero
+    corpus-wide), so the deterministic repetition fixture
+    (gopher_rep_inject_batch, mirrored in the oracle) makes the dup
+    rules decide both ways."""
+    from .stages.text_analysis import (gopher_rep_inject_batch,
+                                       gopher_repetition_batch)
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.map_batches(gopher_rep_inject_batch,
+                           batch_format="pandas")
+            .map_batches(gopher_repetition_batch,
+                         batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
 def docs_c4_filters(sf_dir: str) -> pd.DataFrame:
     """The C4 cleaning filters (Raffel et al. 2020 §2.2) as a
     TRANSFORM over the documents table: terminal-punctuation /
@@ -4392,6 +4418,7 @@ QUERIES = {
     "multimodal_resize_raw": multimodal_resize_raw,
     "transcript_conv_near_dup": transcript_conv_near_dup,
     "multimodal_audio_chunks": multimodal_audio_chunks,
+    "docs_gopher_repetition": docs_gopher_repetition,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -6126,3 +6153,69 @@ ORACLES["docs_c4_filters"] = """
            clean_text
     FROM s ORDER BY doc_id
 """
+
+
+def _gopher_repetition_sql() -> str:
+    """The repetition-family oracle, generated per n so the nine
+    near-identical correlated subqueries stay in lockstep with
+    text_analysis._REP_TOP/_REP_DUP (imported here — one threshold
+    table for both engines)."""
+    from .stages.text_analysis import _REP_DUP, _REP_TOP
+    def grams(n: str, agg: str) -> str:
+        return f"""(SELECT COALESCE(CAST({agg} AS BIGINT), 0) FROM (
+          SELECT COUNT(*) AS c, CAST(length(g) - {n - 1} AS BIGINT) AS cl
+          FROM unnest(list_transform(
+                 generate_series(1, len(tk) - {n - 1}),
+                 i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS t(g)
+          GROUP BY g))"""
+    cols, rules, bools = [], [], []
+    for n, (lm, rm) in _REP_TOP.items():
+        cols.append(f"{grams(n, 'MAX(c * cl)')} AS top{n}_chars")
+        bools.append(f"{lm} * top{n}_chars <= {rm} * word_chars")
+        rules.append(f"CAST({bools[-1]} AS BIGINT) AS r_top{n}")
+    for n, (lm, rm) in _REP_DUP.items():
+        cols.append(f"{grams(n, 'SUM(CASE WHEN c >= 2 THEN c * cl END)')}"
+                    f" AS dup{n}_chars")
+        bools.append(f"{lm} * dup{n}_chars <= {rm} * word_chars")
+        rules.append(f"CAST({bools[-1]} AS BIGINT) AS r_dup{n}")
+    bools.append("5 * dup_line_chars <= word_chars")
+    rules.append(f"CAST({bools[-1]} AS BIGINT) AS r_dup_line_chars")
+    pass_expr = " + ".join(f"CAST({b} AS BIGINT)" for b in bools)
+    cols_sql = ",\n             ".join(cols)
+    rule_sql = ",\n           ".join(rules)
+    from .stages.text_analysis import _REP_LINE, _REP_PHRASE
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 23 = 0
+                  THEN t9 || chr(10) || '{_REP_LINE}'
+                          || chr(10) || '{_REP_LINE}'
+                  ELSE t9 END AS text
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 9 = 0
+                        THEN text || ' {_REP_PHRASE} {_REP_PHRASE}'
+                        ELSE text END AS t9
+            FROM documents)),
+    tk0 AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '[^ \t\n\f\r]+') AS tk
+      FROM aug),
+    sig AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[^ \t\n\f\r]'))
+                  AS BIGINT) AS word_chars,
+             {cols_sql},
+             (SELECT COALESCE(CAST(SUM(CASE WHEN c >= 2 THEN c * cl END)
+                     AS BIGINT), 0) FROM (
+                SELECT COUNT(*) AS c, CAST(length(l) AS BIGINT) AS cl
+                FROM unnest(string_split(text, chr(10))) AS t(l)
+                WHERE l <> '' GROUP BY l)) AS dup_line_chars
+      FROM tk0)
+    SELECT *,
+           {rule_sql},
+           CAST(({pass_expr}) = {len(bools)} AS BIGINT) AS passes
+    FROM sig ORDER BY doc_id
+"""
+
+
+ORACLES["docs_gopher_repetition"] = _gopher_repetition_sql()

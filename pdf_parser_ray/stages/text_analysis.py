@@ -447,3 +447,145 @@ def c4_filters_batch(b: pd.DataFrame) -> pd.DataFrame:
         "has_lorem": has_lorem, "keep_page": keep_page,
         "clean_text": kept_text.astype(str),
     })
+
+
+# Gopher REPETITION filters (Rae et al. 2021 table A1, the
+# "repetition removal" family the rule-set above only samples via its
+# duplicate-line count): top 2/3/4-gram character fraction and
+# duplicate 5..10-gram character fraction, plus the duplicate-line
+# CHARACTER fraction. Reproduction choices, mirrored
+# expression-for-expression in the SQL oracle so parity is exact:
+# characters of an occurrence are its token characters (ngram string
+# length minus the n-1 joining spaces); "top" is MAX(count x chars)
+# over the doc's n-grams (deterministic under count ties, unlike
+# argmax-by-count); "duplicate" sums count x chars over n-grams
+# occurring >= 2 times (overlapping occurrences double-count, the
+# common reproduction approximation — the fraction can exceed 1, and
+# both engines agree on it); every denominator is word_chars (total
+# token characters, the rule-set's denominator). Thresholds from the
+# paper: top2 0.20, top3 0.18, top4 0.16; dup5 0.15 ... dup10 0.10;
+# dup-line chars 0.20 — all evaluated as cross-multiplied int64.
+_REP_TOP = {2: (5, 1), 3: (50, 9), 4: (25, 4)}       # frac*L <= R*wc
+_REP_DUP = {5: (20, 3), 6: (50, 7), 7: (100, 13), 8: (25, 3),
+            9: (100, 11), 10: (10, 1)}
+
+
+def _ngram_stats(ta, owners_hint: int, n: int):
+    """Per-doc (max_count_x_chars, dup_count_x_chars) for word
+    n-grams, Arrow C++ shingling (the MinHash kernel's slice+join) +
+    numpy segment aggregation. Characters = utf8 length of the n-gram
+    string minus its n-1 joining spaces (token chars only)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    top = np.zeros(owners_hint, dtype=np.int64)
+    dup = np.zeros(owners_hint, dtype=np.int64)
+    toks = pc.split_pattern_regex(ta, pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    par = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    flat, par = flat.filter(mask), par.filter(mask)
+    m = len(flat) - n + 1
+    if m <= 0:
+        return top, dup
+    parts = [flat.slice(i, m) for i in range(n)]
+    sh = pc.binary_join_element_wise(
+        *parts, pa.scalar(" ", type=pa.large_string()))
+    owner = par.slice(0, m)
+    same = pc.equal(owner, par.slice(n - 1, m))
+    sh = sh.filter(same)
+    if not len(sh):
+        return top, dup
+    owner = owner.filter(same).to_numpy(zero_copy_only=False)
+    chars = (pc.utf8_length(sh).to_numpy(zero_copy_only=False)
+             .astype(np.int64) - (n - 1))
+    code, uniq = pd.factorize(sh.to_numpy(zero_copy_only=False))
+    # (owner, gram) key: owner fits far below 2^20 per batch and the
+    # code below 2^40, so the packed key is collision-free int64
+    key = owner.astype(np.int64) * np.int64(len(uniq)) + code
+    uk, first, cnt = np.unique(key, return_index=True,
+                               return_counts=True)
+    u_owner = owner[first]
+    u_score = cnt * chars[first]
+    np.maximum.at(top, u_owner, u_score)
+    d = cnt >= 2
+    np.add.at(dup, u_owner[d], u_score[d])
+    return top, dup
+
+
+def gopher_repetition_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc Gopher repetition signals + rule booleans (int64)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    text = b["text"]
+    n_docs = len(b)
+    ta = pa.array(text.astype(str).to_numpy(), type=pa.large_string())
+    word_chars = text.str.count(_NONSPACE).astype("int64").to_numpy()
+
+    out = {"doc_id": b["doc_id"].astype("int64").to_numpy(),
+           "word_chars": word_chars}
+    rules = {}
+    for n, (lm, rm) in _REP_TOP.items():
+        top, _d = _ngram_stats(ta, n_docs, n)
+        out[f"top{n}_chars"] = top
+        rules[f"r_top{n}"] = (lm * top <= rm * word_chars)
+    for n, (lm, rm) in _REP_DUP.items():
+        _t, dup = _ngram_stats(ta, n_docs, n)
+        out[f"dup{n}_chars"] = dup
+        rules[f"r_dup{n}"] = (lm * dup <= rm * word_chars)
+
+    # duplicate-line character fraction: chars in all occurrences of
+    # non-empty lines appearing >= 2 times in the doc
+    lines = pc.split_pattern(ta, pattern="\n")
+    lflat = pc.list_flatten(lines)
+    lpar = pc.list_parent_indices(lines)
+    lmask = pc.not_equal(lflat, "")
+    lflat, lpar = lflat.filter(lmask), lpar.filter(lmask)
+    dlc = np.zeros(n_docs, dtype=np.int64)
+    if len(lflat):
+        lowner = lpar.to_numpy(zero_copy_only=False)
+        lchars = (pc.utf8_length(lflat)
+                  .to_numpy(zero_copy_only=False).astype(np.int64))
+        lcode, lu = pd.factorize(lflat.to_numpy(zero_copy_only=False))
+        lkey = lowner.astype(np.int64) * np.int64(len(lu)) + lcode
+        uk, first, cnt = np.unique(lkey, return_index=True,
+                                   return_counts=True)
+        d = cnt >= 2
+        np.add.at(dlc, lowner[first][d], (cnt * lchars[first])[d])
+    out["dup_line_chars"] = dlc
+    rules["r_dup_line_chars"] = 5 * dlc <= word_chars
+
+    res = pd.DataFrame(out)
+    for k, v in rules.items():
+        res[k] = v.astype("int64")
+    res["passes"] = (res[list(rules)].sum(axis=1)
+                     == len(rules)).astype("int64")
+    return res
+
+
+# fixed injection phrases for the repetition fixture (mirrored
+# verbatim in the SQL oracle): a 12-token phrase appended TWICE gives
+# every within-phrase word n-gram (n <= 12) at least two occurrences,
+# so dup5..dup10 are all non-zero and large enough relative to the
+# ~250-char sf docs to FAIL the thresholds; the duplicate line pair
+# makes dup_line_chars non-zero the same way.
+_REP_PHRASE = ("alpha beta gamma delta epsilon zeta eta theta iota "
+               "kappa lambda mu")
+_REP_LINE = "repeated boilerplate footer line"
+
+
+def gopher_rep_inject_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic repetition fixture (same role as pii_inject_batch
+    / c4_inject_batch): the sf documents are near-unique word salad,
+    so every duplicate-n-gram and duplicate-line rule would be vacuous
+    — dup{5..10}_chars and dup_line_chars all zero corpus-wide. Append
+    the fixed phrase twice to every doc_id % 9 == 0 row and the fixed
+    line twice to every doc_id % 23 == 0 row."""
+    ids = b["doc_id"].to_numpy()
+    text = b["text"].copy()
+    m = ids % 9 == 0
+    text[m] = text[m] + (" " + _REP_PHRASE) * 2
+    m = ids % 23 == 0
+    text[m] = text[m] + ("\n" + _REP_LINE) * 2
+    out = b.copy(deep=False)
+    out["text"] = text
+    return out

@@ -400,3 +400,67 @@ def test_kmeans_semantic_cross_label_pair_fails_loudly(
     df.to_parquet(out / "embeddings.parquet")
     with pytest.raises(Exception, match="cross labels"):
         QUERIES["embeddings_semantic_pairs_kmeans"](str(out))
+
+
+def test_gopher_repetition_hand_computed():
+    """Constructed docs where every repetition signal is computable by
+    hand: a clean doc, a top-bigram spammer, a duplicated-phrase doc
+    (dup 5-grams), and a duplicated-line doc."""
+    from pdf_parser_ray.stages.text_analysis import \
+        gopher_repetition_batch
+    clean = " ".join(f"uniqueword{i:02d}" for i in range(30))
+    texts = [
+        clean,                                                # clean
+        "go go go go stop",                                   # top2
+        "one two three four five six one two three four five six",
+        "keep this\ndup line\ndup line",                      # dup line
+    ]
+    got = gopher_repetition_batch(
+        pd.DataFrame({"doc_id": range(4), "text": texts})
+    ).set_index("doc_id")
+    # every bigram once -> top2 = chars of ONE bigram = 24 of 360
+    assert got.loc[0, "top2_chars"] == 24
+    assert got.loc[0, ["dup5_chars", "dup_line_chars"]].sum() == 0
+    assert got.loc[0, "passes"] == 1
+    # 'go go' x3 occurrences, 4 chars each -> 12 of word_chars 12
+    assert got.loc[1, "top2_chars"] == 12
+    assert got.loc[1, "r_top2"] == 0
+    # phrase of 6 tokens repeated: 5-grams 'one..five'/'two..six'
+    # each x2 (19 token chars each), spanning 5-grams once
+    # -> dup5 = 2*19 + 2*19 = 76
+    assert got.loc[2, "dup5_chars"] == 76
+    assert got.loc[2, "r_dup5"] == 0
+    # 'dup line' (8 chars) x2 -> 16 of word_chars 22
+    assert got.loc[3, "dup_line_chars"] == 16
+    assert got.loc[3, "r_dup_line_chars"] == 0
+
+
+def test_gopher_repetition_oracle_parity_on_edge_corpus(
+        ray_session, tmp_path):
+    """Engine vs DuckDB on the divergence-prone inputs: unicode
+    whitespace inside tokens, empty docs, docs shorter than n, the
+    injected-id slices, multi-line docs."""
+    import duckdb
+
+    from pdf_parser_ray.queries import ORACLES, QUERIES
+    texts = ["", "one", "a b c d e f g h i j k l m n o p",
+             "nbsp\xa0joined token run " * 6,
+             "line a\nline a\nline b\n\nline a",
+             "short doc"]
+    out = tmp_path / "docs"
+    out.mkdir()
+    # ids hitting both injection slices (9 and 23) and neither
+    pd.DataFrame({"doc_id": [0, 9, 23, 207, 5, 7],
+                  "text": texts}).to_parquet(out / "documents.parquet")
+    got = QUERIES["docs_gopher_repetition"](str(out))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{out}/documents.parquet'")
+    want = con.sql(ORACLES["docs_gopher_repetition"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want[got.columns.tolist()].astype(got.dtypes.to_dict())
+        .reset_index(drop=True))
+    g = got.set_index("doc_id")
+    assert g.loc[9, "dup5_chars"] > 0      # phrase injection fired
+    assert g.loc[207, "dup_line_chars"] > 0  # 207 = 9*23: both fired
