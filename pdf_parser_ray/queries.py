@@ -2600,6 +2600,65 @@ def docs_gopher_rules(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed-unigram
+    bucket LMs over a TARGET slice (lang = 'en' — the stand-in for
+    the paper's high-quality target corpus) and the RAW corpus, and
+    per-doc log importance weight sum_tokens(ln pt[b] - ln pr[b])
+    with Laplace +1 smoothing over K = 256 buckets. Shape: ONE Arrow
+    tokenize pass producing (doc_id, bucket, tf, target-tf) partials
+    (the md5-upper-64 bucket hash is memoized per worker and mirrored
+    by DuckDB's md5_number_upper, the winnow_batch precedent); the
+    two bucket histograms are FIXED-SIZE (K rows) sketches combined
+    on the driver and broadcast back in the scoring closure; per-doc
+    sums via grouped_agg_ds. logw is rounded to 3dp (np.log vs
+    DuckDB ln ulps — the docs_unigram_ce float surface); dl is exact
+    int64 and `selected` gates on the ROUNDED value so both engines
+    decide identically."""
+    from .relational import grouped_agg_ds
+    from .stages.text_analysis import dsir_bucket_rows
+    K = 256
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    rows = ds.map_batches(dsir_bucket_rows, fn_kwargs={"k": K},
+                          batch_format="pandas").materialize()
+    # fixed-size sketches: K rows per side regardless of corpus size
+    hist = (rows.map_batches(
+        lambda b: b.groupby("bucket", as_index=False)
+        .agg(tf=("tf", "sum"), tt=("tt", "sum")),
+        batch_format="pandas").to_pandas()
+        .groupby("bucket").agg(tf=("tf", "sum"), tt=("tt", "sum")))
+    if not len(hist):
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "dl": pd.array([], dtype="int64"),
+                             "logw": pd.array([], dtype="float64"),
+                             "selected": pd.array([], dtype="int64")})
+    cr = np.zeros(K, dtype=np.int64)
+    ct = np.zeros(K, dtype=np.int64)
+    cr[hist.index.to_numpy()] = hist["tf"].to_numpy()
+    ct[hist.index.to_numpy()] = hist["tt"].to_numpy()
+    tr, tt = int(cr.sum()), int(ct.sum())
+    lr = (np.log((ct + 1).astype(np.float64) / np.float64(tt + K))
+          - np.log((cr + 1).astype(np.float64) / np.float64(tr + K)))
+
+    def contrib(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].values,
+            "w": b["tf"].to_numpy(np.float64)
+            * lr[b["bucket"].to_numpy()],
+            "tf": b["tf"].values})
+
+    per_doc = grouped_agg_ds(
+        rows.map_batches(contrib, batch_format="pandas"),
+        ["doc_id"], {"logw": ("sum", "w"), "dl": ("sum", "tf")}
+    ).to_pandas()
+    per_doc["logw"] = np.round(per_doc["logw"].to_numpy(np.float64), 3)
+    per_doc["selected"] = (per_doc["logw"] > 0).astype("int64")
+    return (per_doc[["doc_id", "dl", "logw", "selected"]]
+            .astype({"doc_id": "int64", "dl": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def docs_gopher_repetition(sf_dir: str) -> pd.DataFrame:
     """The Gopher REPETITION-removal family (Rae et al. 2021 table A1
     — the rules docs_gopher_rules only samples via its duplicate-line
@@ -4419,6 +4478,7 @@ QUERIES = {
     "transcript_conv_near_dup": transcript_conv_near_dup,
     "multimodal_audio_chunks": multimodal_audio_chunks,
     "docs_gopher_repetition": docs_gopher_repetition,
+    "docs_dsir_weights": docs_dsir_weights,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -6219,3 +6279,42 @@ def _gopher_repetition_sql() -> str:
 
 
 ORACLES["docs_gopher_repetition"] = _gopher_repetition_sql()
+
+
+# DSIR mirrors the engine expression-for-expression: the bucket hash
+# IS DuckDB's md5_number_upper mod K (the winnow precedent), the two
+# histograms are integer-exact, the per-bucket log-ratio is the same
+# ln((ct+1)/(tt+K)) - ln((cr+1)/(tr+K)) double tree, and the per-doc
+# weight is ROUNDed to 3dp (the docs_unigram_ce float surface);
+# `selected` gates on the ROUNDED value so both engines decide
+# identically. Docs with no tokens emit no row on either side.
+ORACLES["docs_dsir_weights"] = r"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(regexp_extract_all(text, '\S+'))
+               AS token
+      FROM documents),
+    db AS (SELECT doc_id,
+                  CAST(md5_number_upper(token) % 256 AS BIGINT)
+                    AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS tf,
+                  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS tt
+           FROM toks GROUP BY doc_id, bucket),
+    hist AS (SELECT bucket, SUM(tf) AS cr, SUM(tt) AS ct
+             FROM db GROUP BY bucket),
+    tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS ts FROM hist),
+    lr AS (SELECT bucket,
+                  ln(CAST(ct + 1 AS DOUBLE)
+                     / CAST(ts + 256 AS DOUBLE))
+                  - ln(CAST(cr + 1 AS DOUBLE)
+                       / CAST(tr + 256 AS DOUBLE)) AS lw
+           FROM hist CROSS JOIN tot),
+    perdoc AS (SELECT db.doc_id,
+                      CAST(SUM(db.tf) AS BIGINT) AS dl,
+                      ROUND(SUM(CAST(db.tf AS DOUBLE) * lr.lw), 3)
+                        AS logw
+               FROM db JOIN lr USING (bucket) GROUP BY db.doc_id)
+    SELECT doc_id, dl, logw,
+           CAST(logw > 0 AS BIGINT) AS selected
+    FROM perdoc ORDER BY doc_id
+"""

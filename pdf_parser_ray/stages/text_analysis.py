@@ -589,3 +589,54 @@ def gopher_rep_inject_batch(b: pd.DataFrame) -> pd.DataFrame:
     out = b.copy(deep=False)
     out["text"] = text
     return out
+
+
+# DSIR hashed-feature rows (Xie et al. 2023): bucket = the upper 64
+# md5 digest bits mod k — DuckDB's md5_number_upper, the winnow_batch
+# mirror — memoized per worker per distinct token.
+_DSIR_BUCKET_MEMO: dict = {}
+
+
+def _dsir_bucket(tok: str, k: int) -> int:
+    key = (tok, k)
+    v = _DSIR_BUCKET_MEMO.get(key)
+    if v is None:
+        if len(_DSIR_BUCKET_MEMO) > 2_000_000:
+            _DSIR_BUCKET_MEMO.clear()
+        v = int.from_bytes(
+            hashlib.md5(tok.encode()).digest()[:8], "little") % k
+        _DSIR_BUCKET_MEMO[key] = v
+    return v
+
+
+def dsir_bucket_rows(b: pd.DataFrame, *, k: int = 256,
+                     target_lang: str = "en") -> pd.DataFrame:
+    """(doc_id, bucket, tf, tt) partial rows: tf = the doc's token
+    occurrences in the bucket, tt = the same count when the doc is in
+    the TARGET slice (lang == target_lang), else 0 — one tokenize
+    pass feeds both histograms. Arrow split; md5 bucketing runs once
+    per distinct token in the batch (factorize + memo)."""
+    t = pa.table({"doc_id": pa.array(b["doc_id"].to_numpy()),
+                  "text": pa.array(b["text"].astype(str).to_numpy(),
+                                   type=pa.large_string())})
+    flat, parents = _flat_tokens(t, "text")
+    if not len(flat):
+        return pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "bucket": pd.array([], dtype="int64"),
+            "tf": pd.array([], dtype="int64"),
+            "tt": pd.array([], dtype="int64")})
+    par = parents.to_numpy(zero_copy_only=False)
+    code, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False))
+    ub = np.fromiter((_dsir_bucket(s, k) for s in uniq), np.int64,
+                     count=len(uniq))
+    doc_ids = b["doc_id"].to_numpy()[par].astype(np.int64)
+    is_t = (b["lang"].to_numpy() == target_lang)[par]
+    bucket = ub[code]
+    df = pd.DataFrame({"doc_id": doc_ids, "bucket": bucket,
+                       "one": np.ones(len(bucket), dtype=np.int64),
+                       "tt1": is_t.astype(np.int64)})
+    out = (df.groupby(["doc_id", "bucket"], as_index=False)
+           .agg(tf=("one", "sum"), tt=("tt1", "sum")))
+    return out.astype({"doc_id": "int64", "bucket": "int64",
+                       "tf": "int64", "tt": "int64"})

@@ -506,3 +506,59 @@ def test_rolling_wau_gap_days_match_oracle(ray_session, tmp_path):
     assert by.loc[3, "wau"] == 2 and by.loc[3, "dau"] == 1  # Mar 1-3
     assert by.loc[10, "wau"] == 1 and by.loc[10, "dau"] == 1
     assert by.loc[11, "wau"] == 2 and by.loc[11, "dau"] == 1
+
+
+def _write_docs_langs(path, rows):
+    """rows: (doc_id, text, lang)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64())}),
+        str(path / "documents.parquet"))
+
+
+def test_dsir_weights_edges_match_oracle(ray_session, tmp_path):
+    """DSIR edge semantics pinned engine-vs-oracle on a constructed
+    corpus: token-less docs emit NO row on either side; target-slice
+    tokens raise the weight of docs sharing their buckets (the 'en'
+    doc must outscore the disjoint-vocabulary 'zh' doc); and the
+    `selected` gate equals (rounded logw > 0) in both engines. (On a
+    corpus this small Laplace smoothing over 256 buckets pulls every
+    weight slightly negative — only the ORDERING is asserted.)"""
+    _write_docs_langs(tmp_path, [
+        (1, "alpha beta alpha gamma", "en"),
+        (2, "alpha beta", "de"),          # shares target vocabulary
+        (3, "zeta eta theta iota", "zh"),  # disjoint vocabulary
+        (4, "   ", "en"),                  # token-less: no row
+        (5, "", "de"),                     # empty: no row
+    ])
+    got = QUERIES["docs_dsir_weights"](str(tmp_path))
+    want = _oracle_on(tmp_path, "docs_dsir_weights")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    assert set(got["doc_id"]) == {1, 2, 3}
+    by = got.set_index("doc_id")
+    # docs 1/2 share the target LM's vocabulary; doc 3 never does
+    assert by.loc[2, "logw"] > by.loc[3, "logw"]
+    assert by.loc[1, "logw"] > by.loc[3, "logw"]
+    assert (got["selected"] == (got["logw"] > 0).astype("int64")).all()
+
+
+def test_dsir_weights_no_target_slice(ray_session, tmp_path):
+    """With zero target-language docs the target LM is the uniform
+    Laplace prior; the query must still run and match the oracle
+    (no division blowup), with every doc scored by -ln of its raw-LM
+    bucket mass relative to uniform."""
+    _write_docs_langs(tmp_path, [
+        (1, "alpha beta gamma", "de"),
+        (2, "alpha alpha", "zh"),
+    ])
+    got = QUERIES["docs_dsir_weights"](str(tmp_path))
+    want = _oracle_on(tmp_path, "docs_dsir_weights")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    assert len(got) == 2 and (got["selected"] == 0).all()
