@@ -183,9 +183,10 @@ def run_queries() -> dict:
                 "embeddings_semantic_pairs", "embeddings_semantic_dedup",
                 "embeddings_semantic_pairs_kmeans", "docs_unigram_ce",
                 "docs_gopher_rules", "docs_c4_filters",
-                # round 5: Gopher repetition-removal rules and DSIR
-                # hashed-unigram importance weighting
-                "docs_gopher_repetition", "docs_dsir_weights"]
+                # round 5: Gopher repetition-removal rules, DSIR
+                # hashed-unigram importance weighting, BPE pair counts
+                "docs_gopher_repetition", "docs_dsir_weights",
+                "docs_bpe_pair_counts"]
     # transcript_wave_extract is deliberately NOT a bench row: it is a
     # commit-protocol demo (two full wave extractions + checkpointed
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose

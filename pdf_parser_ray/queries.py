@@ -2659,6 +2659,35 @@ def docs_dsir_weights(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_bpe_pair_counts(sf_dir: str) -> pd.DataFrame:
+    """First BPE tokenizer-training iteration (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units"):
+    the corpus-wide adjacent character-pair frequency table whose
+    argmax is the first merge — the feed a distributed tokenizer
+    trainer would loop on. Shape: per-batch token-count partials ->
+    the vocabulary combine STAYS a Dataset (grouped_agg_ds — the
+    vocabulary never visits the driver) -> weighted pair explosion
+    over DISTINCT words only (pair work scales with vocabulary, not
+    corpus tokens) -> tiny pair-keyed combine; the driver sees only
+    the top-20 report. Ties at the LIMIT boundary break on the pair
+    text, which orders identically on both sides (Python code-point
+    < vs DuckDB binary UTF-8 collation)."""
+    from .stages.text_analysis import bpe_pair_rows, token_counts_arrow
+    ds = read_table(sf_dir, "documents", ["text"])
+    vocab = grouped_agg_ds(
+        ds.map_batches(token_counts_arrow, batch_format="pyarrow"),
+        ["token"], {"c": ("sum", "cnt")})
+    pairs = grouped_agg(
+        vocab.map_batches(bpe_pair_rows, batch_format="pandas"),
+        ["pair"], {"cnt": ("sum", "n")})
+    if not len(pairs):
+        return pd.DataFrame({"pair": pd.array([], dtype=str),
+                             "cnt": pd.array([], dtype="int64")})
+    pairs["cnt"] = pairs["cnt"].astype("int64")
+    return (pairs.sort_values(["cnt", "pair"], ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+
 def docs_gopher_repetition(sf_dir: str) -> pd.DataFrame:
     """The Gopher REPETITION-removal family (Rae et al. 2021 table A1
     — the rules docs_gopher_rules only samples via its duplicate-line
@@ -4479,6 +4508,7 @@ QUERIES = {
     "multimodal_audio_chunks": multimodal_audio_chunks,
     "docs_gopher_repetition": docs_gopher_repetition,
     "docs_dsir_weights": docs_dsir_weights,
+    "docs_bpe_pair_counts": docs_bpe_pair_counts,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -6317,4 +6347,27 @@ ORACLES["docs_dsir_weights"] = r"""
     SELECT doc_id, dl, logw,
            CAST(logw > 0 AS BIGINT) AS selected
     FROM perdoc ORDER BY doc_id
+"""
+
+
+# BPE pair counts mirror the engine stage-for-stage: the same RE2
+# \S+ tokenization, the same distinct-word frequency table, and the
+# same code-point pair slicing (DuckDB substring's character offsets
+# equal pandas .str.slice — pinned by the unicode parity test).
+# Counts are integer-exact; the LIMIT-20 boundary tie-breaks on the
+# pair text, identical under Python code-point < and DuckDB's binary
+# UTF-8 collation.
+ORACLES["docs_bpe_pair_counts"] = r"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(text, '\S+')) AS w
+      FROM documents),
+    words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+              FROM toks GROUP BY w),
+    idx AS (SELECT w, c,
+                   unnest(generate_series(1, length(w) - 1)) AS i
+            FROM words),
+    pairs AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair,
+                     CAST(SUM(c) AS BIGINT) AS cnt
+              FROM idx GROUP BY 1)
+    SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair LIMIT 20
 """

@@ -640,3 +640,34 @@ def dsir_bucket_rows(b: pd.DataFrame, *, k: int = 256,
            .agg(tf=("one", "sum"), tt=("tt1", "sum")))
     return out.astype({"doc_id": "int64", "bucket": "int64",
                        "tf": "int64", "tt": "int64"})
+
+
+def bpe_pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+    """Adjacent character-pair counts over a VOCABULARY partial — the
+    per-batch stage of BPE's first merge-selection pass (Sennrich
+    2016): each distinct word contributes its in-word pair occurrences
+    weighted by the word's corpus frequency ``c``. Vectorized by
+    OFFSET: iteration i slices every surviving word at [i, i+2) in one
+    pandas kernel, so the Python loop is bounded by the longest word
+    in the batch, never by vocabulary or corpus size; pairs are
+    pre-aggregated per batch before the (tiny) pair-keyed combine.
+    Code-point slicing matches DuckDB substring()'s character
+    semantics (pinned by the unicode parity test)."""
+    w = b["token"].astype(str)
+    c = b["c"].to_numpy(np.int64)
+    lens = w.str.len().to_numpy(np.int64)
+    parts = []
+    longest = int(lens.max()) if len(lens) else 0
+    for i in range(longest - 1):
+        sel = lens > i + 1
+        if not sel.any():
+            break
+        parts.append(pd.DataFrame({
+            "pair": w[sel].str.slice(i, i + 2).to_numpy(),
+            "n": c[sel]}))
+    if not parts:
+        return pd.DataFrame({"pair": pd.array([], dtype=str),
+                             "n": pd.array([], dtype="int64")})
+    df = pd.concat(parts, ignore_index=True)
+    out = df.groupby("pair", as_index=False)["n"].sum()
+    return out.astype({"n": "int64"})

@@ -562,3 +562,47 @@ def test_dsir_weights_no_target_slice(ray_session, tmp_path):
     pd.testing.assert_frame_equal(_canon(got), _canon(want),
                                   check_dtype=False)
     assert len(got) == 2 and (got["selected"] == 0).all()
+
+
+def test_bpe_pair_counts_hand_computed(ray_session, tmp_path):
+    """BPE first-merge pair table pinned by hand AND engine-vs-oracle
+    on a constructed corpus: 'ab' appears both as a word (count 2) and
+    inside 'abc' (count 2) -> 4; in-word REPEATS count per occurrence
+    ('aaa' has 'aa' twice per instance); single-char words and
+    token-less docs contribute nothing; the unicode word slices by
+    CODE POINTS identically in pandas .str.slice and DuckDB substring
+    ('héllo' -> hé, él, ll, lo)."""
+    _write_docs(tmp_path, [
+        (1, "ab abc héllo héllo x", "s"),
+        (2, "abc zz ab aaa", "s"),
+        (3, "   ", "s"),
+        (4, "", "s"),
+    ])
+    got = QUERIES["docs_bpe_pair_counts"](str(tmp_path))
+    want = _oracle_on(tmp_path, "docs_bpe_pair_counts")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    by = got.set_index("pair")["cnt"]
+    assert by["ab"] == 4          # word 'ab' x2 + inside 'abc' x2
+    assert by["bc"] == 2
+    assert by["aa"] == 2          # twice within one 'aaa'
+    assert by["hé"] == 2 and by["él"] == 2
+    assert "x" not in by.index    # single-char word: no pair
+
+
+def test_bpe_pair_counts_empty_and_limit_tie(ray_session, tmp_path):
+    """Empty corpus returns the typed empty frame; a LIMIT boundary
+    tie resolves by pair text identically on both sides (>20 distinct
+    pairs all with count 1)."""
+    _write_docs(tmp_path, [])
+    got = QUERIES["docs_bpe_pair_counts"](str(tmp_path))
+    assert len(got) == 0 and list(got.columns) == ["pair", "cnt"]
+    # 26 distinct pairs, every count 1 -> the kept 20 is the
+    # lexicographically-first 20 on both engines
+    words = [chr(97 + i) * 2 for i in range(26)]  # aa bb .. zz
+    _write_docs(tmp_path, [(1, " ".join(words), "s")])
+    got = QUERIES["docs_bpe_pair_counts"](str(tmp_path))
+    want = _oracle_on(tmp_path, "docs_bpe_pair_counts")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    assert list(got["pair"]) == [w for w in sorted(words)][:20]
