@@ -2555,6 +2555,77 @@ def docs_unigram_ce(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_bigram_lm_ppl(sf_dir: str) -> pd.DataFrame:
+    """Per-document CONDITIONAL bigram-LM negative log-likelihood —
+    the CCNet perplexity filter (Wenzek et al. 2020) with the corpus's
+    own Laplace-smoothed bigram LM standing in for KenLM (no external
+    models allowed): P(b|a) = (C(a,b)+1) / (C(a)+V), C over the whole
+    corpus, C(a) the bigram-head count (= sum_b C(a,b)) and V the
+    continuation vocabulary (distinct second elements) — both
+    derivable from the ONE bigram table, so the corpus is tokenized
+    exactly once. Shape: per-batch doc-bigram partials (Arrow kernel)
+    -> corpus bigram stats via grouped_agg_ds (never driver-resident)
+    -> the small head/V join happens vocab-side (cb x ca rows, not doc
+    rows) -> one partitioned hash_join of doc partials against the
+    per-pair log-weight on a length-prefix-framed (a,b) key (tokens
+    may contain any non-space byte, so 'len(a):a+b' framing keeps the
+    composite key collision-free) -> per-doc sufficient stats through
+    grouped_agg_ds. nll rounded 3dp (the docs_unigram_ce float
+    surface); m is exact int64; docs with < 2 tokens have no bigram
+    and emit no row, mirroring the SQL."""
+    from .relational import grouped_agg_ds, hash_join
+    from .stages.text_analysis import doc_bigram_rows
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    rows = ds.map_batches(doc_bigram_rows,
+                          batch_format="pyarrow").materialize()
+    corpus = grouped_agg_ds(rows, ["a", "b"],
+                            {"cb": ("sum", "k")}).materialize()
+    n_cont = grouped_agg_ds(corpus, ["b"], {"nb": ("count", None)}).count()
+    if n_cont == 0:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "m": pd.array([], dtype="int64"),
+                             "nll": pd.array([], dtype="float64")})
+    heads = grouped_agg_ds(corpus, ["a"], {"ca": ("sum", "cb")})
+
+    def _frame_key(a: pd.Series, b: pd.Series) -> pd.Series:
+        return a.str.len().astype(str) + ":" + a + b
+
+    def lw_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ab": _frame_key(b["a"].astype(str), b["b"].astype(str)),
+            "lw": np.log(
+                (b["cb"].to_numpy(np.float64) + 1.0)
+                / (b["ca"].to_numpy(np.float64) + float(n_cont)))})
+
+    lwt = hash_join(corpus, heads, on="a").map_batches(
+        lw_rows, batch_format="pandas")
+
+    def key_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].values,
+            "ab": _frame_key(b["a"].astype(str), b["b"].astype(str)),
+            "k": b["k"].values})
+
+    joined = hash_join(
+        rows.map_batches(key_rows, batch_format="pandas"), lwt, on="ab")
+
+    def contrib(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].values,
+            "w": b["k"].to_numpy(np.float64) * b["lw"].to_numpy(np.float64),
+            "k": b["k"].values})
+
+    per_doc = grouped_agg_ds(
+        joined.map_batches(contrib, batch_format="pandas"),
+        ["doc_id"], {"sw": ("sum", "w"), "m": ("sum", "k")}).to_pandas()
+    per_doc["nll"] = np.round(
+        -per_doc["sw"].to_numpy(np.float64)
+        / per_doc["m"].to_numpy(np.float64), 3)
+    return (per_doc[["doc_id", "m", "nll"]]
+            .astype({"doc_id": "int64", "m": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def docs_shuffle_order(sf_dir: str) -> pd.DataFrame:
     """Deterministic global training-order shuffle: every doc gets a
     dense position 0..N-1 in multiplicative-hash order — the epoch
@@ -4509,6 +4580,7 @@ QUERIES = {
     "docs_gopher_repetition": docs_gopher_repetition,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_bpe_pair_counts": docs_bpe_pair_counts,
+    "docs_bigram_lm_ppl": docs_bigram_lm_ppl,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -6370,4 +6442,38 @@ ORACLES["docs_bpe_pair_counts"] = r"""
                      CAST(SUM(c) AS BIGINT) AS cnt
               FROM idx GROUP BY 1)
     SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair LIMIT 20
+"""
+
+
+# The bigram-LM oracle reuses the established toks[i]/toks[i+1]
+# bigram CTE (docs_bigram_novelty) and mirrors the engine's smoothing
+# tree term for term: head counts and the continuation vocabulary V
+# both derive from the one corpus bigram table, the per-pair weight is
+# ln((cb+1)/(ca+V)) in doubles, and the per-doc mean is ROUNDed to 3dp
+# (the docs_unigram_ce float surface). Docs with < 2 tokens emit no
+# row on either side.
+ORACLES["docs_bigram_lm_ppl"] = r"""
+    WITH t AS (SELECT doc_id,
+                      regexp_extract_all(text, '\S+') AS toks
+               FROM documents),
+    bi AS (SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+           FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM t WHERE len(toks) > 1)),
+    db AS (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS k
+           FROM bi GROUP BY doc_id, a, b),
+    cb AS (SELECT a, b, CAST(SUM(k) AS BIGINT) AS cb
+           FROM db GROUP BY a, b),
+    ca AS (SELECT a, CAST(SUM(cb) AS BIGINT) AS ca FROM cb GROUP BY a),
+    v AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS v FROM cb),
+    perdoc AS (SELECT db.doc_id,
+                      CAST(SUM(db.k) AS BIGINT) AS m,
+                      ROUND(-SUM(CAST(db.k AS DOUBLE)
+                                 * ln(CAST(cb.cb + 1 AS DOUBLE)
+                                      / CAST(ca.ca + v.v AS DOUBLE)))
+                            / CAST(SUM(db.k) AS DOUBLE), 3) AS nll
+               FROM db
+               JOIN cb USING (a, b) JOIN ca USING (a) CROSS JOIN v
+               GROUP BY db.doc_id)
+    SELECT doc_id, m, nll FROM perdoc ORDER BY doc_id
 """

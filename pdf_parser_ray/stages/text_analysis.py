@@ -671,3 +671,29 @@ def bpe_pair_rows(b: pd.DataFrame) -> pd.DataFrame:
     df = pd.concat(parts, ignore_index=True)
     out = df.groupby("pair", as_index=False)["n"].sum()
     return out.astype({"n": "int64"})
+
+
+def doc_bigram_rows(t: pa.Table, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """Per-batch per-DOCUMENT adjacent-bigram counts (doc_id, a, b, k)
+    — the doc-level partial the bigram-LM scorer joins against the
+    corpus statistics. Pairs never cross document seams (parent-index
+    equality masks the boundaries, the bigram_counts_arrow kernel);
+    each doc lives in one input row, so per-batch k is final."""
+    flat, parents = _flat_tokens(t, text_col)
+    n = len(flat)
+    if n < 2:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "k": pa.array([], pa.int64())})
+    same = pc.equal(parents.slice(0, n - 1), parents.slice(1))
+    a = flat.slice(0, n - 1).filter(same)
+    b = flat.slice(1).filter(same)
+    par = parents.slice(0, n - 1).filter(same)
+    ids = pc.take(t.column(id_col), par)
+    res = pa.TableGroupBy(pa.table({id_col: ids, "a": a, "b": b}),
+                          [id_col, "a", "b"]).aggregate([([], "count_all")])
+    return pa.table({id_col: res.column(id_col),
+                     "a": res.column("a"), "b": res.column("b"),
+                     "k": res.column("count_all")})

@@ -606,3 +606,51 @@ def test_bpe_pair_counts_empty_and_limit_tie(ray_session, tmp_path):
     pd.testing.assert_frame_equal(_canon(got), _canon(want),
                                   check_dtype=False)
     assert list(got["pair"]) == [w for w in sorted(words)][:20]
+
+
+def test_bigram_lm_ppl_hand_computed(ray_session, tmp_path):
+    """Bigram-LM scoring pinned by hand AND engine-vs-oracle: corpus
+    'a b a b' + 'a b' gives C(a,b)=3, C(b,a)=1, head counts a=3, b=1,
+    continuation vocab V={a,b}=2, so lw(a,b)=ln(4/5), lw(b,a)=ln(2/3);
+    doc nlls follow. Docs with < 2 tokens (single token, empty) emit
+    NO row on either side."""
+    import math
+    _write_docs(tmp_path, [
+        (1, "a b a b", "s"),
+        (2, "a b", "s"),
+        (3, "x", "s"),
+        (4, "", "s"),
+    ])
+    got = QUERIES["docs_bigram_lm_ppl"](str(tmp_path))
+    want = _oracle_on(tmp_path, "docs_bigram_lm_ppl")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    assert set(got["doc_id"]) == {1, 2}
+    by = got.set_index("doc_id")
+    assert by.loc[1, "m"] == 3 and by.loc[2, "m"] == 1
+    nll1 = -(2 * math.log(4 / 5) + math.log(2 / 3)) / 3
+    assert by.loc[1, "nll"] == round(nll1, 3)
+    assert by.loc[2, "nll"] == round(-math.log(4 / 5), 3)
+
+
+def test_bigram_lm_ppl_empty_and_framed_key(ray_session, tmp_path):
+    """Empty corpus returns the typed empty frame. The framed (a,b)
+    join key cannot collide: words embedding the old separator-style
+    ambiguity ('x y'+'z' vs 'x'+'y z' cannot occur since tokens have
+    no spaces, but 'ab'+'c' vs 'a'+'bc' CAN) stay distinct pairs."""
+    _write_docs(tmp_path, [])
+    got = QUERIES["docs_bigram_lm_ppl"](str(tmp_path))
+    assert len(got) == 0 and list(got.columns) == ["doc_id", "m", "nll"]
+    _write_docs(tmp_path, [
+        (1, "ab c ab c", "s"),   # pair (ab, c)
+        (2, "a bc a bc", "s"),   # pair (a, bc) — same concatenation
+    ])
+    got = QUERIES["docs_bigram_lm_ppl"](str(tmp_path))
+    want = _oracle_on(tmp_path, "docs_bigram_lm_ppl")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    # if the key collided, the two docs would share pooled counts and
+    # score identically with inflated cb; distinct pairs keep the
+    # per-doc stats symmetric but the oracle equality above is the
+    # real guard
+    assert len(got) == 2
