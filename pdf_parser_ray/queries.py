@@ -2565,15 +2565,16 @@ def docs_bigram_lm_ppl(sf_dir: str) -> pd.DataFrame:
     derivable from the ONE bigram table, so the corpus is tokenized
     exactly once. Shape: per-batch doc-bigram partials (Arrow kernel)
     -> corpus bigram stats via grouped_agg_ds (never driver-resident)
-    -> the small head/V join happens vocab-side (cb x ca rows, not doc
-    rows) -> one partitioned hash_join of doc partials against the
+    -> head counts fuse into the per-pair log-weight in ONE a-keyed
+    bucketed pass (vocab-side work, never doc rows)
+    -> one partitioned hash_join of doc partials against the
     per-pair log-weight on a length-prefix-framed (a,b) key (tokens
     may contain any non-space byte, so 'len(a):a+b' framing keeps the
     composite key collision-free) -> per-doc sufficient stats through
     grouped_agg_ds. nll rounded 3dp (the docs_unigram_ce float
     surface); m is exact int64; docs with < 2 tokens have no bigram
     and emit no row, mirroring the SQL."""
-    from .relational import grouped_agg_ds, hash_join
+    from .relational import bucketed_map_groups, grouped_agg_ds, hash_join
     from .stages.text_analysis import doc_bigram_rows
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     rows = ds.map_batches(doc_bigram_rows,
@@ -2585,20 +2586,25 @@ def docs_bigram_lm_ppl(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                              "m": pd.array([], dtype="int64"),
                              "nll": pd.array([], dtype="float64")})
-    heads = grouped_agg_ds(corpus, ["a"], {"ca": ("sum", "cb")})
-
     def _frame_key(a: pd.Series, b: pd.Series) -> pd.Series:
         return a.str.len().astype(str) + ":" + a + b
 
-    def lw_rows(b: pd.DataFrame) -> pd.DataFrame:
+    # head counts fuse into the per-pair log-weight in ONE a-keyed
+    # bucketed pass (ca is a within-group transform), replacing a
+    # grouped_agg_ds + hash_join round trip — same shuffle count as a
+    # plain aggregate, and group size is bounded by the continuations
+    # of one head token, never the corpus
+    def lw_group(df: pd.DataFrame) -> pd.DataFrame:
+        ca = (df.groupby("a", observed=True)["cb"]
+              .transform("sum").to_numpy(np.float64))
+        a = df["a"].astype(str)
         return pd.DataFrame({
-            "ab": _frame_key(b["a"].astype(str), b["b"].astype(str)),
+            "ab": _frame_key(a, df["b"].astype(str)),
             "lw": np.log(
-                (b["cb"].to_numpy(np.float64) + 1.0)
-                / (b["ca"].to_numpy(np.float64) + float(n_cont)))})
+                (df["cb"].to_numpy(np.float64) + 1.0)
+                / (ca + float(n_cont)))})
 
-    lwt = hash_join(corpus, heads, on="a").map_batches(
-        lw_rows, batch_format="pandas")
+    lwt = bucketed_map_groups(corpus, ["a"], lw_group)
 
     def key_rows(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

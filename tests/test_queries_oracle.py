@@ -654,3 +654,22 @@ def test_bigram_lm_ppl_empty_and_framed_key(ray_session, tmp_path):
     # per-doc stats symmetric but the oracle equality above is the
     # real guard
     assert len(got) == 2
+
+
+def test_bpe_pair_counts_replication_linearity(ray_session, tmp_path):
+    """Pair counts are a LINEAR statistic: replicating every document
+    16x under distinct doc_id ranges must multiply every pair count by
+    exactly 16 and keep the top-20 membership/order identical — the
+    partitioning-and-scale invariance check (replication also reshapes
+    the block layout, so this doubles as a parallelism-invariance
+    pin)."""
+    base = [(i, t, "s") for i, t in enumerate(
+        ["ab abc abc", "zz ab aaa", "héllo héllo x", "qr st qr"])]
+    _write_docs(tmp_path, base)
+    one = QUERIES["docs_bpe_pair_counts"](str(tmp_path))
+    rep = [(i + 100 * j, t, s) for j in range(16) for (i, t, s) in base]
+    _write_docs(tmp_path, rep)
+    sixteen = QUERIES["docs_bpe_pair_counts"](str(tmp_path))
+    assert list(one["pair"]) == list(sixteen["pair"])
+    assert (sixteen["cnt"].to_numpy() ==
+            16 * one["cnt"].to_numpy()).all()
