@@ -186,7 +186,8 @@ def run_queries() -> dict:
                 # round 5: Gopher repetition-removal rules, DSIR
                 # hashed-unigram importance weighting, BPE pair counts
                 "docs_gopher_repetition", "docs_dsir_weights",
-                "docs_bpe_pair_counts", "docs_bigram_lm_ppl"]
+                "docs_bpe_pair_counts", "docs_bigram_lm_ppl",
+                "docs_line_dedup"]
     # transcript_wave_extract is deliberately NOT a bench row: it is a
     # commit-protocol demo (two full wave extractions + checkpointed
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose

@@ -4435,6 +4435,42 @@ def orders_customer_bucketed_join(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(db, ignore_errors=True)
 
 
+def docs_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """Global exact LINE-level dedup with document rebuild — the
+    line-granularity dedup step web-scale curation runs against
+    repeated navigation/footer/boilerplate lines (the FineWeb /
+    RefinedWeb recipe), complementing strip_duplicate_spans' token
+    windows: every line occurring in more than one place survives
+    only at its globally first (doc_id, line_idx); empty lines are
+    formatting, always kept. Verified surface: per-doc original line
+    count, kept line count, and the REBUILT TEXT itself (int64s +
+    string, no floats). Shape (stages/spans.line_dedup_ds): Arrow
+    split/explode -> ONE bucketed winner+flag pass keyed on the line
+    string (exact grouping via factorize inside the bucket — a
+    bucket-hash collision cannot merge distinct lines) -> ONE
+    doc-keyed rebuild pass; both passes all-to-all over line rows
+    (each occurrence needs its keep bit and must route home — no
+    combiner applies), the docs_exact_dedup cost class. The sf docs
+    are single-line near-unique word salad, so the deterministic
+    fixture (line_dedup_inject_batch, mirrored in the SQL CASE tree)
+    creates multi-line docs, cross-slice shared footers, and
+    %19-slice docs that dedup away entirely."""
+    from .stages.spans import line_dedup_ds
+    from .stages.text_analysis import line_dedup_inject_batch
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = line_dedup_ds(
+        ds.map_batches(line_dedup_inject_batch, batch_format="pandas"))
+    pdf = out.to_pandas()
+    if not len(pdf):
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "n_lines": pd.array([], dtype="int64"),
+                             "n_kept": pd.array([], dtype="int64"),
+                             "text": pd.array([], dtype=str)})
+    return (pdf.astype({"doc_id": "int64", "n_lines": "int64",
+                        "n_kept": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 
 # ----------------------------------------------------------------- registry
 
@@ -4587,6 +4623,7 @@ QUERIES = {
     "docs_dsir_weights": docs_dsir_weights,
     "docs_bpe_pair_counts": docs_bpe_pair_counts,
     "docs_bigram_lm_ppl": docs_bigram_lm_ppl,
+    "docs_line_dedup": docs_line_dedup,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -6482,4 +6519,50 @@ ORACLES["docs_bigram_lm_ppl"] = r"""
                JOIN cb USING (a, b) JOIN ca USING (a) CROSS JOIN v
                GROUP BY db.doc_id)
     SELECT doc_id, m, nll FROM perdoc ORDER BY doc_id
+"""
+
+# docs_line_dedup: the CASE tree mirrors line_dedup_inject_batch
+# branch for branch (%19 total override LAST in the engine == the
+# FIRST CASE branch here — CASE precedence is the override). Winner
+# election is ROW_NUMBER over (doc_id, idx) per line; empty lines are
+# always kept on both sides; string_agg skips the NULLed dropped
+# lines and COALESCE('') covers docs that lose every line.
+ORACLES["docs_line_dedup"] = r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 19 = 0
+                  THEN 'subscribe to our newsletter for updates today'
+                  ELSE (CASE WHEN doc_id % 7 = 0
+                             THEN regexp_replace(text,
+                                  '((?:[^ ]+ ){5}[^ ]+) ',
+                                  '\1.' || chr(10), 'g')
+                             ELSE text END)
+                    || CASE WHEN doc_id % 2 = 0 OR doc_id % 5 = 0
+                            THEN chr(10) ||
+                                 'subscribe to our newsletter for updates today'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN chr(10) ||
+                                 'all rights reserved by the site owner'
+                            ELSE '' END
+             END AS text
+      FROM documents),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1)
+               AS idx
+      FROM aug),
+    flagged AS (
+      SELECT doc_id, idx, line,
+             (line = '' OR ROW_NUMBER() OVER (
+                 PARTITION BY line ORDER BY doc_id, idx) = 1) AS keep
+      FROM lines)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY idx), '') AS text
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
 """

@@ -252,3 +252,110 @@ def contamination_counts(train_ds, bench_ds, *, n: int = 8,
 
     return train_ds.map_batches(count_overlap, batch_format="pandas",
                                 batch_size=batch_size)
+
+
+# --------------------------------------------- exact LINE-level dedup
+
+def _line_explode(b: pd.DataFrame, *, id_col: str,
+                  text_col: str) -> pd.DataFrame:
+    """One row per line of every doc: (doc_id, idx, line) with idx the
+    1-based within-doc ordinal (1-based to mirror DuckDB's
+    generate_subscripts). The split runs in Arrow C++ (plain-pattern
+    split + list_flatten); the ordinal is pure numpy arithmetic over
+    the list lengths — no per-doc Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if not len(b):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "idx": pd.Series([], dtype="int64"),
+                             "line": pd.Series([], dtype=object)})
+    texts = pa.array(b[text_col].astype(str).tolist(),
+                     type=pa.large_string())
+    parts = pc.split_pattern(texts, "\n")
+    flat = pc.list_flatten(parts).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(parts).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    doc = np.repeat(b[id_col].to_numpy(dtype=np.int64), lens)
+    offs = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    idx = (np.arange(offs[-1], dtype=np.int64)
+           - np.repeat(offs[:-1], lens) + 1)
+    return pd.DataFrame({"doc_id": doc, "idx": idx, "line": flat})
+
+
+def _flag_line_winners(g: pd.DataFrame) -> pd.DataFrame:
+    """Within one line-keyed bucket: every occurrence of a line keeps
+    only the lexicographically first (doc_id, idx) — the same winner
+    election as the window dedup above, at line granularity. Grouping
+    is on the LINE STRING (factorize), so a bucket-hash collision can
+    never merge two distinct lines. Empty lines are formatting, not
+    content: always kept (mirrored in the SQL oracle)."""
+    if not len(g):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "idx": pd.Series([], dtype="int64"),
+                             "line": pd.Series([], dtype=object),
+                             "keep": pd.Series([], dtype=bool)})
+    line = g["line"].to_numpy()
+    doc = g["doc_id"].to_numpy(dtype=np.int64)
+    idx = g["idx"].to_numpy(dtype=np.int64)
+    codes, _ = pd.factorize(line)
+    order = np.lexsort((idx, doc, codes))
+    oc = codes[order]
+    starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
+    keep = np.zeros(len(g), dtype=bool)
+    keep[order[starts]] = True
+    keep |= line == ""
+    return pd.DataFrame({"doc_id": doc, "idx": idx, "line": line,
+                         "keep": keep})
+
+
+def _rebuild_docs(g: pd.DataFrame) -> pd.DataFrame:
+    """Within one doc-keyed bucket: reassemble each doc from its kept
+    lines in idx order. The per-doc string join is output-proportional
+    work; everything else is numpy segment logic."""
+    if not len(g):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_lines": pd.Series([], dtype="int64"),
+                             "n_kept": pd.Series([], dtype="int64"),
+                             "text": pd.Series([], dtype=object)})
+    order = np.lexsort((g["idx"].to_numpy(dtype=np.int64),
+                        g["doc_id"].to_numpy(dtype=np.int64)))
+    doc = g["doc_id"].to_numpy(dtype=np.int64)[order]
+    keep = g["keep"].to_numpy(dtype=bool)[order]
+    line = g["line"].to_numpy()[order]
+    starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+    ends = np.r_[starts[1:], len(doc)]
+    return pd.DataFrame({
+        "doc_id": doc[starts],
+        "n_lines": (ends - starts).astype(np.int64),
+        "n_kept": np.add.reduceat(keep.astype(np.int64), starts),
+        "text": ["\n".join(line[s:e][keep[s:e]])
+                 for s, e in zip(starts, ends)]})
+
+
+def line_dedup_ds(ds, *, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Global exact LINE-level dedup with document rebuild — the
+    line-granularity complement of strip_duplicate_spans (the step
+    FineWeb/RefinedWeb-style curation runs against repeated
+    navigation/footer lines): every line that occurs in more than one
+    place survives only at its globally first (doc_id, idx); empty
+    lines always survive. Returns a Dataset of
+    (doc_id, n_lines, n_kept, text) with text rebuilt from the kept
+    lines.
+
+    Distributed shape: Arrow explode -> ONE bucketed winner+flag pass
+    keyed on the line string -> ONE doc-keyed rebuild pass. Both
+    passes are all-to-all over line rows (each occurrence needs its
+    keep bit and must route home by doc — no combiner applies), the
+    same cost class as the window dedup's shuffle; rows carry each
+    line's bytes once per pass."""
+    import functools
+
+    from ..relational import bucketed_map_groups
+    rows = ds.map_batches(
+        functools.partial(_line_explode, id_col=id_col,
+                          text_col=text_col),
+        batch_format="pandas")
+    flagged = bucketed_map_groups(rows, ["line"], _flag_line_winners)
+    return bucketed_map_groups(flagged, ["doc_id"], _rebuild_docs)

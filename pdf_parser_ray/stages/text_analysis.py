@@ -697,3 +697,33 @@ def doc_bigram_rows(t: pa.Table, *, id_col: str = "doc_id",
     return pa.table({id_col: res.column(id_col),
                      "a": res.column("a"), "b": res.column("b"),
                      "k": res.column("count_all")})
+
+
+_LD_FOOT = "subscribe to our newsletter for updates today"
+_LD_RIGHTS = "all rights reserved by the site owner"
+
+
+def line_dedup_inject_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic line-dedup fixture (same role as c4_inject_batch:
+    the sf documents are single-line near-unique word salad, so
+    cross-doc duplicate lines never occur naturally). Sentence-ize
+    every doc_id % 7 == 0 row into multiple lines, append a shared
+    newsletter footer to the %2/%5 slices and a rights line to the %3
+    slice (cross-slice duplication), and REPLACE every %19 row's text
+    with the footer alone — those docs dedup away entirely except the
+    global winner. The %19 replacement applies last (total override),
+    mirrored by the SQL CASE's branch precedence."""
+    ids = b["doc_id"].to_numpy()
+    text = b["text"].copy()
+    m = ids % 7 == 0
+    text[m] = text[m].str.replace(r"((?:[^ ]+ ){5}[^ ]+) ",
+                                  r"\1.\n", regex=True)
+    m = (ids % 2 == 0) | (ids % 5 == 0)
+    text[m] = text[m] + ("\n" + _LD_FOOT)
+    m = ids % 3 == 0
+    text[m] = text[m] + ("\n" + _LD_RIGHTS)
+    m = ids % 19 == 0
+    text[m] = _LD_FOOT
+    out = b.copy(deep=False)
+    out["text"] = text
+    return out

@@ -673,3 +673,30 @@ def test_bpe_pair_counts_replication_linearity(ray_session, tmp_path):
     assert list(one["pair"]) == list(sixteen["pair"])
     assert (sixteen["cnt"].to_numpy() ==
             16 * one["cnt"].to_numpy()).all()
+
+
+def test_line_dedup_hand_fixture(ray_session, tmp_path):
+    """Winner election, within-doc duplicates, empty-line retention,
+    and whole-doc-dedup on a corpus computed by hand. Ids 1/11/13/23
+    hit NO inject slice (not divisible by 2,3,5,7,19), so the fixture
+    text passes through the injector verbatim."""
+    _write_docs(tmp_path, [
+        (1, "a b c\ndup line x\nunique one", "s"),
+        (11, "dup line x\nzz\ndup line x", "s"),   # cross + within-doc
+        (13, "\ndup line x", "s"),                  # empty line kept
+        (23, "dup line x", "s"),                    # dedups away
+    ])
+    got = QUERIES["docs_line_dedup"](str(tmp_path))
+    want = pd.DataFrame({
+        "doc_id": [1, 11, 13, 23],
+        "n_lines": [3, 3, 2, 1],
+        "n_kept": [3, 1, 1, 0],
+        "text": ["a b c\ndup line x\nunique one", "zz", "", ""]})
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
+    # and the SQL oracle agrees on the same corpus
+    w = _oracle_on(tmp_path, "docs_line_dedup")
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)].reset_index(drop=True),
+        w.sort_values("doc_id").reset_index(drop=True)[sorted(w.columns)],
+        check_dtype=False)
