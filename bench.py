@@ -187,7 +187,7 @@ def run_queries() -> dict:
                 # hashed-unigram importance weighting, BPE pair counts
                 "docs_gopher_repetition", "docs_dsir_weights",
                 "docs_bpe_pair_counts", "docs_bigram_lm_ppl",
-                "docs_line_dedup"]
+                "docs_line_dedup", "events_user_cms_topk"]
     # transcript_wave_extract is deliberately NOT a bench row: it is a
     # commit-protocol demo (two full wave extractions + checkpointed
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose

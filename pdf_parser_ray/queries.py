@@ -4435,6 +4435,62 @@ def orders_customer_bucketed_join(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(db, ignore_errors=True)
 
 
+def events_user_cms_topk(sf_dir: str) -> pd.DataFrame:
+    """Count-Min sketch point estimates for the heavy users (Cormode
+    & Muthukrishnan 2005) — the streaming frequency sketch the suite
+    lacked (Bloom/HLL/bottom-k/Misra-Gries exist; CMS adds bounded
+    OVERcount point queries a heavy-hitter pipeline reads directly).
+    Shape: per-batch fixed-size (r, bucket, c) partials (<= depth x
+    width rows regardless of batch size; the bucket hash runs once
+    per DISTINCT key, stages/sketches.cms_partial_rows) -> the
+    (<= 4096-row) sketch combine via grouped_agg_ds -> exact top-20
+    by (count DESC, user_id) computed Dataset-side (sort + limit —
+    the exact counts never land on the driver beyond the report
+    rows). est >= exact is a CMS structural guarantee, ASSERTED
+    in-query and emitted as overcount_ok; the oracle recomputes both
+    sides from the same md5_number_upper bucket arithmetic
+    (the DSIR/winnow mirroring contract) — all int64, no floats."""
+    import functools
+
+    from .stages.sketches import cms_bucket, cms_partial_rows
+    depth, width, topk = 4, 1024, 20
+    ds = read_table(sf_dir, "events", ["user_id"])
+    top = (grouped_agg_ds(ds, ["user_id"], {"n": ("count", None)})
+           .sort(["n", "user_id"], descending=[True, False])
+           .limit(topk).to_pandas())
+    if not len(top):
+        # zero events: no sketch to build (an empty partials Dataset
+        # has no columns to combine on)
+        return pd.DataFrame({"user_id": pd.array([], dtype="int64"),
+                             "exact_n": pd.array([], dtype="int64"),
+                             "est_n": pd.array([], dtype="int64"),
+                             "overcount_ok": pd.array([],
+                                                      dtype="int64")})
+    sk = grouped_agg_ds(
+        ds.map_batches(
+            functools.partial(cms_partial_rows, col="user_id",
+                              depth=depth, width=width),
+            batch_format="pandas"),
+        ["r", "bucket"], {"c": ("sum", "c")}).to_pandas()
+    cms = {(int(r), int(bkt)): int(c)
+           for r, bkt, c in zip(sk["r"], sk["bucket"], sk["c"])}
+    users = top["user_id"].to_numpy(dtype=np.int64)
+    exact = top["n"].to_numpy(dtype=np.int64)
+    est = np.fromiter(
+        (min(cms[(r, cms_bucket(r, int(u), width))]
+             for r in range(depth)) for u in users),
+        np.int64, count=len(users))
+    if (est < exact).any():
+        raise AssertionError(
+            "CMS undercount — min-over-rows of summed bucket counts "
+            "can never be below a key's true count")
+    return (pd.DataFrame({"user_id": users, "exact_n": exact,
+                          "est_n": est,
+                          "overcount_ok":
+                              (est >= exact).astype(np.int64)})
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def docs_line_dedup(sf_dir: str) -> pd.DataFrame:
     """Global exact LINE-level dedup with document rebuild — the
     line-granularity dedup step web-scale curation runs against
@@ -4624,6 +4680,7 @@ QUERIES = {
     "docs_bpe_pair_counts": docs_bpe_pair_counts,
     "docs_bigram_lm_ppl": docs_bigram_lm_ppl,
     "docs_line_dedup": docs_line_dedup,
+    "events_user_cms_topk": events_user_cms_topk,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -6565,4 +6622,35 @@ ORACLES["docs_line_dedup"] = r"""
            COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
                                ORDER BY idx), '') AS text
     FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+# events_user_cms_topk: both sides derive the sketch from the SAME
+# md5_number_upper("r:user") % width buckets over per-user exact
+# counts (summing a user's occurrences before or after bucketing is
+# the same integer), so est_n is reproducible to the bit; the LIMIT
+# boundary orders by (n DESC, user_id), identical on both sides.
+ORACLES["events_user_cms_topk"] = r"""
+    WITH cnt AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM events GROUP BY user_id),
+    rows_ AS (SELECT unnest(range(4)) AS r),
+    sk AS (SELECT r,
+                  CAST(md5_number_upper(CAST(r AS VARCHAR) || ':'
+                       || CAST(user_id AS VARCHAR)) % 1024 AS BIGINT)
+                    AS bucket,
+                  CAST(SUM(n) AS BIGINT) AS c
+           FROM cnt CROSS JOIN rows_ GROUP BY r, bucket),
+    top AS (SELECT user_id, n FROM cnt
+            ORDER BY n DESC, user_id LIMIT 20),
+    est AS (SELECT t.user_id, t.n,
+                   CAST(MIN(sk.c) AS BIGINT) AS est
+            FROM top t CROSS JOIN rows_ rr
+            JOIN sk ON sk.r = rr.r
+                   AND sk.bucket = CAST(md5_number_upper(
+                         CAST(rr.r AS VARCHAR) || ':'
+                         || CAST(t.user_id AS VARCHAR)) % 1024
+                       AS BIGINT)
+            GROUP BY t.user_id, t.n)
+    SELECT user_id, n AS exact_n, est AS est_n,
+           CAST(est >= n AS BIGINT) AS overcount_ok
+    FROM est ORDER BY user_id
 """

@@ -362,3 +362,50 @@ def approx_distinct_grouped(ds, *, group_col: str, col: str,
                            batch_size=batch_size)
     return (bucketed_map_groups(parts, [group_col], merge).to_pandas()
             .sort_values(group_col).reset_index(drop=True))
+
+
+# -------------------------------------------------- Count-Min sketch
+
+_CMS_BUCKET_MEMO: dict = {}
+
+
+def cms_bucket(r: int, key: int, w: int) -> int:
+    """Row-r CMS bucket of an integer key: md5 upper-64 of "r:key"
+    mod w — the same md5_number_upper mirroring contract as the DSIR
+    bucket hash, so a DuckDB oracle reproduces every bucket exactly.
+    Memoized per worker (hot keys recur across batches)."""
+    import hashlib
+    mk = (r, key, w)
+    v = _CMS_BUCKET_MEMO.get(mk)
+    if v is None:
+        if len(_CMS_BUCKET_MEMO) > 2_000_000:
+            _CMS_BUCKET_MEMO.clear()
+        v = int.from_bytes(
+            hashlib.md5(f"{r}:{key}".encode()).digest()[:8],
+            "little") % w
+        _CMS_BUCKET_MEMO[mk] = v
+    return v
+
+
+def cms_partial_rows(b: pd.DataFrame, *, col: str, depth: int,
+                     width: int) -> pd.DataFrame:
+    """Per-batch Count-Min partial as (r, bucket, c) rows — a
+    fixed-size (<= depth x width) mergeable sketch of the batch's key
+    occurrences (Cormode & Muthukrishnan 2005). Summing partials per
+    (r, bucket) IS the sketch of the whole stream; the hash runs once
+    per DISTINCT key in the batch."""
+    keys = b[col].to_numpy(dtype=np.int64)
+    uu, cc = np.unique(keys, return_counts=True)
+    if not len(uu):
+        return pd.DataFrame({"r": pd.Series([], dtype="int64"),
+                             "bucket": pd.Series([], dtype="int64"),
+                             "c": pd.Series([], dtype="int64")})
+    parts = []
+    for r in range(depth):
+        bkt = np.fromiter((cms_bucket(r, int(u), width) for u in uu),
+                          np.int64, count=len(uu))
+        df = pd.DataFrame({"bucket": bkt, "c": cc.astype(np.int64)})
+        g = df.groupby("bucket", as_index=False)["c"].sum()
+        g.insert(0, "r", np.int64(r))
+        parts.append(g)
+    return pd.concat(parts, ignore_index=True)

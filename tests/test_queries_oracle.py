@@ -700,3 +700,14 @@ def test_line_dedup_hand_fixture(ray_session, tmp_path):
         got[sorted(got.columns)].reset_index(drop=True),
         w.sort_values("doc_id").reset_index(drop=True)[sorted(w.columns)],
         check_dtype=False)
+
+
+def test_cms_topk_empty_events(ray_session, tmp_path):
+    """Zero events: the query returns the typed empty frame and the
+    oracle returns zero rows — no KeyError on an empty sketch."""
+    _write_events(tmp_path, [])
+    got = QUERIES["events_user_cms_topk"](str(tmp_path))
+    assert list(got.columns) == ["user_id", "exact_n", "est_n",
+                                 "overcount_ok"]
+    assert len(got) == 0
+    assert len(_oracle_on(tmp_path, "events_user_cms_topk")) == 0
