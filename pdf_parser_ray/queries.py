@@ -4500,13 +4500,14 @@ def docs_line_dedup(sf_dir: str) -> pd.DataFrame:
     only at its globally first (doc_id, line_idx); empty lines are
     formatting, always kept. Verified surface: per-doc original line
     count, kept line count, and the REBUILT TEXT itself (int64s +
-    string, no floats). Shape (stages/spans.line_dedup_ds): Arrow
-    split/explode -> ONE bucketed winner+flag pass keyed on the line
-    string (exact grouping via factorize inside the bucket — a
-    bucket-hash collision cannot merge distinct lines) -> ONE
-    doc-keyed rebuild pass; both passes all-to-all over line rows
-    (each occurrence needs its keep bit and must route home — no
-    combiner applies), the docs_exact_dedup cost class. The sf docs
+    string, no floats). Shape (stages/spans.line_dedup_ds), skew-safe
+    at web scale: Arrow split/explode -> per-batch winner COMBINER
+    (one row per distinct line per batch — a billion-occurrence
+    footer never ships its occurrences to the winner shuffle) ->
+    line-keyed combine emitting only duplicated lines -> keep flags
+    attached adaptively (broadcast dup-winner frame under the 64 MiB
+    budget / salted co-partition past it, both paths pinned
+    bit-equal) -> one doc-keyed rebuild pass. The sf docs
     are single-line near-unique word salad, so the deterministic
     fixture (line_dedup_inject_batch, mirrored in the SQL CASE tree)
     creates multi-line docs, cross-slice shared footers, and

@@ -283,29 +283,77 @@ def _line_explode(b: pd.DataFrame, *, id_col: str,
     return pd.DataFrame({"doc_id": doc, "idx": idx, "line": flat})
 
 
-def _flag_line_winners(g: pd.DataFrame) -> pd.DataFrame:
-    """Within one line-keyed bucket: every occurrence of a line keeps
-    only the lexicographically first (doc_id, idx) — the same winner
-    election as the window dedup above, at line granularity. Grouping
-    is on the LINE STRING (factorize), so a bucket-hash collision can
-    never merge two distinct lines. Empty lines are formatting, not
-    content: always kept (mirrored in the SQL oracle)."""
-    if not len(g):
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "idx": pd.Series([], dtype="int64"),
-                             "line": pd.Series([], dtype=object),
-                             "keep": pd.Series([], dtype=bool)})
-    line = g["line"].to_numpy()
-    doc = g["doc_id"].to_numpy(dtype=np.int64)
-    idx = g["idx"].to_numpy(dtype=np.int64)
-    codes, _ = pd.factorize(line)
+def _line_min_partial(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combiner for winner election: ONE row per distinct
+    line of the batch carrying its lexicographically-first
+    (doc_id, idx) and its occurrence count. This is what makes the
+    winner shuffle skew-free at 100 TB: a boilerplate footer occurring
+    a billion times contributes <= one row per batch to the shuffle,
+    never its occurrences. Empty lines are formatting, always kept —
+    they are excluded here and never shuffled at all (blank lines are
+    the most duplicated string in any real corpus)."""
+    ne = b[b["line"].to_numpy() != ""]
+    if not len(ne):
+        return pd.DataFrame({"line": pd.Series([], dtype=object),
+                             "wd": pd.Series([], dtype="int64"),
+                             "wi": pd.Series([], dtype="int64"),
+                             "cnt": pd.Series([], dtype="int64")})
+    line = ne["line"].to_numpy()
+    doc = ne["doc_id"].to_numpy(dtype=np.int64)
+    idx = ne["idx"].to_numpy(dtype=np.int64)
+    codes, uniq = pd.factorize(line)
     order = np.lexsort((idx, doc, codes))
     oc = codes[order]
     starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
-    keep = np.zeros(len(g), dtype=bool)
-    keep[order[starts]] = True
-    keep |= line == ""
-    return pd.DataFrame({"doc_id": doc, "idx": idx, "line": line,
+    first = order[starts]
+    return pd.DataFrame({"line": uniq[oc[starts]],
+                         "wd": doc[first], "wi": idx[first],
+                         "cnt": np.bincount(codes)[oc[starts]]
+                         .astype(np.int64)})
+
+
+def _combine_line_min(g: pd.DataFrame) -> pd.DataFrame:
+    """Bucket-level combine of _line_min_partial rows: min of mins,
+    sum of counts — and only DUPLICATED lines (total cnt >= 2) leave
+    the combine; unique lines keep trivially and never travel
+    further."""
+    if not len(g):
+        return pd.DataFrame({"line": pd.Series([], dtype=object),
+                             "wd": pd.Series([], dtype="int64"),
+                             "wi": pd.Series([], dtype="int64")})
+    line = g["line"].to_numpy()
+    wd = g["wd"].to_numpy(dtype=np.int64)
+    wi = g["wi"].to_numpy(dtype=np.int64)
+    codes, uniq = pd.factorize(line)
+    order = np.lexsort((wi, wd, codes))
+    oc = codes[order]
+    starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
+    first = order[starts]
+    tot = np.zeros(oc[starts].max() + 1 if len(starts) else 0,
+                   np.int64)
+    np.add.at(tot, codes, g["cnt"].to_numpy(dtype=np.int64))
+    tot = tot[oc[starts]]
+    dup = tot >= 2
+    return pd.DataFrame({"line": uniq[oc[starts]][dup],
+                         "wd": wd[first][dup], "wi": wi[first][dup]})
+
+
+def _flag_against_winners(b: pd.DataFrame,
+                          win: pd.DataFrame) -> pd.DataFrame:
+    """keep = empty line, OR line not in the duplicated-winner table,
+    OR this occurrence IS the winner. The merge is a vectorized
+    string-keyed hash join against the (small) dup-winner frame."""
+    # winner ids join as NULLABLE Int64, never float64: a left-merge
+    # float upcast would silently round doc ids above 2^53
+    m = b.merge(win.astype({"wd": "Int64", "wi": "Int64"}),
+                on="line", how="left")
+    eq = ((m["wd"] == m["doc_id"]) & (m["wi"] == m["idx"]))
+    keep = (m["wd"].isna().to_numpy()
+            | eq.fillna(False).to_numpy(dtype=bool)
+            | (m["line"].to_numpy() == ""))
+    return pd.DataFrame({"doc_id": m["doc_id"].to_numpy(np.int64),
+                         "idx": m["idx"].to_numpy(np.int64),
+                         "line": m["line"].to_numpy(),
                          "keep": keep})
 
 
@@ -334,28 +382,78 @@ def _rebuild_docs(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def line_dedup_ds(ds, *, id_col: str = "doc_id",
-                  text_col: str = "text"):
+                  text_col: str = "text", salt: int = 64):
     """Global exact LINE-level dedup with document rebuild — the
     line-granularity complement of strip_duplicate_spans (the step
     FineWeb/RefinedWeb-style curation runs against repeated
-    navigation/footer lines): every line that occurs in more than one
-    place survives only at its globally first (doc_id, idx); empty
-    lines always survive. Returns a Dataset of
+    navigation/footer lines): every non-empty line that occurs in
+    more than one place survives only at its globally first
+    (doc_id, idx); empty lines always survive. Returns a Dataset of
     (doc_id, n_lines, n_kept, text) with text rebuilt from the kept
     lines.
 
-    Distributed shape: Arrow explode -> ONE bucketed winner+flag pass
-    keyed on the line string -> ONE doc-keyed rebuild pass. Both
-    passes are all-to-all over line rows (each occurrence needs its
-    keep bit and must route home by doc — no combiner applies), the
-    same cost class as the window dedup's shuffle; rows carry each
-    line's bytes once per pass."""
+    Distributed shape, skew-safe at web scale: Arrow explode -> a
+    PER-BATCH combiner (one row per distinct line per batch — a
+    footer duplicated a billion times never ships its occurrences)
+    -> a line-keyed winner combine emitting only DUPLICATED lines ->
+    keep-flags attached adaptively (the boilerplate-strip pattern):
+    under the broadcast budget the dup-winner frame ships once via
+    ray.put and flags map-side with ZERO occurrence shuffle; past it,
+    occurrences salt into (doc_id, idx)-derived ranges and winners
+    replicate per range, so one co-partition bucket holds at most
+    ~1/salt of any single hot line's occurrences -> one doc-keyed
+    rebuild pass (bounded by document size). The input is pinned once
+    (two consumers — the strip_conv_boilerplate precedent)."""
     import functools
 
-    from ..relational import bucketed_map_groups
+    import ray
+
+    from ..relational import (_BROADCAST_JOIN_BYTES, _cogroup,
+                              _split_sides, bucketed_map_groups)
+    ds = ds.materialize()
     rows = ds.map_batches(
         functools.partial(_line_explode, id_col=id_col,
                           text_col=text_col),
         batch_format="pandas")
-    flagged = bucketed_map_groups(rows, ["line"], _flag_line_winners)
+    winners = bucketed_map_groups(
+        rows.map_batches(_line_min_partial, batch_format="pandas"),
+        ["line"], _combine_line_min).materialize()
+
+    if (winners.size_bytes() or 0) <= _BROADCAST_JOIN_BYTES:
+        win_ref = ray.put(winners.to_pandas())
+
+        def flag(b: pd.DataFrame) -> pd.DataFrame:
+            return _flag_against_winners(b, ray.get(win_ref))
+
+        flagged = rows.map_batches(flag, batch_format="pandas")
+    else:
+        def add_salt(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy(deep=False)
+            b["__s"] = ((b["doc_id"].to_numpy(dtype=np.int64)
+                         * 1000003
+                         + b["idx"].to_numpy(dtype=np.int64))
+                        % salt)
+            return b
+
+        def rep_winners(b: pd.DataFrame) -> pd.DataFrame:
+            n = len(b)
+            out = b.loc[b.index.repeat(salt)].reset_index(drop=True)
+            out["__s"] = np.tile(np.arange(salt, dtype=np.int64), n)
+            return out
+
+        def flag_bucket(t) -> pd.DataFrame:
+            occ, win = _split_sides(
+                t, ["doc_id", "idx", "line", "__s"],
+                ["line", "__s", "wd", "wi"])
+            # several (line, salt) replicas of ONE line can hash into
+            # the same bucket; they carry identical winners — dedupe
+            # or the flag merge would fan occurrences out
+            win = win.drop(columns="__s").drop_duplicates("line")
+            return _flag_against_winners(occ.drop(columns="__s"), win)
+
+        flagged = _cogroup(
+            rows.map_batches(add_salt, batch_format="pandas"),
+            winners.map_batches(rep_winners, batch_format="pandas"),
+            ["line", "__s"], flag_bucket)
+
     return bucketed_map_groups(flagged, ["doc_id"], _rebuild_docs)

@@ -711,3 +711,26 @@ def test_cms_topk_empty_events(ray_session, tmp_path):
                                  "overcount_ok"]
     assert len(got) == 0
     assert len(_oracle_on(tmp_path, "events_user_cms_topk")) == 0
+
+
+def test_line_dedup_salted_path_equals_broadcast(ray_session, tmp_path,
+                                                 monkeypatch):
+    """Forcing the dup-winner frame past the broadcast budget must
+    flip line_dedup_ds to the salted co-partition path and produce a
+    frame BIT-EQUAL to the broadcast path (including the sf-fixture
+    injection slices)."""
+    _write_docs(tmp_path, [
+        (i, t, "s") for i, t in enumerate(
+            ["dup line x\na b c", "dup line x\nq r s",
+             "dup line x", "\nzz\n", "solo here"] * 8)])
+    base = QUERIES["docs_line_dedup"](str(tmp_path))
+    import pdf_parser_ray.relational as rel
+    monkeypatch.setattr(rel, "_BROADCAST_JOIN_BYTES", 0)
+    salted = QUERIES["docs_line_dedup"](str(tmp_path))
+    pd.testing.assert_frame_equal(base, salted)
+    w = _oracle_on(tmp_path, "docs_line_dedup")
+    pd.testing.assert_frame_equal(
+        salted[sorted(salted.columns)].reset_index(drop=True),
+        w.sort_values("doc_id").reset_index(drop=True)[
+            sorted(w.columns)],
+        check_dtype=False)
