@@ -1013,18 +1013,24 @@ def _gather_asof(l: pd.DataFrame, r: pd.DataFrame, *, by: str,
 _BROADCAST_JOIN_BYTES = 64 << 20
 
 
-def _maybe_broadcast_right(right):
-    """Adaptive non-equi join strategy: if the right side fits the
+def _maybe_broadcast_right(right, *, prepare=None):
+    """THE adaptive broadcast-small-side decision, shared by every
+    operator that attaches a small side map-side (non-equi joins, the
+    boilerplate drop-set, line-dedup winners): if the side fits the
     broadcast budget, materialize it ONCE into the object store and
-    return a (ref, DataFrame-columns) handle — probes then join
+    return a (ref, materialized-Dataset) handle — probes then join
     map-side with zero shuffles (the dimension-table case). Returns
-    None when the right side is big and the co-partitioned shuffle
-    path should run."""
+    (None, mat) when the side is big and the caller's salted /
+    co-partitioned path should run. ``prepare`` transforms the pandas
+    frame ONCE on the driver before the put (type coercions, key
+    arrays) instead of per probe batch."""
     import ray
     mat = right.materialize()
     if mat.size_bytes() is not None \
             and mat.size_bytes() <= _BROADCAST_JOIN_BYTES:
         df = mat.to_pandas()
+        if prepare is not None:
+            df = prepare(df)
         return ray.put(df), mat
     return None, mat
 

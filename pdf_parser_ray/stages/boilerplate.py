@@ -136,7 +136,7 @@ def strip_conv_boilerplate(ds, *, min_ratio: float = 0.5,
     """
     import ray
 
-    from ..relational import (_BROADCAST_JOIN_BYTES, _cogroup,
+    from ..relational import (_cogroup, _maybe_broadcast_right,
                               _split_sides, grouped_agg_ds)
 
     if not (0.0 < min_ratio <= 1.0):
@@ -202,14 +202,14 @@ def strip_conv_boilerplate(ds, *, min_ratio: float = 0.5,
                  >= min_ratio * m["n_turns"].to_numpy(dtype=np.float64))]
         return m[["conv_id", "line_h"]]
 
-    # adaptive (broadcast-small-sides rule): the per-conv turn-count
-    # table is one row per conversation — under the broadcast budget
-    # it ships once and the line counts filter map-side with NO second
-    # shuffle of the (much larger) line-count rows; past the budget it
-    # falls back to a conv_id-co-partitioned join
-    if (nturns.size_bytes() or 0) <= _BROADCAST_JOIN_BYTES:
-        nt_ref = ray.put(nturns.to_pandas())
-
+    # adaptive (the shared _maybe_broadcast_right rule): the per-conv
+    # turn-count table is one row per conversation — under the
+    # broadcast budget it ships once and the line counts filter
+    # map-side with NO second shuffle of the (much larger) line-count
+    # rows; past the budget it falls back to a conv_id-co-partitioned
+    # join
+    nt_ref, nturns = _maybe_broadcast_right(nturns)
+    if nt_ref is not None:
         def flt(c: pd.DataFrame) -> pd.DataFrame:
             return _bp_filter(c, ray.get(nt_ref))
 
@@ -232,17 +232,19 @@ def strip_conv_boilerplate(ds, *, min_ratio: float = 0.5,
     # turn_idx // salt_turns ranges and replicate each conv's hashes
     # to its ranges — one bucket then holds at most ~salt_turns turns
     # of any single conversation.
-    bp = bp.materialize()
-    if not force_salted and \
-            (bp.size_bytes() or 0) <= _BROADCAST_JOIN_BYTES:
-        bpd = bp.to_pandas()
+    def _drop_keys_of(bpd: pd.DataFrame) -> np.ndarray:
         if len(bpd):
-            drop_keys = np.sort(_pair_key(bpd["conv_id"].to_numpy(),
-                                          bpd["line_h"].to_numpy()))
-        else:
-            drop_keys = np.array([], dtype=np.uint64)
-        keys_ref = ray.put(drop_keys)
+            return np.sort(_pair_key(bpd["conv_id"].to_numpy(),
+                                     bpd["line_h"].to_numpy()))
+        return np.array([], dtype=np.uint64)
 
+    keys_ref = None
+    if not force_salted:
+        keys_ref, bp = _maybe_broadcast_right(bp,
+                                              prepare=_drop_keys_of)
+    else:
+        bp = bp.materialize()
+    if keys_ref is not None:
         def strip_map(b: pd.DataFrame) -> pd.DataFrame:
             return _strip_rows(b, ray.get(keys_ref), text_col)
 

@@ -366,25 +366,13 @@ def approx_distinct_grouped(ds, *, group_col: str, col: str,
 
 # -------------------------------------------------- Count-Min sketch
 
-_CMS_BUCKET_MEMO: dict = {}
-
-
 def cms_bucket(r: int, key: int, w: int) -> int:
     """Row-r CMS bucket of an integer key: md5 upper-64 of "r:key"
-    mod w — the same md5_number_upper mirroring contract as the DSIR
-    bucket hash, so a DuckDB oracle reproduces every bucket exactly.
-    Memoized per worker (hot keys recur across batches)."""
-    import hashlib
-    mk = (r, key, w)
-    v = _CMS_BUCKET_MEMO.get(mk)
-    if v is None:
-        if len(_CMS_BUCKET_MEMO) > 2_000_000:
-            _CMS_BUCKET_MEMO.clear()
-        v = int.from_bytes(
-            hashlib.md5(f"{r}:{key}".encode()).digest()[:8],
-            "little") % w
-        _CMS_BUCKET_MEMO[mk] = v
-    return v
+    mod w — the shared md5_number_upper mirroring contract in
+    functions/hashing.py, so a DuckDB oracle reproduces every bucket
+    exactly. Memoized per worker (hot keys recur across batches)."""
+    from ..functions.hashing import md5_bucket
+    return md5_bucket(f"{r}:{key}", w)
 
 
 def cms_partial_rows(b: pd.DataFrame, *, col: str, depth: int,

@@ -256,26 +256,29 @@ def contamination_counts(train_ds, bench_ds, *, n: int = 8,
 
 # --------------------------------------------- exact LINE-level dedup
 
-def _line_explode(b: pd.DataFrame, *, id_col: str,
-                  text_col: str) -> pd.DataFrame:
+def _line_explode(t, *, id_col: str, text_col: str) -> pd.DataFrame:
     """One row per line of every doc: (doc_id, idx, line) with idx the
     1-based within-doc ordinal (1-based to mirror DuckDB's
-    generate_subscripts). The split runs in Arrow C++ (plain-pattern
-    split + list_flatten); the ordinal is pure numpy arithmetic over
-    the list lengths — no per-doc Python."""
+    generate_subscripts). Takes the Arrow batch directly (the lines_of
+    precedent in stages/boilerplate.py — measured 3-6x the pandas
+    split on the same blocks); the split runs in Arrow C++ on the
+    zero-copy column, the ordinal is pure numpy arithmetic over the
+    list lengths — no per-doc Python, no full-text pandas round-trip."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    if not len(b):
+    if not t.num_rows:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "idx": pd.Series([], dtype="int64"),
                              "line": pd.Series([], dtype=object)})
-    texts = pa.array(b[text_col].astype(str).tolist(),
-                     type=pa.large_string())
-    parts = pc.split_pattern(texts, "\n")
+    parts = pc.split_pattern(t.column(text_col), "\n")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
     flat = pc.list_flatten(parts).to_numpy(zero_copy_only=False)
     lens = pc.list_value_length(parts).to_numpy(
         zero_copy_only=False).astype(np.int64)
-    doc = np.repeat(b[id_col].to_numpy(dtype=np.int64), lens)
+    doc = np.repeat(
+        t.column(id_col).to_numpy(zero_copy_only=False)
+        .astype(np.int64), lens)
     offs = np.zeros(len(lens) + 1, np.int64)
     np.cumsum(lens, out=offs[1:])
     idx = (np.arange(offs[-1], dtype=np.int64)
@@ -344,9 +347,13 @@ def _flag_against_winners(b: pd.DataFrame,
     OR this occurrence IS the winner. The merge is a vectorized
     string-keyed hash join against the (small) dup-winner frame."""
     # winner ids join as NULLABLE Int64, never float64: a left-merge
-    # float upcast would silently round doc ids above 2^53
-    m = b.merge(win.astype({"wd": "Int64", "wi": "Int64"}),
-                on="line", how="left")
+    # float upcast would silently round doc ids above 2^53. The
+    # broadcast path pre-types the frame ONCE on the driver (it is
+    # static across thousands of batches); the salted path's win side
+    # arrives per-bucket and converts here.
+    if str(win["wd"].dtype) != "Int64":
+        win = win.astype({"wd": "Int64", "wi": "Int64"})
+    m = b.merge(win, on="line", how="left")
     eq = ((m["wd"] == m["doc_id"]) & (m["wi"] == m["idx"]))
     keep = (m["wd"].isna().to_numpy()
             | eq.fillna(False).to_numpy(dtype=bool)
@@ -408,20 +415,23 @@ def line_dedup_ds(ds, *, id_col: str = "doc_id",
 
     import ray
 
-    from ..relational import (_BROADCAST_JOIN_BYTES, _cogroup,
+    from ..relational import (_cogroup, _maybe_broadcast_right,
                               _split_sides, bucketed_map_groups)
     ds = ds.materialize()
     rows = ds.map_batches(
         functools.partial(_line_explode, id_col=id_col,
                           text_col=text_col),
-        batch_format="pandas")
+        batch_format="pyarrow")
     winners = bucketed_map_groups(
         rows.map_batches(_line_min_partial, batch_format="pandas"),
-        ["line"], _combine_line_min).materialize()
+        ["line"], _combine_line_min)
 
-    if (winners.size_bytes() or 0) <= _BROADCAST_JOIN_BYTES:
-        win_ref = ray.put(winners.to_pandas())
-
+    # adaptive flag attach (the shared _maybe_broadcast_right rule);
+    # the Int64 coercion runs ONCE on the driver, not per probe batch
+    win_ref, winners = _maybe_broadcast_right(
+        winners,
+        prepare=lambda d: d.astype({"wd": "Int64", "wi": "Int64"}))
+    if win_ref is not None:
         def flag(b: pd.DataFrame) -> pd.DataFrame:
             return _flag_against_winners(b, ray.get(win_ref))
 

@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.hashing import md5_upper64
+
 
 # -------------------------------------------- Arrow-native tokenization
 #
@@ -72,21 +74,33 @@ def token_counts_arrow(t: pa.Table, *, text_col: str = "text",
 
 def bigram_counts_arrow(t: pa.Table, *, text_col: str = "text",
                         a_col: str = "a", b_col: str = "b",
-                        out_col: str = "c") -> pa.Table:
+                        out_col: str = "c",
+                        id_col: str | None = None) -> pa.Table:
     """Per-batch adjacent-bigram counts; pairs never cross document
-    seams (parent-index equality masks the boundaries)."""
+    seams (parent-index equality masks the boundaries). With id_col
+    the counts are per DOCUMENT (id, a, b, out) — the one seam-masked
+    kernel serves both the corpus-level and the per-doc callers."""
     flat, parents = _flat_tokens(t, text_col)
     n = len(flat)
     if n < 2:
-        return pa.table({a_col: pa.array([], pa.string()),
-                         b_col: pa.array([], pa.string()),
-                         out_col: pa.array([], pa.int64())})
+        cols = {a_col: pa.array([], pa.string()),
+                b_col: pa.array([], pa.string()),
+                out_col: pa.array([], pa.int64())}
+        if id_col is not None:
+            cols = {id_col: pa.array([], pa.int64()), **cols}
+        return pa.table(cols)
     same = pc.equal(parents.slice(0, n - 1), parents.slice(1))
     a = flat.slice(0, n - 1).filter(same)
     b = flat.slice(1).filter(same)
-    res = pa.TableGroupBy(pa.table({a_col: a, b_col: b}),
-                          [a_col, b_col]).aggregate([([], "count_all")])
-    return pa.table({a_col: res.column(a_col), b_col: res.column(b_col),
+    grp = {a_col: a, b_col: b}
+    keys = [a_col, b_col]
+    if id_col is not None:
+        par = parents.slice(0, n - 1).filter(same)
+        grp = {id_col: pc.take(t.column(id_col), par), **grp}
+        keys = [id_col, *keys]
+    res = pa.TableGroupBy(pa.table(grp),
+                          keys).aggregate([([], "count_all")])
+    return pa.table({**{k: res.column(k) for k in keys},
                      out_col: res.column("count_all")})
 
 # BPE-ish tokens: ASCII word runs or single non-word-non-space chars.
@@ -276,9 +290,10 @@ def winnow_batch(batch: pd.DataFrame, *, k: int = 5, window: int = 4
             min_fps.append(0); max_fps.append(0)
             continue
         grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-        h = np.array([int.from_bytes(
-            hashlib.md5(g.encode()).digest()[:8], "little")
-            for g in grams], dtype=np.uint64)
+        # unmemoized on purpose: n-grams rarely recur across docs and
+        # would only churn the shared bucket memo
+        h = np.array([md5_upper64(g) for g in grams],
+                     dtype=np.uint64)
         if len(h) >= window:
             win = np.lib.stride_tricks.sliding_window_view(h, window)
             fps = np.unique(win.min(axis=1))
@@ -592,21 +607,11 @@ def gopher_rep_inject_batch(b: pd.DataFrame) -> pd.DataFrame:
 
 
 # DSIR hashed-feature rows (Xie et al. 2023): bucket = the upper 64
-# md5 digest bits mod k — DuckDB's md5_number_upper, the winnow_batch
-# mirror — memoized per worker per distinct token.
-_DSIR_BUCKET_MEMO: dict = {}
-
-
+# md5 digest bits mod k — the shared md5_number_upper contract in
+# functions/hashing.py, memoized per worker per distinct token.
 def _dsir_bucket(tok: str, k: int) -> int:
-    key = (tok, k)
-    v = _DSIR_BUCKET_MEMO.get(key)
-    if v is None:
-        if len(_DSIR_BUCKET_MEMO) > 2_000_000:
-            _DSIR_BUCKET_MEMO.clear()
-        v = int.from_bytes(
-            hashlib.md5(tok.encode()).digest()[:8], "little") % k
-        _DSIR_BUCKET_MEMO[key] = v
-    return v
+    from ..functions.hashing import md5_bucket
+    return md5_bucket(tok, k)
 
 
 def dsir_bucket_rows(b: pd.DataFrame, *, k: int = 256,
@@ -680,23 +685,8 @@ def doc_bigram_rows(t: pa.Table, *, id_col: str = "doc_id",
     corpus statistics. Pairs never cross document seams (parent-index
     equality masks the boundaries, the bigram_counts_arrow kernel);
     each doc lives in one input row, so per-batch k is final."""
-    flat, parents = _flat_tokens(t, text_col)
-    n = len(flat)
-    if n < 2:
-        return pa.table({id_col: pa.array([], pa.int64()),
-                         "a": pa.array([], pa.string()),
-                         "b": pa.array([], pa.string()),
-                         "k": pa.array([], pa.int64())})
-    same = pc.equal(parents.slice(0, n - 1), parents.slice(1))
-    a = flat.slice(0, n - 1).filter(same)
-    b = flat.slice(1).filter(same)
-    par = parents.slice(0, n - 1).filter(same)
-    ids = pc.take(t.column(id_col), par)
-    res = pa.TableGroupBy(pa.table({id_col: ids, "a": a, "b": b}),
-                          [id_col, "a", "b"]).aggregate([([], "count_all")])
-    return pa.table({id_col: res.column(id_col),
-                     "a": res.column("a"), "b": res.column("b"),
-                     "k": res.column("count_all")})
+    return bigram_counts_arrow(t, text_col=text_col, out_col="k",
+                               id_col=id_col)
 
 
 _LD_FOOT = "subscribe to our newsletter for updates today"
