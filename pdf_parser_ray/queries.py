@@ -2555,81 +2555,175 @@ def docs_unigram_ce(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
-def docs_bigram_lm_ppl(sf_dir: str) -> pd.DataFrame:
-    """Per-document CONDITIONAL bigram-LM negative log-likelihood —
-    the CCNet perplexity filter (Wenzek et al. 2020) with the corpus's
-    own Laplace-smoothed bigram LM standing in for KenLM (no external
-    models allowed): P(b|a) = (C(a,b)+1) / (C(a)+V), C over the whole
-    corpus, C(a) the bigram-head count (= sum_b C(a,b)) and V the
-    continuation vocabulary (distinct second elements) — both
-    derivable from the ONE bigram table, so the corpus is tokenized
-    exactly once. Shape: per-batch doc-bigram partials (Arrow kernel)
-    -> corpus bigram stats via grouped_agg_ds (never driver-resident)
-    -> head counts fuse into the per-pair log-weight in ONE a-keyed
-    bucketed pass (vocab-side work, never doc rows)
-    -> one partitioned hash_join of doc partials against the
-    per-pair log-weight on a length-prefix-framed (a,b) key (tokens
-    may contain any non-space byte, so 'len(a):a+b' framing keeps the
+def _bigram_nll_per_doc(sf_dir: str, *, per_lang: bool = False):
+    """Shared bigram-LM scorer behind docs_bigram_lm_ppl (global LM)
+    and docs_ccnet_buckets (one LM PER LANGUAGE, the paper's actual
+    shape): P(b|a) = (C(a,b)+1) / (C(a)+V) with C over the corpus (or
+    the language's slice), C(a) the bigram-head count and V the
+    continuation vocabulary — all derivable from the ONE bigram
+    table, so the corpus is tokenized exactly once. Shape: per-batch
+    doc-bigram partials (Arrow kernel, lang carried as a group key
+    when per_lang) -> corpus bigram stats via grouped_agg_ds (never
+    driver-resident) -> head counts fuse into the per-pair log-weight
+    in ONE (lang,)a-keyed bucketed pass (vocab-side work, never doc
+    rows) -> one partitioned hash_join of doc partials against the
+    log-weight on a length-prefix-framed (lang,)a,b key (tokens may
+    contain any non-space byte, so 'len(x):x' framing keeps the
     composite key collision-free) -> per-doc sufficient stats through
-    grouped_agg_ds. nll rounded 3dp (the docs_unigram_ce float
-    surface); m is exact int64; docs with < 2 tokens have no bigram
-    and emit no row, mirroring the SQL."""
+    grouped_agg_ds. Returns a Dataset of (doc_id[, lang], m, nll) —
+    nll rounded 3dp (the docs_unigram_ce float surface), m exact
+    int64 — or None for a bigram-less corpus; docs with < 2 tokens
+    have no bigram and emit no row, mirroring the SQL."""
+    import functools
+
     from .relational import bucketed_map_groups, grouped_agg_ds, hash_join
-    from .stages.text_analysis import doc_bigram_rows
-    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    rows = ds.map_batches(doc_bigram_rows,
-                          batch_format="pyarrow").materialize()
-    corpus = grouped_agg_ds(rows, ["a", "b"],
+    from .stages.text_analysis import bigram_counts_arrow
+    lcols = ["lang"] if per_lang else []
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"] + lcols)
+    rows = ds.map_batches(
+        functools.partial(bigram_counts_arrow, out_col="k",
+                          id_col=["doc_id"] + lcols),
+        batch_format="pyarrow").materialize()
+    corpus = grouped_agg_ds(rows, lcols + ["a", "b"],
                             {"cb": ("sum", "k")}).materialize()
-    n_cont = grouped_agg_ds(corpus, ["b"], {"nb": ("count", None)}).count()
-    if n_cont == 0:
-        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
-                             "m": pd.array([], dtype="int64"),
-                             "nll": pd.array([], dtype="float64")})
-    def _frame_key(a: pd.Series, b: pd.Series) -> pd.Series:
-        return a.str.len().astype(str) + ":" + a + b
+    # continuation-vocabulary size V: per language when per_lang (a
+    # dict of n_langs scalars in the closure), else one scalar
+    if per_lang:
+        vf = grouped_agg_ds(
+            grouped_agg_ds(corpus, ["lang", "b"],
+                           {"_n": ("count", None)}),
+            ["lang"], {"v": ("count", None)}).to_pandas()
+        vmap = dict(zip(vf["lang"], vf["v"].astype(np.int64)))
+        if not vmap:
+            return None
+    else:
+        n_cont = grouped_agg_ds(corpus, ["b"],
+                                {"nb": ("count", None)}).count()
+        if n_cont == 0:
+            return None
 
-    # head counts fuse into the per-pair log-weight in ONE a-keyed
-    # bucketed pass (ca is a within-group transform), replacing a
-    # grouped_agg_ds + hash_join round trip — same shuffle count as a
-    # plain aggregate, and group size is bounded by the continuations
-    # of one head token, never the corpus
-    def lw_group(df: pd.DataFrame) -> pd.DataFrame:
-        ca = (df.groupby("a", observed=True)["cb"]
-              .transform("sum").to_numpy(np.float64))
+    def _frame_key(df: pd.DataFrame) -> pd.Series:
         a = df["a"].astype(str)
-        return pd.DataFrame({
-            "ab": _frame_key(a, df["b"].astype(str)),
-            "lw": np.log(
-                (df["cb"].to_numpy(np.float64) + 1.0)
-                / (ca + float(n_cont)))})
+        k = a.str.len().astype(str) + ":" + a + df["b"].astype(str)
+        if per_lang:
+            lg = df["lang"].astype(str)
+            k = lg.str.len().astype(str) + ":" + lg + k
+        return k
 
-    lwt = bucketed_map_groups(corpus, ["a"], lw_group)
+    # head counts fuse into the per-pair log-weight in ONE
+    # (lang,)a-keyed bucketed pass (ca is a within-group transform),
+    # replacing a grouped_agg_ds + hash_join round trip — same
+    # shuffle count as a plain aggregate, and group size is bounded
+    # by the continuations of one head token, never the corpus
+    def lw_group(df: pd.DataFrame) -> pd.DataFrame:
+        ca = (df.groupby(lcols + ["a"], observed=True)["cb"]
+              .transform("sum").to_numpy(np.float64))
+        v = (df["lang"].map(vmap).to_numpy(np.float64) if per_lang
+             else float(n_cont))
+        return pd.DataFrame({
+            "ab": _frame_key(df),
+            "lw": np.log(
+                (df["cb"].to_numpy(np.float64) + 1.0) / (ca + v))})
+
+    lwt = bucketed_map_groups(corpus, lcols + ["a"], lw_group)
 
     def key_rows(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": b["doc_id"].values,
-            "ab": _frame_key(b["a"].astype(str), b["b"].astype(str)),
-            "k": b["k"].values})
+        out = {"doc_id": b["doc_id"].values}
+        if per_lang:
+            out["lang"] = b["lang"].values
+        out.update({"ab": _frame_key(b), "k": b["k"].values})
+        return pd.DataFrame(out)
 
     joined = hash_join(
         rows.map_batches(key_rows, batch_format="pandas"), lwt, on="ab")
 
     def contrib(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": b["doc_id"].values,
-            "w": b["k"].to_numpy(np.float64) * b["lw"].to_numpy(np.float64),
-            "k": b["k"].values})
+        out = {"doc_id": b["doc_id"].values}
+        if per_lang:
+            out["lang"] = b["lang"].values
+        out.update({"w": b["k"].to_numpy(np.float64)
+                    * b["lw"].to_numpy(np.float64),
+                    "k": b["k"].values})
+        return pd.DataFrame(out)
 
     per_doc = grouped_agg_ds(
         joined.map_batches(contrib, batch_format="pandas"),
-        ["doc_id"], {"sw": ("sum", "w"), "m": ("sum", "k")}).to_pandas()
-    per_doc["nll"] = np.round(
-        -per_doc["sw"].to_numpy(np.float64)
-        / per_doc["m"].to_numpy(np.float64), 3)
+        ["doc_id"] + lcols, {"sw": ("sum", "w"), "m": ("sum", "k")})
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["nll"] = np.round(
+            -b["sw"].to_numpy(np.float64)
+            / b["m"].to_numpy(np.float64), 3)
+        return b.drop(columns="sw")
+
+    return per_doc.map_batches(fin, batch_format="pandas")
+
+
+def docs_bigram_lm_ppl(sf_dir: str) -> pd.DataFrame:
+    """Per-document CONDITIONAL bigram-LM negative log-likelihood —
+    the CCNet perplexity filter (Wenzek et al. 2020) with the corpus's
+    own Laplace-smoothed bigram LM standing in for KenLM (no external
+    models allowed). The distributed scorer is _bigram_nll_per_doc
+    (shared with docs_ccnet_buckets); this surface is the global-LM
+    per-doc report."""
+    per = _bigram_nll_per_doc(sf_dir, per_lang=False)
+    if per is None:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "m": pd.array([], dtype="int64"),
+                             "nll": pd.array([], dtype="float64")})
+    per_doc = per.to_pandas()
     return (per_doc[["doc_id", "m", "nll"]]
             .astype({"doc_id": "int64", "m": "int64"})
             .sort_values("doc_id").reset_index(drop=True))
+
+
+def docs_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §3: documents sorted by LM perplexity per language and split
+    into three equal parts; head = lowest perplexity). One bigram LM
+    per LANGUAGE (the paper trains per-language KenLM models) scores
+    every doc via the shared _bigram_nll_per_doc scorer; the bucket
+    is NTILE(3) within lang ordered by (nll, doc_id) — computed
+    distributed with grouped_global_rank (value-range partition +
+    per-(lang, range) prefix scalars, no global sort, no whole-lang
+    task), so no stage ever holds a language's corpus in one task.
+    Ordering uses the ROUNDED 3dp nll on BOTH sides, so engine and
+    DuckDB rank identically (the established float-surface rule);
+    doc_id breaks ties."""
+    from .relational import grouped_agg_ds, grouped_global_rank
+    empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                          "lang": pd.array([], dtype=str),
+                          "m": pd.array([], dtype="int64"),
+                          "nll": pd.array([], dtype="float64"),
+                          "bucket": pd.array([], dtype="int64")})
+    per = _bigram_nll_per_doc(sf_dir, per_lang=True)
+    if per is None:
+        return empty
+    per = per.materialize()
+    # per-lang doc totals for the NTILE size formula: n_langs scalars
+    tot = grouped_agg_ds(per, ["lang"],
+                         {"n": ("count", None)}).to_pandas()
+    nmap = dict(zip(tot["lang"], tot["n"].astype(np.int64)))
+    ranked = grouped_global_rank(per, ["lang"], ["nll", "doc_id"])
+
+    def tile(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["lang"].map(nmap).to_numpy(np.int64)
+        q, r = n // 3, n % 3
+        rn = b["rank"].to_numpy(np.int64)
+        big = q + 1
+        # SQL NTILE: first n%3 buckets hold q+1 rows, the rest q
+        t = np.where(rn < r * big, rn // np.maximum(big, 1) + 1,
+                     r + (rn - r * big) // np.maximum(q, 1) + 1)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "lang": b["lang"].values,
+            "m": b["m"].to_numpy(np.int64),
+            "nll": b["nll"].values,
+            "bucket": t.astype(np.int64)})
+
+    out = ranked.map_batches(tile, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def docs_shuffle_order(sf_dir: str) -> pd.DataFrame:
@@ -4682,6 +4776,7 @@ QUERIES = {
     "docs_bigram_lm_ppl": docs_bigram_lm_ppl,
     "docs_line_dedup": docs_line_dedup,
     "events_user_cms_topk": events_user_cms_topk,
+    "docs_ccnet_buckets": docs_ccnet_buckets,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -6654,4 +6749,42 @@ ORACLES["events_user_cms_topk"] = r"""
     SELECT user_id, n AS exact_n, est AS est_n,
            CAST(est >= n AS BIGINT) AS overcount_ok
     FROM est ORDER BY user_id
+"""
+
+# docs_ccnet_buckets: the per-language bigram-LM nll (the
+# docs_bigram_lm_ppl expression with lang joined into every LM
+# statistic) plus NTILE(3) within lang ordered by the ROUNDED nll —
+# both sides rank the same 3dp value with doc_id tiebreak, so the
+# tercile assignment is deterministic and identical.
+ORACLES["docs_ccnet_buckets"] = r"""
+    WITH t AS (SELECT doc_id, lang,
+                      regexp_extract_all(text, '\S+') AS toks
+               FROM documents),
+    bi AS (SELECT doc_id, lang, toks[i] AS a, toks[i+1] AS b
+           FROM (SELECT doc_id, lang, toks,
+                        unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM t WHERE len(toks) > 1)),
+    db AS (SELECT doc_id, lang, a, b, CAST(COUNT(*) AS BIGINT) AS k
+           FROM bi GROUP BY doc_id, lang, a, b),
+    cb AS (SELECT lang, a, b, CAST(SUM(k) AS BIGINT) AS cb
+           FROM db GROUP BY lang, a, b),
+    ca AS (SELECT lang, a, CAST(SUM(cb) AS BIGINT) AS ca
+           FROM cb GROUP BY lang, a),
+    v AS (SELECT lang, CAST(COUNT(DISTINCT b) AS BIGINT) AS v
+          FROM cb GROUP BY lang),
+    perdoc AS (SELECT db.doc_id, db.lang,
+                      CAST(SUM(db.k) AS BIGINT) AS m,
+                      ROUND(-SUM(CAST(db.k AS DOUBLE)
+                                 * ln(CAST(cb.cb + 1 AS DOUBLE)
+                                      / CAST(ca.ca + v.v AS DOUBLE)))
+                            / CAST(SUM(db.k) AS DOUBLE), 3) AS nll
+               FROM db
+               JOIN cb USING (lang, a, b) JOIN ca USING (lang, a)
+               JOIN v USING (lang)
+               GROUP BY db.doc_id, db.lang)
+    SELECT doc_id, lang, m, nll,
+           CAST(NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY nll, doc_id) AS BIGINT)
+             AS bucket
+    FROM perdoc ORDER BY doc_id
 """

@@ -691,6 +691,68 @@ def ordered_global_rank(ds, order_cols: List[str], *,
     return bucketed_map_groups(ds2, ["__rng"], rank_range)
 
 
+def grouped_global_rank(ds, part_cols: List[str],
+                        order_cols: List[str], *,
+                        out_col: str = "rank",
+                        n_ranges: Optional[int] = None):
+    """0-based ROW_NUMBER() OVER (PARTITION BY part_cols ORDER BY
+    order_cols), distributed — the per-partition generalization of
+    ordered_global_rank. Same shape: value-range partition on the
+    FIRST order column (ties never straddle a range), but the
+    exclusive prefix is computed PER PARTITION over the per-(part,
+    range) counts — driver state is n_parts x n_ranges scalars, so
+    ``part_cols`` must be a low-cardinality partition key (languages,
+    sources, event types), never a per-row id. Each range then sorts
+    only its own slice by (part_cols + order_cols) and adds its
+    partition's prefix offset. (part_cols + order_cols) must be a
+    total order (unique tuples) — the SQL ROW_NUMBER contract."""
+    primary = order_cols[0]
+    K = n_ranges or default_buckets()
+    sample = _sample_order_values(ds, primary)
+    if len(sample) < 2:
+        bounds = np.array([])
+    else:
+        bounds = np.quantile(sample.astype(np.float64),
+                             np.linspace(0, 1, K + 1)[1:-1],
+                             method="lower")
+
+    def add_rng(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["__rng"] = np.searchsorted(
+            bounds, b[primary].to_numpy(dtype=np.float64),
+            side="right").astype(np.int32)
+        return b
+
+    ds2 = ds.map_batches(add_rng, batch_format="pandas")
+    cnt = grouped_agg(ds2, part_cols + ["__rng"],
+                      {"n": ("count", None)})
+    cnt = cnt.sort_values(part_cols + ["__rng"])
+    # per-partition exclusive prefix over ranges; the (small) offset
+    # frame rides into every range task via the closure
+    cnt["__off"] = (cnt.groupby(part_cols, sort=False)["n"]
+                    .transform(lambda s: s.cumsum().shift(
+                        fill_value=0)).astype(np.int64))
+    off_frame = cnt[part_cols + ["__rng", "__off"]]
+
+    def rank_range(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for r, gg in g.groupby("__rng", sort=False):
+            gg = gg.sort_values(part_cols + order_cols,
+                                kind="mergesort")
+            off = off_frame.loc[off_frame["__rng"] == int(r),
+                                part_cols + ["__off"]]
+            m = gg.merge(off, on=part_cols, how="left")
+            pos = (m.groupby(part_cols, sort=False).cumcount()
+                   .to_numpy(np.int64))
+            out = m.drop(columns=["__rng", "__off"]).copy(deep=False)
+            out[out_col] = m["__off"].to_numpy(np.int64) + pos
+            outs.append(out)
+        return pd.concat(outs, ignore_index=True) if outs else \
+            g.drop(columns="__rng")
+
+    return bucketed_map_groups(ds2, ["__rng"], rank_range)
+
+
 def quantile_exact(ds, col: str, qs: List[float], *,
                    band_budget_rows: int = 2_000_000,
                    max_rounds: int = 8) -> List[float]:

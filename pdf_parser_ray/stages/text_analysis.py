@@ -75,29 +75,31 @@ def token_counts_arrow(t: pa.Table, *, text_col: str = "text",
 def bigram_counts_arrow(t: pa.Table, *, text_col: str = "text",
                         a_col: str = "a", b_col: str = "b",
                         out_col: str = "c",
-                        id_col: str | None = None) -> pa.Table:
+                        id_col=None) -> pa.Table:
     """Per-batch adjacent-bigram counts; pairs never cross document
     seams (parent-index equality masks the boundaries). With id_col
-    the counts are per DOCUMENT (id, a, b, out) — the one seam-masked
-    kernel serves both the corpus-level and the per-doc callers."""
+    (a column name or a list of carry columns, e.g. ["doc_id",
+    "lang"]) the counts are per DOCUMENT (ids..., a, b, out) — the
+    one seam-masked kernel serves the corpus-level, per-doc and
+    per-language callers."""
+    id_cols = ([id_col] if isinstance(id_col, str)
+               else list(id_col or []))
     flat, parents = _flat_tokens(t, text_col)
     n = len(flat)
     if n < 2:
-        cols = {a_col: pa.array([], pa.string()),
-                b_col: pa.array([], pa.string()),
-                out_col: pa.array([], pa.int64())}
-        if id_col is not None:
-            cols = {id_col: pa.array([], pa.int64()), **cols}
+        cols = {c: pa.array([], t.schema.field(c).type)
+                for c in id_cols}
+        cols.update({a_col: pa.array([], pa.string()),
+                     b_col: pa.array([], pa.string()),
+                     out_col: pa.array([], pa.int64())})
         return pa.table(cols)
     same = pc.equal(parents.slice(0, n - 1), parents.slice(1))
     a = flat.slice(0, n - 1).filter(same)
     b = flat.slice(1).filter(same)
-    grp = {a_col: a, b_col: b}
-    keys = [a_col, b_col]
-    if id_col is not None:
-        par = parents.slice(0, n - 1).filter(same)
-        grp = {id_col: pc.take(t.column(id_col), par), **grp}
-        keys = [id_col, *keys]
+    par = parents.slice(0, n - 1).filter(same)
+    grp = {c: pc.take(t.column(c), par) for c in id_cols}
+    grp.update({a_col: a, b_col: b})
+    keys = [*id_cols, a_col, b_col]
     res = pa.TableGroupBy(pa.table(grp),
                           keys).aggregate([([], "count_all")])
     return pa.table({**{k: res.column(k) for k in keys},
@@ -676,17 +678,6 @@ def bpe_pair_rows(b: pd.DataFrame) -> pd.DataFrame:
     df = pd.concat(parts, ignore_index=True)
     out = df.groupby("pair", as_index=False)["n"].sum()
     return out.astype({"n": "int64"})
-
-
-def doc_bigram_rows(t: pa.Table, *, id_col: str = "doc_id",
-                    text_col: str = "text") -> pa.Table:
-    """Per-batch per-DOCUMENT adjacent-bigram counts (doc_id, a, b, k)
-    — the doc-level partial the bigram-LM scorer joins against the
-    corpus statistics. Pairs never cross document seams (parent-index
-    equality masks the boundaries, the bigram_counts_arrow kernel);
-    each doc lives in one input row, so per-batch k is final."""
-    return bigram_counts_arrow(t, text_col=text_col, out_col="k",
-                               id_col=id_col)
 
 
 _LD_FOOT = "subscribe to our newsletter for updates today"

@@ -485,6 +485,35 @@ def test_ordered_global_rank_ties_and_partitioning(ray_session):
             .reset_index(drop=True))
 
 
+def test_grouped_global_rank_matches_window_sql(ray_session):
+    """Per-partition ROW_NUMBER matches a driver groupby-argsort
+    exactly, with heavy ties on the order column (ties never straddle
+    a range boundary), skewed partition sizes, and regardless of
+    physical input partitioning."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import grouped_global_rank
+    rng = np.random.RandomState(7)
+    n = 6000
+    lang = rng.choice(["en", "de", "fr"], n, p=[0.85, 0.10, 0.05])
+    v = rng.rand(n)
+    v[rng.rand(n) < 0.7] = 0.25            # massive tie block
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "lang": lang, "v": v})
+    want = df.sort_values(["lang", "v", "id"], kind="mergesort")
+    want["rank"] = (want.groupby("lang", sort=False).cumcount()
+                    .astype(np.int64))
+    want = want.sort_values("id").reset_index(drop=True)
+    for parts in (3, 17):
+        shuffled = df.sample(frac=1, random_state=parts)
+        got = (grouped_global_rank(
+            rd.from_pandas(shuffled).repartition(parts), ["lang"],
+            ["v", "id"], n_ranges=8).to_pandas().sort_values("id")
+            .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["id", "lang", "v", "rank"]],
+            want[["id", "lang", "v", "rank"]])
+
+
 def test_quantile_exact_tie_run_beyond_budget(ray_session):
     """A tie run much larger than the band budget cannot be collected
     or shrunk — the shortcut must answer from the bracket itself, for
