@@ -187,7 +187,10 @@ def run_queries() -> dict:
                 # hashed-unigram importance weighting, BPE pair counts
                 "docs_gopher_repetition", "docs_dsir_weights",
                 "docs_bpe_pair_counts", "docs_bigram_lm_ppl",
-                "docs_line_dedup", "events_user_cms_topk"]
+                "docs_line_dedup", "events_user_cms_topk",
+                # round 5 (late): CCNet per-language perplexity
+                # terciles via the distributed grouped ROW_NUMBER
+                "docs_ccnet_buckets"]
     # transcript_wave_extract is deliberately NOT a bench row: it is a
     # commit-protocol demo (two full wave extractions + checkpointed
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose
