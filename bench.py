@@ -190,7 +190,11 @@ def run_queries() -> dict:
                 "docs_line_dedup", "events_user_cms_topk",
                 # round 5 (late): CCNet per-language perplexity
                 # terciles via the distributed grouped ROW_NUMBER
-                "docs_ccnet_buckets"]
+                "docs_ccnet_buckets",
+                # round 5 (late): per-language rank-normalized quality
+                # percentile; distributed-trained hashed-logreg
+                # quality classifier (fastText-style)
+                "docs_quality_percentile", "docs_quality_classifier"]
     # transcript_wave_extract is deliberately NOT a bench row: it is a
     # commit-protocol demo (two full wave extractions + checkpointed
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose

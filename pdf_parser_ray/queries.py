@@ -2726,6 +2726,113 @@ def docs_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_quality_percentile(sf_dir: str) -> pd.DataFrame:
+    """Per-language rank-normalized quality calibration: each doc's
+    alpha-ratio becomes its percentile WITHIN its language — the
+    normalization step curation pipelines apply before a global
+    quality threshold, because raw char-class scores are not
+    comparable across languages (a fixed alpha-ratio cut keeps
+    different quality bands per language; the per-lang percentile
+    makes one threshold mean the same thing everywhere). Distributed
+    shape: vectorized score kernel -> grouped_global_rank (the
+    per-partition ROW_NUMBER primitive: value-range partition +
+    per-(lang, range) prefix scalars — no global sort, no whole-lang
+    task). The percentile surface is INTEGER milli-percentile
+    rank*1000 // (n-1) (0..1000, '//' on both sides), sidestepping
+    the ROUND-half mismatch a float rank/(n-1) would hit whenever
+    n-1 is a power of two (k/16 = 0.0625 is exact binary: numpy
+    rounds half-even, DuckDB half-away). Ordering key is the raw
+    alpha-ratio double — bit-identical on both sides (int/int true
+    division == DuckDB *1.0/, the docs_quality_scores-established
+    fact) — with doc_id tiebreak."""
+    from .relational import grouped_agg_ds, grouped_global_rank
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"]
+        length = text.str.len().astype("int64")
+        alpha = text.str.count(r"[A-Za-z]").astype("int64")
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].values, "lang": b["lang"].values,
+            "alpha_ratio": np.where(length > 0, alpha / length, 0.0)})
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    scored = ds.map_batches(score, batch_format="pandas").materialize()
+    if scored.count() == 0:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "lang": pd.array([], dtype=str),
+                             "alpha_ratio": pd.array([], dtype="float64"),
+                             "rnk": pd.array([], dtype="int64"),
+                             "pct_milli": pd.array([], dtype="int64")})
+    tot = grouped_agg_ds(scored, ["lang"],
+                         {"n": ("count", None)}).to_pandas()
+    nmap = dict(zip(tot["lang"], tot["n"].astype(np.int64)))
+    ranked = grouped_global_rank(scored, ["lang"],
+                                 ["alpha_ratio", "doc_id"],
+                                 out_col="rnk")
+
+    def pct(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["lang"].map(nmap).to_numpy(np.int64)
+        rn = b["rnk"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "lang": b["lang"].values,
+            "alpha_ratio": b["alpha_ratio"].values,
+            "rnk": rn,
+            "pct_milli": np.where(n > 1, rn * 1000 // np.maximum(
+                n - 1, 1), 0).astype(np.int64)})
+
+    out = ranked.map_batches(pct, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_quality_classifier(sf_dir: str) -> pd.DataFrame:
+    """Model-based quality filter, TRAINED DISTRIBUTED: a hashed
+    bag-of-words logistic regression (the fastText-style classifier
+    of the CCNet / GPT-3 / LLaMA curation recipes; fastText is absent
+    from this environment, so the model trains here with the engine's
+    iterative broadcast pattern — per iteration the weight vector is
+    ray.put ONCE and each task returns one (dim+1)-float gradient
+    partial, combined driver-side in deterministic blk order; see
+    stages/classifier.py). The sf docs are label-free word salad, so
+    the deterministic fixture plants per-class marker vocabulary
+    (quality_label_inject_batch — the established injected-corpus
+    pattern). No SQL oracle (iterative float model — the kmeans/ANN
+    class); verified in-query instead: training loss must drop ≥ 5%
+    and held-in accuracy must reach 90%, and the pytest suite pins
+    the trainer against a single-process numpy reference and the
+    confusion matrix across partitionings. Surface is all-integer:
+    confusion counts + milli-accuracy."""
+    from .stages.classifier import (confusion_counts, featurize_batch,
+                                    quality_label_inject_batch,
+                                    train_logreg)
+    dim, iters = 512, 12
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    feats = (ds.map_batches(quality_label_inject_batch,
+                            batch_format="pandas")
+             .map_batches(lambda b: featurize_batch(b, dim=dim),
+                          batch_format="pandas")
+             .materialize())
+    # lr sits just past the worst-case full-batch stability bound
+    # 2/L = 8/max_active_features (~0.24 at ~33 presence features per
+    # doc) and converges to 100% on the planted signal in 12 passes;
+    # 4.0 was measured divergent (loss 0.69 -> 5.76).
+    w, losses = train_logreg(feats, dim=dim, iters=iters, lr=0.3)
+    if not losses:
+        return pd.DataFrame({c: pd.array([], dtype="int64")
+                             for c in ("n", "tp", "fp", "tn", "fn",
+                                       "accuracy_milli")})
+    tp, fp, tn, fn = confusion_counts(feats, w, dim=dim)
+    n = tp + fp + tn + fn
+    acc_milli = (tp + tn) * 1000 // n
+    assert losses[-1] < 0.95 * losses[0], \
+        f"training loss did not drop: {losses[0]:.4f} -> {losses[-1]:.4f}"
+    assert acc_milli >= 900, \
+        f"classifier failed to learn the planted signal: acc {acc_milli}"
+    return pd.DataFrame({"n": [n], "tp": [tp], "fp": [fp],
+                         "tn": [tn], "fn": [fn],
+                         "accuracy_milli": [acc_milli]}).astype("int64")
+
+
 def docs_shuffle_order(sf_dir: str) -> pd.DataFrame:
     """Deterministic global training-order shuffle: every doc gets a
     dense position 0..N-1 in multiplicative-hash order — the epoch
@@ -4777,6 +4884,8 @@ QUERIES = {
     "docs_line_dedup": docs_line_dedup,
     "events_user_cms_topk": events_user_cms_topk,
     "docs_ccnet_buckets": docs_ccnet_buckets,
+    "docs_quality_percentile": docs_quality_percentile,
+    "docs_quality_classifier": docs_quality_classifier,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -6787,4 +6896,27 @@ ORACLES["docs_ccnet_buckets"] = r"""
                                ORDER BY nll, doc_id) AS BIGINT)
              AS bucket
     FROM perdoc ORDER BY doc_id
+"""
+
+# docs_quality_percentile: per-language ROW_NUMBER over the raw
+# alpha-ratio double (bit-identical on both sides), with the
+# percentile emitted as INTEGER milli-percentile via '//' so no
+# float ROUND is ever hash-compared.
+ORACLES["docs_quality_percentile"] = r"""
+    WITH s AS (SELECT doc_id, lang,
+                      CASE WHEN length(text) > 0
+                           THEN len(regexp_extract_all(text, '[A-Za-z]'))
+                                * 1.0 / length(text)
+                           ELSE 0 END AS alpha_ratio
+               FROM documents),
+    r AS (SELECT doc_id, lang, alpha_ratio,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY alpha_ratio, doc_id) - 1
+                   AS rnk,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM s)
+    SELECT doc_id, lang, alpha_ratio, CAST(rnk AS BIGINT) AS rnk,
+           CAST(CASE WHEN n > 1 THEN (rnk * 1000) // (n - 1)
+                     ELSE 0 END AS BIGINT) AS pct_milli
+    FROM r ORDER BY doc_id
 """

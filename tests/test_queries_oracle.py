@@ -734,3 +734,135 @@ def test_line_dedup_salted_path_equals_broadcast(ray_session, tmp_path,
         w.sort_values("doc_id").reset_index(drop=True)[
             sorted(w.columns)],
         check_dtype=False)
+
+
+def _write_docs_langs(path, rows):
+    """(doc_id, text, lang) writer for per-language operators."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64())}),
+        str(path / "documents.parquet"))
+
+
+def test_quality_percentile_power_of_two_and_ties(ray_session, tmp_path):
+    """The exact hazard the integer surface exists for: a language
+    with n=17 docs makes every percentile k/16 — exact binary
+    fractions where numpy (half-even) and DuckDB (half-away) ROUND
+    disagree, so only the '//' milli surface is safe. Plus: tied
+    alpha_ratio broken by doc_id, a singleton language (pct 0 by
+    convention), and an empty-text doc (ratio 0.0)."""
+    rows = [(i, "ab" * i + "!" * (20 - i), "en") for i in range(17)]
+    rows += [(100, "same same", "fr"), (101, "same same", "fr")]
+    rows += [(200, "", "de")]
+    _write_docs_langs(tmp_path, rows)
+    got = QUERIES["docs_quality_percentile"](str(tmp_path))
+    want = _oracle_on(tmp_path, "docs_quality_percentile")
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)].reset_index(drop=True),
+        want.sort_values("doc_id").reset_index(drop=True)[
+            sorted(want.columns)],
+        check_dtype=False)
+    en = got[got["lang"] == "en"].sort_values("rnk")
+    assert list(en["pct_milli"]) == [k * 1000 // 16 for k in range(17)]
+    fr = got[got["lang"] == "fr"].sort_values("doc_id")
+    assert list(fr["rnk"]) == [0, 1]          # tie broken by doc_id
+    de = got[got["lang"] == "de"]
+    assert list(de["pct_milli"]) == [0] and list(de["alpha_ratio"]) == [0.0]
+
+
+def test_quality_classifier_trainer_matches_numpy_reference(ray_session):
+    """Single-block train_logreg must be BIT-EQUAL to a plain numpy
+    full-batch GD on the same features — the distributed trainer is
+    the reference computation plus a deterministic partial combine,
+    nothing else."""
+    import ray.data as rd
+
+    from pdf_parser_ray.stages.classifier import (
+        _scores, confusion_counts, featurize_batch,
+        quality_label_inject_batch, train_logreg)
+    dim, iters, lr = 64, 8, 0.3
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "text": [f"w{i % 7} w{i % 11} common tok" for i in range(60)]})
+    feats = featurize_batch(quality_label_inject_batch(docs), dim=dim)
+    ds = rd.from_pandas(feats).repartition(1).materialize()
+    w_ray, losses_ray = train_logreg(ds, dim=dim, iters=iters, lr=lr)
+
+    lens = feats["idx"].map(len).to_numpy(np.int64)
+    flat = np.concatenate([np.asarray(a, np.int64) for a in feats["idx"]])
+    y = feats["y"].to_numpy(np.float64)
+    cuts = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=cuts[1:])
+    w = np.zeros(dim + 1, np.float64)
+    losses = []
+    for _ in range(iters):
+        c = np.zeros(len(flat) + 1)
+        np.cumsum(w[flat], out=c[1:])
+        s = np.clip(c[cuts[1:]] - c[cuts[:-1]] + w[dim], -35.0, 35.0)
+        p = 1.0 / (1.0 + np.exp(-s))
+        r = p - y
+        g = np.bincount(flat, weights=np.repeat(r, lens),
+                        minlength=dim + 1)
+        g[dim] = r.sum()
+        losses.append(float((np.logaddexp(0.0, s) - y * s).sum())
+                      / len(y))
+        w = w - lr * (g / len(y))
+    assert losses_ray == losses
+    assert (w_ray == w).all()
+    # and the margin kernel agrees on the trained weights
+    _, _, s_chk = _scores(feats, w, dim)
+    tp, fp, tn, fn = confusion_counts(ds, w_ray, dim=dim)
+    assert tp + fp + tn + fn == len(y)
+    assert tp == int(((s_chk > 0) & (y == 1)).sum())
+    assert fn == int(((s_chk <= 0) & (y == 1)).sum())
+
+
+def test_quality_classifier_confusion_partition_invariant(ray_session):
+    """The trained decision (confusion matrix) must be identical
+    under 1-block and 8-block layouts: per-doc margins are summed in
+    the doc's own sorted index order, so partitioning cannot move a
+    prediction across the threshold. Losses may differ in ulps
+    (combine order), accuracy may not."""
+    import ray.data as rd
+
+    from pdf_parser_ray.stages.classifier import (
+        confusion_counts, featurize_batch, quality_label_inject_batch,
+        train_logreg)
+    dim = 128
+    docs = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "text": [f"alpha{i % 13} beta{i % 5} gamma" for i in range(200)]})
+    feats = featurize_batch(quality_label_inject_batch(docs), dim=dim)
+    one = rd.from_pandas(feats).repartition(1).materialize()
+    eight = rd.from_pandas(feats).repartition(8).materialize()
+    w1, l1 = train_logreg(one, dim=dim, iters=6, lr=0.3)
+    w8, l8 = train_logreg(eight, dim=dim, iters=6, lr=0.3)
+    assert np.allclose(w1, w8, rtol=0, atol=1e-12)
+    assert np.allclose(l1, l8, rtol=0, atol=1e-12)
+    assert confusion_counts(one, w1, dim=dim) == \
+        confusion_counts(eight, w1, dim=dim)
+    # cross-check: each model's confusion under the OTHER layout
+    assert confusion_counts(eight, w8, dim=dim) == \
+        confusion_counts(one, w8, dim=dim)
+
+
+def test_quality_classifier_featurize_batch_boundary_invariant():
+    """featurize_batch over one batch vs two halves must give every
+    doc the same sorted bucket list (the hash is per-string, the
+    unique+sort is per-doc — no batch-level state)."""
+    from pdf_parser_ray.stages.classifier import featurize_batch
+    docs = pd.DataFrame({
+        "doc_id": np.arange(30, dtype=np.int64),
+        "text": [f"t{i % 4} t{i % 4} u{i % 9} shared" for i in range(30)],
+        "y": np.zeros(30, dtype=np.int64)})
+    whole = featurize_batch(docs, dim=97, text_col="text")
+    halves = pd.concat([featurize_batch(docs.iloc[:13], dim=97),
+                        featurize_batch(docs.iloc[13:], dim=97)],
+                       ignore_index=True)
+    for a, b in zip(whole["idx"], halves["idx"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
