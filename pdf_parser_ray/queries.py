@@ -2833,6 +2833,76 @@ def docs_quality_classifier(sf_dir: str) -> pd.DataFrame:
                          "accuracy_milli": [acc_milli]}).astype("int64")
 
 
+def docs_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index EXPORT (the search/retrieval sink a curation
+    stack feeds): token -> exact document frequency + the k=8
+    smallest doc ids as a champion posting list, pruned to df >= 5.
+    Distributed shape: one Arrow tokenize pass emits MERGEABLE
+    per-batch partials (batch-local df count + batch-local bottom-k
+    postings — docs never split across batches, so the sum/merge is
+    exact), then ONE token-hash bucketed combine; no whole-token
+    posting list is ever materialized (a common token contributes k
+    rows per batch, not df rows), which is what lets the same plan
+    run over 100 TB — full postings beyond k would be sharded the
+    same way, k rows at a time per merge level. Postings ship as a
+    comma-joined string so the hash-compared surface has no
+    list-type coercion."""
+    from .relational import bucketed_map_groups
+    from .stages.text_analysis import index_postings_partial
+    K, MIN_DF = 8, 5
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    partials = ds.map_batches(
+        lambda t: index_postings_partial(t, k=K),
+        batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("token", sort=False)
+        df = grp["df_p"].sum()
+        p = g[g["doc_id"] >= 0].sort_values(["token", "doc_id"],
+                                            ignore_index=True)
+        p = p[p.groupby("token", sort=False).cumcount().to_numpy() < K]
+        p["__s"] = p["doc_id"].astype(str)
+        postings = p.groupby("token", sort=False)["__s"].agg(",".join)
+        out = pd.DataFrame({"df": df.astype("int64"),
+                            "postings": postings}).reset_index()
+        return out[out["df"] >= MIN_DF]
+
+    out = bucketed_map_groups(partials, ["token"], combine).to_pandas()
+    return out.sort_values("token", ignore_index=True)
+
+
+def docs_blocklist_filter(sf_dir: str) -> pd.DataFrame:
+    """The C4 §2.2 bad-words PAGE gate (Raffel et al. 2020: drop any
+    page containing a word from a public blocklist) — the one C4
+    cleaning rule docs_c4_filters leaves out. The blocklist rides as
+    a closure constant compiled into ONE RE2 alternation with
+    explicit [^a-z0-9] word boundaries, evaluated by the Arrow C++
+    kernel — the same regex engine as the DuckDB oracle, so the
+    (?i) case fold and boundary classes agree by construction. The
+    sf corpora contain no blockwords, so a deterministic fixture
+    plants a mixed-case hit, a punctuation-bounded hit, and an
+    embedded-in-a-longer-token NON-hit (blocklist_inject_batch,
+    mirrored verbatim in the oracle). Surface is the per-source
+    gate report: doc counts, blocked/kept, kept char mass."""
+    from .relational import grouped_agg
+    from .stages.text_analysis import (blocklist_flag_batch,
+                                       blocklist_inject_batch)
+
+    def flag(t):
+        return blocklist_flag_batch(blocklist_inject_batch(t))
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = grouped_agg(ds.map_batches(flag, batch_format="pyarrow"),
+                      ["source"],
+                      {"n_docs": ("count", None),
+                       "n_blocked": ("sum", "blocked"),
+                       "kept_chars": ("sum", "kept_chars")})
+    out = out.astype({"n_docs": "int64", "n_blocked": "int64",
+                      "kept_chars": "int64"})
+    out["kept_docs"] = out["n_docs"] - out["n_blocked"]
+    return out.sort_values("source", ignore_index=True)
+
+
 def docs_shuffle_order(sf_dir: str) -> pd.DataFrame:
     """Deterministic global training-order shuffle: every doc gets a
     dense position 0..N-1 in multiplicative-hash order — the epoch
@@ -4886,6 +4956,8 @@ QUERIES = {
     "docs_ccnet_buckets": docs_ccnet_buckets,
     "docs_quality_percentile": docs_quality_percentile,
     "docs_quality_classifier": docs_quality_classifier,
+    "docs_inverted_index": docs_inverted_index,
+    "docs_blocklist_filter": docs_blocklist_filter,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -6919,4 +6991,48 @@ ORACLES["docs_quality_percentile"] = r"""
            CAST(CASE WHEN n > 1 THEN (rnk * 1000) // (n - 1)
                      ELSE 0 END AS BIGINT) AS pct_milli
     FROM r ORDER BY doc_id
+"""
+
+# docs_inverted_index: exact df over distinct (doc, token) pairs;
+# postings = k smallest doc ids, list-sliced then string-joined so
+# the hash-compared surface is a plain VARCHAR on both sides. The
+# \S+ tokenization is the RE2 split shared with every token oracle.
+ORACLES["docs_inverted_index"] = r"""
+    WITH raw AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+      FROM documents),
+    tf AS (SELECT DISTINCT doc_id, token FROM raw),
+    g AS (SELECT token, COUNT(*) AS df,
+                 list_sort(list(doc_id)) AS ids
+          FROM tf GROUP BY token)
+    SELECT token, CAST(df AS BIGINT) AS df,
+           array_to_string(list_transform(ids[1:8],
+                                          x -> CAST(x AS VARCHAR)),
+                           ',') AS postings
+    FROM g WHERE df >= 5 ORDER BY token
+"""
+
+# docs_blocklist_filter: the C4 bad-words page gate; injection CASE
+# mirrors blocklist_inject_batch branch for branch, and the boundary
+# regex is byte-identical to the engine's Arrow RE2 pattern.
+ORACLES["docs_blocklist_filter"] = r"""
+    WITH inj AS (
+      SELECT source,
+             text || CASE doc_id % 9
+               WHEN 0 THEN ' GrObNik speaking'
+               WHEN 3 THEN ' pure zxqvut!'
+               WHEN 6 THEN ' xfrobscottley run'
+               ELSE '' END AS t
+      FROM documents),
+    f AS (SELECT source, t,
+                 CAST(regexp_matches(t,
+                   '(?i)(^|[^a-z0-9])(grobnik|zxqvut|frobscottle)([^a-z0-9]|$)')
+                   AS BIGINT) AS blocked
+          FROM inj)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+           CAST(SUM(CASE WHEN blocked = 0 THEN length(t) ELSE 0 END)
+                AS BIGINT) AS kept_chars,
+           CAST(COUNT(*) - SUM(blocked) AS BIGINT) AS kept_docs
+    FROM f GROUP BY source ORDER BY source
 """

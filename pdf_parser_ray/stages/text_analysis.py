@@ -708,3 +708,75 @@ def line_dedup_inject_batch(b: pd.DataFrame) -> pd.DataFrame:
     out = b.copy(deep=False)
     out["text"] = text
     return out
+
+
+def index_postings_partial(t, *, k: int = 8, id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """Per-batch inverted-index partial (mergeable): for every token
+    in the batch, one COUNT row (doc_id == -1, df_p = batch-local
+    document frequency) plus its k smallest doc ids as POSTING rows
+    (df_p == 0). Each document lives in exactly one input row, hence
+    one batch, so (doc, token) pairs never repeat across batches:
+    summing df_p is the exact global document frequency, and merging
+    batch-local bottom-k id sets yields the exact global bottom-k —
+    the standard mergeable bottom-k summary. Tokenization is the
+    RE2 non-space split shared with every oracled token operator."""
+    flat, parents = _flat_tokens(t, text_col)
+    ids = pc.take(t.column(id_col), parents)
+    pairs = pa.TableGroupBy(
+        pa.table({"token": flat, id_col: ids}),
+        ["token", id_col]).aggregate([]).to_pandas()
+    pairs = pairs.sort_values(["token", id_col], ignore_index=True)
+    grp = pairs.groupby("token", sort=False)
+    keep = pairs[grp.cumcount().to_numpy() < k].copy(deep=False)
+    keep["df_p"] = np.int64(0)
+    cnt = grp.size().reset_index(name="df_p")
+    cnt[id_col] = np.int64(-1)
+    out = pd.concat([keep[["token", id_col, "df_p"]],
+                     cnt[["token", id_col, "df_p"]]],
+                    ignore_index=True)
+    return pa.Table.from_pandas(
+        out.astype({id_col: "int64", "df_p": "int64"}),
+        preserve_index=False)
+
+
+# C4 §2.2 removes any page containing a word from a public blocklist
+# (Raffel et al. 2020). The sf corpora contain none of these marker
+# words naturally, so a deterministic fixture plants them (the
+# pii_inject_batch pattern); a production run would swap in the real
+# ~400-word list — it still fits a closure/broadcast constant and the
+# same single compiled RE2 alternation.
+BLOCK_WORDS = ("grobnik", "zxqvut", "frobscottle")
+BLOCKLIST_RE = ("(?i)(^|[^a-z0-9])(" + "|".join(BLOCK_WORDS)
+                + ")([^a-z0-9]|$)")
+
+
+def blocklist_inject_batch(t, *, text_col: str = "text"):
+    """Deterministic blocklist fixture: doc_id % 9 == 0 gets a
+    mixed-case blockword (pins case-insensitivity), % 9 == 3 a
+    punctuation-bounded one (pins the boundary class), % 9 == 6 a
+    blockword EMBEDDED inside a longer token (must NOT match — the
+    word-boundary negative). Mirrored verbatim in the SQL oracle."""
+    did = t.column("doc_id").to_numpy(zero_copy_only=False)
+    s = t.column(text_col).to_pandas().astype(str)
+    m = did % 9
+    s = s.where(m != 0, s + " GrObNik speaking")
+    s = s.where(m != 3, s + " pure zxqvut!")
+    s = s.where(m != 6, s + " xfrobscottley run")
+    i = t.schema.get_field_index(text_col)
+    return t.set_column(i, text_col,
+                        pa.array(s, type=t.schema.field(i).type))
+
+
+def blocklist_flag_batch(t, *, text_col: str = "text"):
+    """Vectorized blocklist page gate (Arrow C++ RE2, the oracle's
+    engine): emits per-doc blocked flag and kept char count for the
+    per-source aggregate."""
+    txt = t.column(text_col)
+    blocked = pc.cast(pc.match_substring_regex(txt, BLOCKLIST_RE),
+                      pa.int64())
+    chars = pc.cast(pc.utf8_length(txt), pa.int64())
+    kept_chars = pc.multiply(pc.subtract(pa.scalar(1, pa.int64()),
+                                         blocked), chars)
+    return pa.table({"source": t.column("source"),
+                     "blocked": blocked, "kept_chars": kept_chars})

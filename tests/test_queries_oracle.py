@@ -866,3 +866,94 @@ def test_quality_classifier_featurize_batch_boundary_invariant():
                        ignore_index=True)
     for a, b in zip(whole["idx"], halves["idx"]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_inverted_index_capping_min_df_and_oracle(ray_session,
+                                                  tmp_path):
+    """Constructed corpus pinning every inverted-index rule: 'hot'
+    lives in 12 docs (df counted in full, postings CAPPED to the 8
+    smallest ids), 'warm' in exactly 5 (the df >= 5 boundary is
+    inclusive), 'rare' in 4 (pruned), and every doc carries a unique
+    salt token (always pruned). Engine frame must equal the DuckDB
+    oracle and the explicit expectations."""
+    rows = []
+    for i in range(12):
+        rows.append((100 + i, f"hot salt{i}", "s"))
+    for i in range(5):
+        rows.append((200 + i, f"warm wsalt{i}", "s"))
+    for i in range(4):
+        rows.append((300 + i, f"rare rsalt{i}", "s"))
+    _write_docs(tmp_path, rows)
+    got = QUERIES["docs_inverted_index"](str(tmp_path))
+    want = _oracle_on(tmp_path, "docs_inverted_index")
+    pd.testing.assert_frame_equal(_canon(got).reset_index(drop=True),
+                                  _canon(want).reset_index(drop=True),
+                                  check_dtype=False)
+    by = dict(zip(got["token"], zip(got["df"], got["postings"])))
+    assert set(by) == {"hot", "warm"}
+    assert by["hot"] == (12, ",".join(str(100 + i) for i in range(8)))
+    assert by["warm"] == (5, ",".join(str(200 + i) for i in range(5)))
+
+
+def test_inverted_index_partials_merge_exactly():
+    """The mergeability contract the distributed combine relies on:
+    partials from two disjoint batch slices, merged (sum df_p, merge
+    bottom-k), must equal the whole-batch partial — docs never split
+    across batches, so no (doc, token) pair repeats."""
+    import pyarrow as pa
+
+    from pdf_parser_ray.stages.text_analysis import \
+        index_postings_partial
+    t = pa.table({
+        "doc_id": pa.array(list(range(20)), pa.int64()),
+        "text": pa.array([f"hot u{i}" if i % 2 == 0 else f"hot v{i}"
+                          for i in range(20)], pa.string())})
+    k = 8
+    whole = index_postings_partial(t, k=k).to_pandas()
+    parts = pd.concat([index_postings_partial(t.slice(0, 11), k=k)
+                       .to_pandas(),
+                       index_postings_partial(t.slice(11), k=k)
+                       .to_pandas()], ignore_index=True)
+
+    def final(df):
+        cnt = df.groupby("token")["df_p"].sum()
+        p = df[df["doc_id"] >= 0].sort_values(["token", "doc_id"])
+        p = p[p.groupby("token").cumcount() < k]
+        post = p.groupby("token")["doc_id"].agg(
+            lambda s: ",".join(s.astype(str)))
+        return pd.DataFrame({"df": cnt, "postings": post}).sort_index()
+
+    pd.testing.assert_frame_equal(final(parts), final(whole))
+    assert final(whole).loc["hot", "df"] == 20
+    assert final(whole).loc["hot", "postings"] == \
+        ",".join(str(i) for i in range(8))
+
+
+def test_blocklist_boundary_case_and_oracle(ray_session, tmp_path):
+    """The three fixture branches each pin one rule: doc 0 gets a
+    mixed-case blockword (case fold), doc 3 a punctuation-bounded one
+    (boundary class includes punctuation), doc 6 a blockword embedded
+    inside a longer token (must NOT block). Doc 1's BASE text carries
+    a natural sentence-initial blockword (gate applies to raw text
+    too, '^' boundary). Engine report must equal the oracle and the
+    hand-computed flags."""
+    rows = [(0, "alpha beta", "a"),
+            (1, "frobscottle is fizzy", "a"),
+            (2, "plain text", "a"),
+            (3, "more words", "b"),
+            (6, "embedded case", "b"),
+            (9, "GrObNik speaking arrives via injection too", "b")]
+    _write_docs(tmp_path, rows)
+    got = QUERIES["docs_blocklist_filter"](str(tmp_path))
+    want = _oracle_on(tmp_path, "docs_blocklist_filter")
+    pd.testing.assert_frame_equal(_canon(got).reset_index(drop=True),
+                                  _canon(want).reset_index(drop=True),
+                                  check_dtype=False)
+    a = got[got["source"] == "a"].iloc[0]
+    b = got[got["source"] == "b"].iloc[0]
+    # source a: doc 0 (injected mixed case) + doc 1 (natural, at ^)
+    # blocked; doc 2 kept.
+    assert (a["n_docs"], a["n_blocked"], a["kept_docs"]) == (3, 2, 1)
+    # source b: doc 3 (injected 'zxqvut!') and doc 9 (% 9 == 0 mixed
+    # case) blocked; doc 6's embedded 'xfrobscottley' must survive.
+    assert (b["n_docs"], b["n_blocked"], b["kept_docs"]) == (3, 2, 1)
