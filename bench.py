@@ -197,7 +197,10 @@ def run_queries() -> dict:
                 "docs_quality_percentile", "docs_quality_classifier",
                 # round 5 (late): inverted-index export (mergeable
                 # bottom-k postings) and the C4 bad-words page gate
-                "docs_inverted_index", "docs_blocklist_filter"]
+                "docs_inverted_index", "docs_blocklist_filter",
+                # round 5 (late): product quantization — the
+                # compression half of the IVF-PQ ANN stack
+                "embeddings_pq_codes"]
     # transcript_wave_extract is deliberately NOT a bench row: it is a
     # commit-protocol demo (two full wave extractions + checkpointed
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose

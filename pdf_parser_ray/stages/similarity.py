@@ -415,3 +415,104 @@ def kmeans_blocked_pairs(nds, *, threshold: float,
     if not parts:
         return empty
     return pd.concat(parts, ignore_index=True)
+
+
+# ------------------------------------------------ product quantization
+
+def pq_train_codebooks(nds, *, m: int = 4, ksub: int = 16,
+                       iters: int = 4, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> list:
+    """Train product-quantization codebooks (Jegou et al. 2011,
+    'Product Quantization for Nearest Neighbor Search'): split the
+    D-dim vectors into ``m`` contiguous subspaces and run the
+    engine's distributed Lloyd stage independently in each, giving
+    ``m`` codebooks of ``ksub`` centroids. Every subspace pass
+    streams the full dataset (broadcast centroids + sufficient-stats
+    partials); at web scale the paper trains codebooks on a bounded
+    sample and assigns the full corpus — the caller picks the
+    training dataset, this function just never materializes it."""
+    first = nds.take(1)
+    if not first:
+        return []
+    d = len(np.asarray(first[0][vec_col]))
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = []
+    for sub in range(m):
+        lo = sub * dsub
+
+        def slice_sub(b: pd.DataFrame, lo=lo) -> pd.DataFrame:
+            out = b[[id_col]].copy(deep=False)
+            out[vec_col] = [np.asarray(v, dtype=np.float64)[lo:lo + dsub]
+                            for v in b[vec_col]]
+            return out
+
+        # materialize the slice once: lloyd streams it iters+1 times
+        # (seed pass + per-iteration partials) and the subvectors are
+        # 1/m the input bytes
+        books.append(lloyd_centroids(
+            nds.map_batches(slice_sub,
+                            batch_format="pandas").materialize(),
+            k=ksub, iters=iters, vec_col=vec_col, id_col=id_col))
+    return books
+
+
+def pq_assign_report(nds, books, *, vec_col: str = "embedding",
+                     id_col: str = "vec_id"):
+    """One streaming assign pass with the ``m`` codebooks broadcast
+    once (ray.put): per batch, vectorized nearest-centroid codes per
+    subspace, plus the mergeable error partials the quality asserts
+    need — quantization SSE and around-the-subspace-mean SSE (the
+    rank-0 baseline PQ must beat). Returns (histogram DataFrame
+    [subspace, code, n], err_sse, base_sse, n_vecs); partials are
+    combined in deterministic (subspace, code, blk) order."""
+    import ray
+    m = len(books)
+    dsub = books[0].shape[1]
+    ref = ray.put([np.asarray(b, dtype=np.float64) for b in books])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in b[vec_col]])
+        C = ray.get(ref)
+        rows = []
+        for sub in range(m):
+            Xm = X[:, sub * dsub:(sub + 1) * dsub]
+            Cm = C[sub]
+            d2 = ((Xm * Xm).sum(1)[:, None] - 2.0 * (Xm @ Cm.T)
+                  + (Cm * Cm).sum(1)[None, :])
+            codes = d2.argmin(1)
+            err = np.maximum(d2[np.arange(len(Xm)), codes], 0.0)
+            cnt = np.bincount(codes, minlength=len(Cm))
+            es = np.zeros(len(Cm))
+            np.add.at(es, codes, err)
+            rows.append(pd.DataFrame({
+                "subspace": np.int64(sub),
+                "code": np.arange(len(Cm), dtype=np.int64),
+                "n": cnt.astype(np.int64), "err": es,
+                "s": list(Xm.sum(0)[None, :].repeat(len(Cm), 0)),
+                "sq": (Xm * Xm).sum(),
+                "nv": np.int64(len(Xm)),
+                "blk": np.int64(b[id_col].min())}))
+        return pd.concat(rows, ignore_index=True)
+
+    part = (nds.map_batches(assign, batch_format="pandas")
+            .to_pandas()
+            .sort_values(["subspace", "code", "blk"], kind="mergesort"))
+    hist = (part.groupby(["subspace", "code"], as_index=False)["n"]
+            .sum().astype({"n": "int64"}))
+    err_sse = float(part["err"].sum())
+    # base SSE = sum ||x_m||^2 - n * ||mean_m||^2 per subspace; the
+    # per-batch (s, sq, nv) rows repeat per code, so take one code's
+    base_sse, n_vecs = 0.0, 0
+    one = part[part["code"] == 0]
+    for sub, g in one.groupby("subspace"):
+        g = g.sort_values("blk", kind="mergesort")
+        s = np.sum(np.stack([np.asarray(v) for v in g["s"]]), axis=0)
+        sq = float(g["sq"].sum())
+        nv = int(g["nv"].sum())
+        base_sse += sq - (s @ s) / nv if nv else 0.0
+        if sub == 0:
+            n_vecs = nv
+    return hist, err_sse, base_sse, n_vecs

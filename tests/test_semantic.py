@@ -464,3 +464,85 @@ def test_gopher_repetition_oracle_parity_on_edge_corpus(
     g = got.set_index("doc_id")
     assert g.loc[9, "dup5_chars"] > 0      # phrase injection fired
     assert g.loc[207, "dup_line_chars"] > 0  # 207 = 9*23: both fired
+
+
+# ---------------------------------------------- product quantization
+
+def _pq_corpus(n=120, dim=64, seed=11, spread=0.05):
+    """Vectors drawn around 4 planted anchors PER SUBSPACE (16 dims
+    each), so a trained ksub>=4 codebook must collapse SSE far below
+    the subspace-mean baseline and co-anchored rows must share codes."""
+    rng = np.random.RandomState(seed)
+    anchors = rng.standard_normal((4, 4, 16)) * 3.0  # (anchor, sub, d)
+    which = rng.randint(0, 4, size=n)
+    X = np.concatenate(
+        [anchors[which][:, s, :] +
+         rng.standard_normal((n, 16)) * spread for s in range(4)],
+        axis=1)
+    return pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [X[i] for i in range(n)]}), X, which
+
+
+def test_pq_assign_matches_numpy_and_planted_structure(ray_session):
+    import ray.data as rd
+
+    from pdf_parser_ray.stages.similarity import (pq_assign_report,
+                                                  pq_train_codebooks)
+    df, X, which = _pq_corpus()
+    ds = rd.from_pandas(df).materialize()
+    books = pq_train_codebooks(ds, m=4, ksub=16, iters=4)
+    hist, err, base, n = pq_assign_report(ds, books)
+    assert n == len(df)
+    assert (hist.groupby("subspace")["n"].sum() == n).all()
+    # planted 4-anchor structure: a 16-code codebook must capture it
+    assert err < 0.05 * base
+    # numpy reference for the ASSIGN kernel: same books, direct argmin
+    for sub in range(4):
+        Xm = X[:, sub * 16:(sub + 1) * 16]
+        C = books[sub]
+        d2 = ((Xm * Xm).sum(1)[:, None] - 2.0 * (Xm @ C.T)
+              + (C * C).sum(1)[None, :])
+        codes = d2.argmin(1)
+        ref = pd.Series(codes).value_counts().sort_index()
+        got = hist[hist["subspace"] == sub].set_index("code")["n"]
+        got = got[got > 0]
+        assert dict(ref) == dict(got)
+        # ksub=16 splits a 4-anchor cloud across several codes (it
+        # should — finer cells, lower SSE), but never straddles: with
+        # spread 0.05 vs anchor distance ~3*sqrt(32), every code's
+        # members come from ONE anchor
+        for c in np.unique(codes):
+            assert len(set(which[codes == c])) == 1
+
+
+def test_pq_assign_partitioning_invariant(ray_session):
+    import ray.data as rd
+
+    from pdf_parser_ray.stages.similarity import (pq_assign_report,
+                                                  pq_train_codebooks)
+    df, _, _ = _pq_corpus(n=90, seed=7)
+    ds = rd.from_pandas(df).materialize()
+    books = pq_train_codebooks(ds, m=4, ksub=8, iters=3)
+    h1, e1, b1, n1 = pq_assign_report(ds, books)
+    h2, e2, b2, n2 = pq_assign_report(
+        ds.repartition(7).materialize(), books)
+    pd.testing.assert_frame_equal(h1, h2)
+    assert n1 == n2
+    np.testing.assert_allclose(e1, e2, rtol=1e-9)
+    np.testing.assert_allclose(b1, b2, rtol=1e-9)
+
+
+def test_pq_codes_empty_corpus(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.queries import QUERIES
+    pq.write_table(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.int32())}),
+        str(tmp_path / "embeddings.parquet"))
+    out = QUERIES["embeddings_pq_codes"](str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["subspace", "code", "n"]
