@@ -200,7 +200,11 @@ def run_queries() -> dict:
                 "docs_inverted_index", "docs_blocklist_filter",
                 # round 5 (late): product quantization — the
                 # compression half of the IVF-PQ ANN stack
-                "embeddings_pq_codes"]
+                "embeddings_pq_codes",
+                # round 5 (late): Q4/Q12/Q14 shapes — EXISTS semi
+                # join, preagg-before-join rollup, promo ratio
+                "q4_priority_semi_join", "q12_status_line_priority",
+                "q14_promo_share"]
     # transcript_wave_extract is deliberately NOT a bench row: it is a
     # commit-protocol demo (two full wave extractions + checkpointed
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose

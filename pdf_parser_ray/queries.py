@@ -133,6 +133,119 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"revenue": [float(total) / 10000.0]})
 
 
+def q4_priority_semi_join(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape: orders placed in one quarter with AT LEAST ONE
+    qualifying lineitem (here l_returnflag = 'R' — the synthetic
+    lineitem has no commit/receipt dates), counted by priority. The
+    EXISTS is a distinct-then-broadcast semi join: the qualifying
+    orderkeys reduce to a distinct Dataset (partial per-batch unique,
+    one key-hash shuffle) and ship once via the guarded broadcast set
+    (at real scale the byte guard trips first — swap in the Bloom
+    prefilter of parts_bloom_prefilter or a co-partitioned semi
+    join); the window-filtered orders probe it map-side, then the
+    5-row priority rollup is the usual partial+final."""
+    from .relational import distinct, semi_join
+    lo, hi = pd.Timestamp("1996-07-01"), pd.Timestamp("1996-10-01")
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    rkeys = distinct(
+        li.map_batches(lambda b: b[b["l_returnflag"] == "R"]
+                       [["l_orderkey"]], batch_format="pandas"),
+        ["l_orderkey"])["l_orderkey"]
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    win = orders.map_batches(
+        lambda b: b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)],
+        batch_format="pandas")
+    out = grouped_agg(semi_join(win, rkeys, on="o_orderkey"),
+                      ["o_orderpriority"],
+                      {"order_count": ("count", None)})
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority", ignore_index=True)
+
+
+def q12_status_line_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape (two large sides, conditional rollup): 1997
+    lineitems pre-aggregate to (orderkey, nlines) BEFORE the join —
+    the combine-before-shuffle rule, a distributed high-cardinality
+    grouped_agg_ds — then the adaptive partitioned hash join attaches
+    order status/priority and a 3-row status rollup splits line
+    counts into high (1-URGENT / 2-HIGH) vs low priority, mirroring
+    Q12's CASE sums. The synthetic lineitem has no l_shipmode, so
+    o_orderstatus plays the grouping column."""
+    from .relational import grouped_agg, grouped_agg_ds, hash_join
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    per_order = grouped_agg_ds(
+        li.map_batches(
+            lambda b: b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+            [["l_orderkey"]], batch_format="pandas"),
+        ["l_orderkey"], {"nlines": ("count", None)}).map_batches(
+        lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_orderstatus",
+                         "o_orderpriority"])
+    joined = hash_join(per_order, orders, on="o_orderkey", how="inner")
+
+    def split(b: pd.DataFrame) -> pd.DataFrame:
+        hi_m = b["o_orderpriority"].isin(("1-URGENT", "2-HIGH"))
+        n = b["nlines"].astype("int64")
+        return pd.DataFrame({"o_orderstatus": b["o_orderstatus"].values,
+                             "high_lines": n.where(hi_m, 0).to_numpy(),
+                             "low_lines": n.where(~hi_m, 0).to_numpy()})
+
+    out = grouped_agg(joined.map_batches(split, batch_format="pandas"),
+                      ["o_orderstatus"],
+                      {"high_lines": ("sum", "high_lines"),
+                       "low_lines": ("sum", "low_lines")})
+    out = out.astype({"high_lines": "int64", "low_lines": "int64"})
+    return out.sort_values("o_orderstatus", ignore_index=True)
+
+
+def q14_promo_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape (promo revenue share over one shipdate month):
+    the part dimension reduces driver-side to the PROMO key set
+    (guarded broadcast — the strategy-lookup pattern, zero shuffles),
+    lineitems in the window flag membership per batch, and one
+    global sum of integer e4 revenue partials yields the share. All
+    arithmetic integer cents mirrored by the oracle: rev_e4 =
+    round(price*100) * (100 - round(discount*100)), share emitted as
+    milli-units via '//' so no float division is hash-compared."""
+    import ray
+
+    from .relational import guard_broadcast_bytes
+    lo, hi = pd.Timestamp("1996-06-01"), pd.Timestamp("1996-07-01")
+    part = read_table(sf_dir, "part",
+                      ["p_partkey", "p_type"]).to_pandas()
+    promo = frozenset(part.loc[part["p_type"] == "PROMO", "p_partkey"])
+    guard_broadcast_bytes(len(promo) * 64, "q14 promo key set",
+                          "bucket the part dim and co-partition")
+    ref = ray.put(promo)
+    li = read_table(sf_dir, "lineitem",
+                    ["l_partkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+        b = b[m]
+        rev = _cents(b["l_extendedprice"]) * (100 - _cents(b["l_discount"]))
+        is_promo = b["l_partkey"].isin(ray.get(ref)).to_numpy()
+        return pd.DataFrame({
+            "k": np.zeros(len(b), dtype=np.int64),
+            "promo_e4": np.where(is_promo, rev, 0),
+            "total_e4": rev})
+
+    g = grouped_agg(li.map_batches(prep, batch_format="pandas"), ["k"],
+                    {"promo_e4": ("sum", "promo_e4"),
+                     "total_e4": ("sum", "total_e4")})
+    pe = int(g["promo_e4"].iloc[0]) if len(g) else 0
+    te = int(g["total_e4"].iloc[0]) if len(g) else 0
+    return pd.DataFrame({
+        "promo_e4": [pe], "total_e4": [te],
+        "share_milli": [pe * 1000 // te if te > 0 else 0]}
+    ).astype("int64")
+
+
 def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q5 shape — the six-table join graph (region -> nation ->
     customer -> orders -> lineitem -> supplier, with the
@@ -4998,6 +5111,9 @@ QUERIES = {
     "docs_inverted_index": docs_inverted_index,
     "docs_blocklist_filter": docs_blocklist_filter,
     "embeddings_pq_codes": embeddings_pq_codes,
+    "q4_priority_semi_join": q4_priority_semi_join,
+    "q12_status_line_priority": q12_status_line_priority,
+    "q14_promo_share": q14_promo_share,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -7075,4 +7191,56 @@ ORACLES["docs_blocklist_filter"] = r"""
                 AS BIGINT) AS kept_chars,
            CAST(COUNT(*) - SUM(blocked) AS BIGINT) AS kept_docs
     FROM f GROUP BY source ORDER BY source
+"""
+
+# q4/q12/q14 shapes: the date windows are shifted into the synthetic
+# corpus's 1995-2001 span; qualifying predicates substitute existing
+# columns for the ones the synthetic lineitem lacks (returnflag for
+# commit/receipt dates, orderstatus for shipmode) — the SHAPES
+# (EXISTS semi join, preagg-before-join conditional rollup, promo
+# revenue ratio) are the point. Integer arithmetic mirrored exactly.
+ORACLES["q4_priority_semi_join"] = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-07-01'
+      AND o_orderdate <  DATE '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLES["q12_status_line_priority"] = """
+    WITH f AS (
+      SELECT l_orderkey, COUNT(*) AS nlines FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01'
+        AND l_shipdate <  DATE '1998-01-01'
+      GROUP BY l_orderkey)
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN nlines ELSE 0 END) AS BIGINT) AS high_lines,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                         ('1-URGENT', '2-HIGH')
+                         THEN nlines ELSE 0 END) AS BIGINT) AS low_lines
+    FROM orders JOIN f ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+ORACLES["q14_promo_share"] = """
+    WITH f AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_e4,
+             p_type
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= DATE '1996-06-01'
+        AND l_shipdate <  DATE '1996-07-01'),
+    t AS (SELECT COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN rev_e4 ELSE 0 END), 0) AS promo_e4,
+                 COALESCE(SUM(rev_e4), 0) AS total_e4 FROM f)
+    SELECT CAST(promo_e4 AS BIGINT) AS promo_e4,
+           CAST(total_e4 AS BIGINT) AS total_e4,
+           CAST(CASE WHEN total_e4 > 0
+                     THEN promo_e4 * 1000 // total_e4
+                     ELSE 0 END AS BIGINT) AS share_milli
+    FROM t
 """

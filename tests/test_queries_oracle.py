@@ -957,3 +957,104 @@ def test_blocklist_boundary_case_and_oracle(ray_session, tmp_path):
     # source b: doc 3 (injected 'zxqvut!') and doc 9 (% 9 == 0 mixed
     # case) blocked; doc 6's embedded 'xfrobscottley' must survive.
     assert (b["n_docs"], b["n_blocked"], b["kept_docs"]) == (3, 2, 1)
+
+
+def _write_tpch_min(path, lineitem_rows, orders_rows, part_rows):
+    """Minimal (lineitem, orders, part) fixture in the sf schema.
+    lineitem: (orderkey, partkey, shipdate, price, discount, rflag);
+    orders: (orderkey, orderdate, priority, status);
+    part: (partkey, p_type)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in lineitem_rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in lineitem_rows], pa.int64()),
+        "l_suppkey": pa.array([1] * len(lineitem_rows), pa.int64()),
+        "l_linenumber": pa.array(range(len(lineitem_rows)), pa.int32()),
+        "l_quantity": pa.array([1.0] * len(lineitem_rows)),
+        "l_extendedprice": pa.array([r[3] for r in lineitem_rows]),
+        "l_discount": pa.array([r[4] for r in lineitem_rows]),
+        "l_tax": pa.array([0.0] * len(lineitem_rows)),
+        "l_returnflag": pa.array([r[5] for r in lineitem_rows]),
+        "l_linestatus": pa.array(["O"] * len(lineitem_rows)),
+        "l_shipdate": pa.array([pd.Timestamp(r[2]) for r in
+                                lineitem_rows], pa.timestamp("us"))}),
+        str(path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([r[0] for r in orders_rows], pa.int64()),
+        "o_custkey": pa.array([1] * len(orders_rows), pa.int64()),
+        "o_orderstatus": pa.array([r[3] for r in orders_rows]),
+        "o_totalprice": pa.array([1.0] * len(orders_rows)),
+        "o_orderdate": pa.array([pd.Timestamp(r[1]) for r in
+                                 orders_rows], pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[2] for r in orders_rows])}),
+        str(path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([r[0] for r in part_rows], pa.int64()),
+        "p_name": pa.array(["p"] * len(part_rows)),
+        "p_brand": pa.array(["b"] * len(part_rows)),
+        "p_type": pa.array([r[1] for r in part_rows]),
+        "p_size": pa.array([1] * len(part_rows), pa.int32()),
+        "p_retailprice": pa.array([1.0] * len(part_rows))}),
+        str(path / "part.parquet"))
+
+
+def _tpch_oracle_on(tmp, name):
+    c = duckdb.connect()
+    for t in ("lineitem", "orders", "part"):
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{tmp / t}.parquet'")
+    return c.sql(ORACLES[name]).df()
+
+
+def test_q4_exists_semantics_and_q14_zero_guard(ray_session, tmp_path):
+    """q4: an in-window order with only non-R lineitems must NOT
+    count, one with R lines counts ONCE (EXISTS, not join fanout),
+    and an out-of-window order with R lines is excluded. q14: the
+    fixture window (1996-06) holds no lineitems at all, so both
+    engine and oracle must emit the guarded all-zero row rather
+    than divide by zero."""
+    li = [(1, 10, "1996-07-15", 100.0, 0.05, "R"),
+          (1, 10, "1996-07-16", 100.0, 0.05, "R"),   # same order, 2 R
+          (2, 10, "1996-07-15", 100.0, 0.05, "N"),   # no R -> excluded
+          (3, 10, "1996-01-15", 100.0, 0.05, "R")]   # window miss
+    orders = [(1, "1996-08-01", "1-URGENT", "O"),
+              (2, "1996-08-01", "1-URGENT", "O"),
+              (3, "1996-01-20", "2-HIGH", "F")]
+    part = [(10, "PROMO")]
+    _write_tpch_min(tmp_path, li, orders, part)
+    got = QUERIES["q4_priority_semi_join"](str(tmp_path))
+    want = _tpch_oracle_on(tmp_path, "q4_priority_semi_join")
+    pd.testing.assert_frame_equal(_canon(got).reset_index(drop=True),
+                                  _canon(want).reset_index(drop=True),
+                                  check_dtype=False)
+    assert list(got["o_orderpriority"]) == ["1-URGENT"]
+    assert list(got["order_count"]) == [1]
+
+    got14 = QUERIES["q14_promo_share"](str(tmp_path))
+    want14 = _tpch_oracle_on(tmp_path, "q14_promo_share")
+    pd.testing.assert_frame_equal(_canon(got14).reset_index(drop=True),
+                                  _canon(want14).reset_index(drop=True),
+                                  check_dtype=False)
+    assert got14.iloc[0].tolist() == [0, 0, 0]
+
+
+def test_q12_preagg_split_matches_oracle(ray_session, tmp_path):
+    """Three orders across two statuses; the 1997 window drops one
+    line; high/low split follows priority membership exactly."""
+    li = [(1, 10, "1997-03-01", 10.0, 0.0, "N"),
+          (1, 10, "1997-03-02", 10.0, 0.0, "N"),
+          (2, 10, "1997-05-01", 10.0, 0.0, "N"),
+          (2, 10, "1996-12-31", 10.0, 0.0, "N"),   # window miss
+          (3, 10, "1997-07-01", 10.0, 0.0, "N")]
+    orders = [(1, "1997-01-01", "2-HIGH", "O"),
+              (2, "1997-01-01", "5-LOW", "O"),
+              (3, "1997-01-01", "3-MEDIUM", "F")]
+    _write_tpch_min(tmp_path, li, orders, [(10, "PROMO")])
+    got = QUERIES["q12_status_line_priority"](str(tmp_path))
+    want = _tpch_oracle_on(tmp_path, "q12_status_line_priority")
+    pd.testing.assert_frame_equal(_canon(got).reset_index(drop=True),
+                                  _canon(want).reset_index(drop=True),
+                                  check_dtype=False)
+    by = got.set_index("o_orderstatus")
+    assert (by.loc["O", "high_lines"], by.loc["O", "low_lines"]) == (2, 1)
+    assert (by.loc["F", "high_lines"], by.loc["F", "low_lines"]) == (0, 1)
