@@ -204,7 +204,9 @@ def run_queries() -> dict:
                 # round 5 (late): Q4/Q12/Q14 shapes — EXISTS semi
                 # join, preagg-before-join rollup, promo ratio
                 "q4_priority_semi_join", "q12_status_line_priority",
-                "q14_promo_share"]
+                "q14_promo_share",
+                # round 5 (late): full iterative BPE merge training
+                "docs_bpe_train"]
     # transcript_wave_extract is deliberately NOT a bench row: it is a
     # commit-protocol demo (two full wave extractions + checkpointed
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose

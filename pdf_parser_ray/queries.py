@@ -3188,6 +3188,37 @@ def docs_bpe_pair_counts(sf_dir: str) -> pd.DataFrame:
             .head(20).reset_index(drop=True))
 
 
+def docs_bpe_train(sf_dir: str) -> pd.DataFrame:
+    """FULL BPE merge training (Sennrich et al. 2016) — the iterative
+    loop docs_bpe_pair_counts is one step of: 10 merge rounds, each a
+    streaming symbol-pair count over the UNIQUE-WORD frequency
+    Dataset (built once; corpus text is read exactly once) with the
+    merge list broadcast, exact integer bucketed combine, and a
+    per-block top-1 argmax reduction — the third iterative
+    distributed trainer in the engine (with Lloyd k-means and the
+    logreg quality classifier). No SQL oracle (iterative argmax);
+    verified in-query by the max-pair-count monotonicity theorem (a
+    pair born of merge r occurs at most n_r times, so n_{r+1} <=
+    n_r) plus distinct-merge and positive-count checks, and the
+    pytest suite pins the merge table against an independent
+    single-process reference trainer (incremental vocabulary
+    rewrite, not rank-order replay) and partitioning invariance.
+    Surface: (rank, left, right, merged, n) — ints and strings."""
+    from .stages.text_analysis import token_counts_arrow, train_bpe_merges
+    R = 10
+    ds = read_table(sf_dir, "documents", ["text"])
+    vocab = grouped_agg_ds(
+        ds.map_batches(token_counts_arrow, batch_format="pyarrow"),
+        ["token"], {"c": ("sum", "cnt")}).materialize()
+    out = train_bpe_merges(vocab, R)
+    assert (out["n"] > 0).all(), "merge counts must be positive"
+    assert not out[["left", "right"]].duplicated().any(), \
+        "merges must be distinct"
+    assert (out["n"].diff().dropna() <= 0).all(), \
+        f"max pair count must be non-increasing: {out['n'].tolist()}"
+    return out
+
+
 def docs_gopher_repetition(sf_dir: str) -> pd.DataFrame:
     """The Gopher REPETITION-removal family (Rae et al. 2021 table A1
     — the rules docs_gopher_rules only samples via its duplicate-line
@@ -5114,6 +5145,7 @@ QUERIES = {
     "q4_priority_semi_join": q4_priority_semi_join,
     "q12_status_line_priority": q12_status_line_priority,
     "q14_promo_share": q14_promo_share,
+    "docs_bpe_train": docs_bpe_train,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"

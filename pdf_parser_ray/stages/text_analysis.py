@@ -780,3 +780,96 @@ def blocklist_flag_batch(t, *, text_col: str = "text"):
                                          blocked), chars)
     return pa.table({"source": t.column("source"),
                      "blocked": blocked, "kept_chars": kept_chars})
+
+
+def bpe_symbols(word: str, merges) -> list:
+    """Apply BPE merges to one word IN RANK ORDER, each merge
+    replacing all its non-overlapping occurrences left to right —
+    exactly the trainer's state after those merges (Sennrich et al.
+    2016): the trainer rewrites the whole vocabulary after every
+    merge selection, and rank-order replay reproduces that rewrite
+    word by word."""
+    syms = list(word)
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        i, out = 0, []
+        while i < len(syms):
+            if (i < len(syms) - 1 and syms[i] == a
+                    and syms[i + 1] == b):
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_merged_pair_rows(b: pd.DataFrame, merges) -> pd.DataFrame:
+    """Adjacent SYMBOL-pair counts under the current merge list —
+    the per-batch partial of one BPE training iteration. The Python
+    loop runs over the UNIQUE-WORD vocabulary rows (the standard BPE
+    trainer shape — corpus text was reduced to (word, count) once),
+    never over corpus rows."""
+    rows: dict = {}
+    for w, c in zip(b["token"].astype(str),
+                    b["c"].to_numpy(np.int64)):
+        syms = bpe_symbols(w, merges)
+        for i in range(len(syms) - 1):
+            key = (syms[i], syms[i + 1])
+            rows[key] = rows.get(key, 0) + int(c)
+    if not rows:
+        return pd.DataFrame({"left": pd.array([], dtype=str),
+                             "right": pd.array([], dtype=str),
+                             "n": pd.array([], dtype="int64")})
+    ks = list(rows)
+    return pd.DataFrame({"left": [k[0] for k in ks],
+                         "right": [k[1] for k in ks],
+                         "n": pd.array([rows[k] for k in ks],
+                                       dtype="int64")})
+
+
+def train_bpe_merges(vocab_ds, r: int) -> pd.DataFrame:
+    """Distributed BPE merge training: ``vocab_ds`` is the (token, c)
+    unique-word frequency Dataset (built once — corpus text is never
+    re-read); each of the ``r`` iterations runs one streaming
+    pair-count pass with the merge list broadcast in the batch-fn
+    closure, combines exact integer counts token-hash-bucketed
+    (grouped_agg_ds — the pair table never visits the driver), and
+    reduces to the global argmax via per-block top-1 rows (<=
+    n_buckets rows reach the driver per iteration). Tie-break is
+    (count desc, left asc, right asc) — deterministic under any
+    partitioning because the combined counts are exact ints."""
+    from ..relational import grouped_agg_ds
+    merges, out = [], []
+    for rank in range(1, r + 1):
+        ms = tuple(merges)
+        pairs = grouped_agg_ds(
+            vocab_ds.map_batches(
+                lambda b, ms=ms: bpe_merged_pair_rows(b, ms),
+                batch_format="pandas"),
+            ["left", "right"], {"n": ("sum", "n")})
+        top = pairs.map_batches(
+            lambda b: b.sort_values(
+                ["n", "left", "right"],
+                ascending=[False, True, True]).head(1),
+            batch_format="pandas").to_pandas()
+        if not len(top):
+            break
+        best = top.sort_values(
+            ["n", "left", "right"],
+            ascending=[False, True, True]).iloc[0]
+        merges.append((str(best["left"]), str(best["right"])))
+        out.append({"rank": rank, "left": str(best["left"]),
+                    "right": str(best["right"]),
+                    "merged": str(best["left"]) + str(best["right"]),
+                    "n": int(best["n"])})
+    if not out:
+        return pd.DataFrame({
+            "rank": pd.array([], dtype="int64"),
+            "left": pd.array([], dtype=str),
+            "right": pd.array([], dtype=str),
+            "merged": pd.array([], dtype=str),
+            "n": pd.array([], dtype="int64")})
+    return pd.DataFrame(out).astype({"rank": "int64", "n": "int64"})

@@ -1058,3 +1058,79 @@ def test_q12_preagg_split_matches_oracle(ray_session, tmp_path):
     by = got.set_index("o_orderstatus")
     assert (by.loc["O", "high_lines"], by.loc["O", "low_lines"]) == (2, 1)
     assert (by.loc["F", "high_lines"], by.loc["F", "low_lines"]) == (0, 1)
+
+
+def _ref_bpe_trainer(word_counts, r):
+    """Independent single-process BPE trainer: incremental vocabulary
+    REWRITE after every merge (the Sennrich formulation), not the
+    engine's rank-order replay — agreement is the equivalence proof."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for rank in range(1, r + 1):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pairs[k] = pairs.get(k, 0) + c
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append({"rank": rank, "left": a, "right": b,
+                    "merged": a + b, "n": n})
+        new = {}
+        for syms, c in vocab.items():
+            i, ns = 0, []
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            new[tuple(ns)] = new.get(tuple(ns), 0) + c
+        vocab = new
+    return pd.DataFrame(out)
+
+
+def test_bpe_train_matches_reference_trainer(ray_session, tmp_path):
+    """Engine merge table == the independent incremental-rewrite
+    trainer on a corpus engineered to hit the hard rules: 'aaaa' runs
+    (overlapping pairs COUNT but merge non-overlapping left-to-right),
+    count ties broken lexicographically, and merged symbols feeding
+    later merges ('lo'+'w' after 'l'+'o')."""
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3,
+             "aaaa": 3, "aab": 2, "zz": 4, "yy": 4}
+    docs = []
+    i = 0
+    for w, c in words.items():
+        for _ in range(c):
+            docs.append((i, w, "s"))
+            i += 1
+    _write_docs(tmp_path, docs)
+    got = QUERIES["docs_bpe_train"](str(tmp_path))
+    want = _ref_bpe_trainer(words, 10)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want[got.columns.tolist()].astype(got.dtypes.to_dict())
+        .reset_index(drop=True))
+    # the engineered facts themselves: 'aaaa'x3 contributes THREE
+    # overlapping (a,a) index pairs per word (9) + 'aab'x2 = 11,
+    # beating (e,s) = newest 6 + widest 3 = 9
+    es = got.set_index("rank")
+    assert (es.loc[1, "left"], es.loc[1, "right"], es.loc[1, "n"]) \
+        == ("a", "a", 11)
+    assert (es.loc[2, "left"], es.loc[2, "right"], es.loc[2, "n"]) \
+        == ("e", "s", 9)
+
+
+def test_bpe_train_partitioning_invariant(ray_session):
+    import ray.data as rd
+
+    from pdf_parser_ray.stages.text_analysis import train_bpe_merges
+    vocab = pd.DataFrame({
+        "token": ["alpha", "alps", "beta", "betake", "aaaa", "ba"],
+        "c": pd.array([7, 3, 5, 2, 4, 9], dtype="int64")})
+    a = train_bpe_merges(rd.from_pandas(vocab).repartition(1), 6)
+    b = train_bpe_merges(rd.from_pandas(vocab).repartition(5), 6)
+    pd.testing.assert_frame_equal(a, b)
