@@ -159,6 +159,10 @@ def q4_priority_semi_join(sf_dir: str) -> pd.DataFrame:
     out = grouped_agg(semi_join(win, rkeys, on="o_orderkey"),
                       ["o_orderpriority"],
                       {"order_count": ("count", None)})
+    if not len(out) or "order_count" not in out.columns:
+        return pd.DataFrame({
+            "o_orderpriority": pd.array([], dtype=str),
+            "order_count": pd.array([], dtype="int64")})
     out["order_count"] = out["order_count"].astype("int64")
     return out.sort_values("o_orderpriority", ignore_index=True)
 
@@ -182,6 +186,16 @@ def q12_status_line_priority(sf_dir: str) -> pd.DataFrame:
         ["l_orderkey"], {"nlines": ("count", None)}).map_batches(
         lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
         batch_format="pandas")
+    # pin the preagg (orders-cardinality, already combined): the join
+    # probes both schemas and an all-filtered window would otherwise
+    # hand hash_join a schemaless empty pipeline
+    per_order = per_order.materialize()
+    empty12 = pd.DataFrame({
+        "o_orderstatus": pd.array([], dtype=str),
+        "high_lines": pd.array([], dtype="int64"),
+        "low_lines": pd.array([], dtype="int64")})
+    if per_order.count() == 0:
+        return empty12
     orders = read_table(sf_dir, "orders",
                         ["o_orderkey", "o_orderstatus",
                          "o_orderpriority"])
@@ -198,6 +212,8 @@ def q12_status_line_priority(sf_dir: str) -> pd.DataFrame:
                       ["o_orderstatus"],
                       {"high_lines": ("sum", "high_lines"),
                        "low_lines": ("sum", "low_lines")})
+    if not len(out) or "high_lines" not in out.columns:
+        return empty12
     out = out.astype({"high_lines": "int64", "low_lines": "int64"})
     return out.sort_values("o_orderstatus", ignore_index=True)
 
@@ -2981,6 +2997,10 @@ def docs_inverted_index(sf_dir: str) -> pd.DataFrame:
         return out[out["df"] >= MIN_DF]
 
     out = bucketed_map_groups(partials, ["token"], combine).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"token": pd.array([], dtype=str),
+                             "df": pd.array([], dtype="int64"),
+                             "postings": pd.array([], dtype=str)})
     return out.sort_values("token", ignore_index=True)
 
 

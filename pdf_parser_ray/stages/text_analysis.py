@@ -735,9 +735,12 @@ def index_postings_partial(t, *, k: int = 8, id_col: str = "doc_id",
     out = pd.concat([keep[["token", id_col, "df_p"]],
                      cnt[["token", id_col, "df_p"]]],
                     ignore_index=True)
-    return pa.Table.from_pandas(
-        out.astype({id_col: "int64", "df_p": "int64"}),
-        preserve_index=False)
+    # explicit types: an all-empty batch must still emit string/int64
+    # columns (empty object -> Arrow null would poison the block union)
+    return pa.table({
+        "token": pa.array(out["token"], pa.string()),
+        id_col: pa.array(out[id_col].to_numpy(np.int64), pa.int64()),
+        "df_p": pa.array(out["df_p"].to_numpy(np.int64), pa.int64())})
 
 
 # C4 §2.2 removes any page containing a word from a public blocklist

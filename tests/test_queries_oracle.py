@@ -1134,3 +1134,29 @@ def test_bpe_train_partitioning_invariant(ray_session):
     a = train_bpe_merges(rd.from_pandas(vocab).repartition(1), 6)
     b = train_bpe_merges(rd.from_pandas(vocab).repartition(5), 6)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_inverted_index_all_pruned_and_tpch_empty_windows(
+        ray_session, tmp_path):
+    """Guard pins: a corpus whose every token has df < 5 must yield
+    the TYPED empty index frame (and agree with the oracle's empty
+    result); q4/q12 with every row outside their date windows must
+    yield typed empty rollups, not KeyError on the missing agg
+    column."""
+    _write_docs(tmp_path, [(i, f"only{i} tok{i % 2}", "s")
+                           for i in range(4)])
+    got = QUERIES["docs_inverted_index"](str(tmp_path))
+    want = _oracle_on(tmp_path, "docs_inverted_index")
+    assert len(got) == 0 and len(want) == 0
+    assert list(got.columns) == ["token", "df", "postings"]
+
+    li = [(1, 10, "1990-01-01", 10.0, 0.0, "R")]
+    orders = [(1, "1990-01-02", "1-URGENT", "O")]
+    _write_tpch_min(tmp_path, li, orders, [(10, "PROMO")])
+    q4 = QUERIES["q4_priority_semi_join"](str(tmp_path))
+    assert len(q4) == 0
+    assert list(q4.columns) == ["o_orderpriority", "order_count"]
+    q12 = QUERIES["q12_status_line_priority"](str(tmp_path))
+    assert len(q12) == 0
+    assert list(q12.columns) == ["o_orderstatus", "high_lines",
+                                 "low_lines"]
