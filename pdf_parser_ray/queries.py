@@ -233,25 +233,41 @@ def q14_promo_share(sf_dir: str) -> pd.DataFrame:
     lo, hi = pd.Timestamp("1996-06-01"), pd.Timestamp("1996-07-01")
     part = read_table(sf_dir, "part",
                       ["p_partkey", "p_type"]).to_pandas()
+    known = frozenset(part["p_partkey"])
     promo = frozenset(part.loc[part["p_type"] == "PROMO", "p_partkey"])
-    guard_broadcast_bytes(len(promo) * 64, "q14 promo key set",
+    guard_broadcast_bytes(len(known) * 64, "q14 part key sets",
                           "bucket the part dim and co-partition")
-    ref = ray.put(promo)
+    ref = ray.put((known, promo))
     li = read_table(sf_dir, "lineitem",
                     ["l_partkey", "l_shipdate", "l_extendedprice",
                      "l_discount"])
+    cpus = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
 
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        m = (b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
-        b = b[m]
-        rev = _cents(b["l_extendedprice"]) * (100 - _cents(b["l_discount"]))
-        is_promo = b["l_partkey"].isin(ray.get(ref)).to_numpy()
-        return pd.DataFrame({
-            "k": np.zeros(len(b), dtype=np.int64),
-            "promo_e4": np.where(is_promo, rev, 0),
-            "total_e4": rev})
+    class Prep:
+        """Per-actor broadcast cache (the semi_join.Filter pattern:
+        the key sets deserialize once per actor, not per batch)."""
 
-    g = grouped_agg(li.map_batches(prep, batch_format="pandas"), ["k"],
+        def __init__(self):
+            self.known, self.promo = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            m = (b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+            b = b[m]
+            # inner-join semantics, matching the oracle: a lineitem
+            # whose partkey has no part row contributes to NEITHER sum
+            b = b[b["l_partkey"].isin(self.known)]
+            rev = (_cents(b["l_extendedprice"])
+                   * (100 - _cents(b["l_discount"])))
+            is_promo = b["l_partkey"].isin(self.promo).to_numpy()
+            return pd.DataFrame({
+                "k": np.zeros(len(b), dtype=np.int64),
+                "promo_e4": np.where(is_promo, rev, 0),
+                "total_e4": rev})
+
+    g = grouped_agg(li.map_batches(Prep, batch_format="pandas",
+                                   concurrency=(1, max(1, cpus - 2))),
+                    ["k"],
                     {"promo_e4": ("sum", "promo_e4"),
                      "total_e4": ("sum", "total_e4")})
     pe = int(g["promo_e4"].iloc[0]) if len(g) else 0
@@ -3030,6 +3046,12 @@ def docs_blocklist_filter(sf_dir: str) -> pd.DataFrame:
                       {"n_docs": ("count", None),
                        "n_blocked": ("sum", "blocked"),
                        "kept_chars": ("sum", "kept_chars")})
+    if not len(out) or "n_docs" not in out.columns:
+        return pd.DataFrame({
+            "source": pd.array([], dtype=str),
+            **{c: pd.array([], dtype="int64")
+               for c in ("n_docs", "n_blocked", "kept_chars",
+                         "kept_docs")}})
     out = out.astype({"n_docs": "int64", "n_blocked": "int64",
                       "kept_chars": "int64"})
     out["kept_docs"] = out["n_docs"] - out["n_blocked"]

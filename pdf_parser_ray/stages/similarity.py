@@ -473,6 +473,18 @@ def pq_assign_report(nds, books, *, vec_col: str = "embedding",
     ref = ray.put([np.asarray(b, dtype=np.float64) for b in books])
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            # empty blocks reach map_batches fns (repartition,
+            # filtered upstream) — emit a typed empty partial
+            return pd.DataFrame({
+                "subspace": pd.array([], dtype="int64"),
+                "code": pd.array([], dtype="int64"),
+                "n": pd.array([], dtype="int64"),
+                "err": pd.array([], dtype="float64"),
+                "s": pd.Series([], dtype=object),
+                "sq": pd.array([], dtype="float64"),
+                "nv": pd.array([], dtype="int64"),
+                "blk": pd.array([], dtype="int64")})
         X = np.stack([np.asarray(v, dtype=np.float64)
                       for v in b[vec_col]])
         C = ray.get(ref)

@@ -723,6 +723,12 @@ def index_postings_partial(t, *, k: int = 8, id_col: str = "doc_id",
     RE2 non-space split shared with every oracled token operator."""
     flat, parents = _flat_tokens(t, text_col)
     ids = pc.take(t.column(id_col), parents)
+    if len(ids) and pc.min(ids).as_py() < 0:
+        # -1 is the in-band count-row sentinel the combine filters on;
+        # a real negative id would silently vanish from postings
+        raise ValueError(
+            f"{id_col} must be non-negative for the inverted index "
+            f"(saw {pc.min(ids).as_py()})")
     pairs = pa.TableGroupBy(
         pa.table({"token": flat, id_col: ids}),
         ["token", id_col]).aggregate([]).to_pandas()

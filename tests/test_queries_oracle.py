@@ -1160,3 +1160,23 @@ def test_inverted_index_all_pruned_and_tpch_empty_windows(
     assert len(q12) == 0
     assert list(q12.columns) == ["o_orderstatus", "high_lines",
                                  "low_lines"]
+
+
+def test_q14_dangling_partkey_matches_oracle(ray_session, tmp_path):
+    """Inner-join semantics: an in-window lineitem whose partkey has
+    NO part row must contribute to neither sum (the oracle's JOIN
+    drops it); before the fix the engine counted it in total_e4."""
+    li = [(1, 10, "1996-06-10", 100.0, 0.00, "N"),    # PROMO part
+          (2, 11, "1996-06-11", 100.0, 0.00, "N"),    # non-promo part
+          (3, 99, "1996-06-12", 500.0, 0.00, "N")]    # dangling FK
+    orders = [(1, "1996-06-01", "1-URGENT", "O")]
+    _write_tpch_min(tmp_path, li, orders,
+                    [(10, "PROMO"), (11, "STANDARD")])
+    got = QUERIES["q14_promo_share"](str(tmp_path))
+    want = _tpch_oracle_on(tmp_path, "q14_promo_share")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    row = got.iloc[0]
+    assert row["total_e4"] == 2 * 100 * 100 * 100  # doc 3 excluded
+    assert row["promo_e4"] == 100 * 100 * 100
+    assert row["share_milli"] == 500
