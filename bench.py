@@ -206,7 +206,8 @@ def run_queries() -> dict:
                 "q4_priority_semi_join", "q12_status_line_priority",
                 "q14_promo_share",
                 # round 5 (late): full iterative BPE merge training
-                "docs_bpe_train"]
+                # and the fixed-merge-table tokenizer APPLY pass
+                "docs_bpe_train", "docs_bpe_encode"]
     # transcript_wave_extract is deliberately NOT a bench row: it is a
     # commit-protocol demo (two full wave extractions + checkpointed
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose

@@ -3261,6 +3261,45 @@ def docs_bpe_train(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def docs_bpe_encode(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenizer APPLY — the encode half of the BPE stack
+    (docs_bpe_train is the train half): a FIXED 16-merge table
+    (corpus-independent so the oracle can embed it; broadcast in the
+    batch-fn closure) is replayed in rank order over the UNIQUE-WORD
+    vocabulary, so encode work scales with vocabulary size, never
+    corpus tokens — corpus text is read exactly once for the (token,
+    c) reduce. Surface: top-50 (symbol, n) encoded-symbol totals —
+    ints + ASCII strings, hash-exact; ties at the LIMIT boundary
+    break on symbol text (identical collation both sides). The
+    DuckDB oracle replays the SAME merges as a generated chain of
+    replace() calls over [c][c]-wrapped words: bracket wrapping makes
+    global leftmost non-overlapping replace() EXACTLY one BPE merge
+    pass (no match can straddle a symbol boundary, and consuming the
+    trailing ']' never eats the next match's leading '[' — the
+    classic shared-space pitfall of space-joined encodings);
+    adversarial self-pair cases ((a,a) on 'aaaaa') are pinned in
+    tests/test_queries_oracle.py."""
+    from .stages.text_analysis import (BPE_FIXED_MERGES,
+                                       bpe_encode_symbol_rows,
+                                       word_token_counts_arrow)
+    ds = read_table(sf_dir, "documents", ["text"])
+    vocab = grouped_agg_ds(
+        ds.map_batches(word_token_counts_arrow,
+                       batch_format="pyarrow"),
+        ["token"], {"c": ("sum", "cnt")})
+    sym = grouped_agg(
+        vocab.map_batches(
+            lambda b: bpe_encode_symbol_rows(b, BPE_FIXED_MERGES),
+            batch_format="pandas"),
+        ["symbol"], {"n": ("sum", "n")})
+    if not len(sym):
+        return pd.DataFrame({"symbol": pd.array([], dtype=str),
+                             "n": pd.array([], dtype="int64")})
+    sym["n"] = sym["n"].astype("int64")
+    return (sym.sort_values(["n", "symbol"], ascending=[False, True])
+            .head(50).reset_index(drop=True))
+
+
 def docs_gopher_repetition(sf_dir: str) -> pd.DataFrame:
     """The Gopher REPETITION-removal family (Rae et al. 2021 table A1
     — the rules docs_gopher_rules only samples via its duplicate-line
@@ -5188,6 +5227,7 @@ QUERIES = {
     "q12_status_line_priority": q12_status_line_priority,
     "q14_promo_share": q14_promo_share,
     "docs_bpe_train": docs_bpe_train,
+    "docs_bpe_encode": docs_bpe_encode,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -6811,14 +6851,14 @@ ORACLES["docs_gopher_rules"] = """
                   AS BIGINT) AS word_count,
              CAST(len(regexp_extract_all(text, '[^ \t\n\f\r]'))
                   AS BIGINT) AS word_chars,
-             CAST(len(regexp_extract_all(text, '#|\.\.\.|…'))
+             CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
                   AS BIGINT) AS symbols,
              CAST(length(text) - length(replace(text, chr(10), '')) + 1
                   AS BIGINT) AS n_lines,
              CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]'))
                   AS BIGINT) AS bullet_lines,
              CAST(len(regexp_extract_all(text,
-                  '(?m)(\.\.\.|…)$')) AS BIGINT) AS ellipsis_lines,
+                  '(?m)(\\.\\.\\.|…)$')) AS BIGINT) AS ellipsis_lines,
              CAST(len(regexp_extract_all(text,
                   '[^ \t\n\f\r]*[A-Za-z][^ \t\n\f\r]*')) AS BIGINT)
                AS alpha_words,
@@ -7050,6 +7090,34 @@ ORACLES["docs_bpe_pair_counts"] = r"""
               FROM idx GROUP BY 1)
     SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair LIMIT 20
 """
+
+
+# The BPE-encode oracle is GENERATED from the same fixed merge table
+# the engine broadcasts: each merge becomes one replace() over the
+# [c][c]-wrapped word (bracket wrapping == one leftmost
+# non-overlapping BPE merge pass; see docs_bpe_encode's docstring).
+def _bpe_encode_oracle_sql() -> str:
+    from .stages.text_analysis import BPE_FIXED_MERGES
+    expr = r"regexp_replace(w, '(.)', '[\1]', 'g')"
+    for a, b in BPE_FIXED_MERGES:
+        expr = (f"replace({expr}, '[{a}][{b}]', '[{a}{b}]')")
+    return rf"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS w
+      FROM documents),
+    vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+              FROM toks GROUP BY w),
+    enc AS (SELECT {expr} AS s, c FROM vocab),
+    syms AS (SELECT unnest(regexp_extract_all(s, '\[([^\]]*)\]', 1))
+                    AS symbol, c
+             FROM enc)
+    SELECT symbol, CAST(SUM(c) AS BIGINT) AS n
+    FROM syms GROUP BY symbol
+    ORDER BY n DESC, symbol LIMIT 50
+"""
+
+
+ORACLES["docs_bpe_encode"] = _bpe_encode_oracle_sql()
 
 
 # The bigram-LM oracle reuses the established toks[i]/toks[i+1]

@@ -882,3 +882,53 @@ def train_bpe_merges(vocab_ds, r: int) -> pd.DataFrame:
             "merged": pd.array([], dtype=str),
             "n": pd.array([], dtype="int64")})
     return pd.DataFrame(out).astype({"rank": "int64", "n": "int64"})
+
+
+# Fixed merge table for the tokenizer APPLY half of the BPE stack
+# (docs_bpe_train learns one; docs_bpe_encode replays this one). The
+# table is corpus-independent so the DuckDB oracle can embed the same
+# merges as a generated replace() chain; ranks chain deliberately
+# ((t,h)->(th,e), (i,n)->(in,g)) so the replay exercises multi-level
+# symbols. Alphabet is [A-Za-z0-9_] only — the bracket-wrapped oracle
+# encoding relies on '[' / ']' never appearing inside a symbol.
+BPE_FIXED_MERGES = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("e", "n"),
+    ("a", "t"), ("e", "s"), ("o", "u"), ("in", "g"), ("t", "o"),
+    ("s", "t"),
+)
+
+
+def word_token_counts_arrow(t: pa.Table, *, text_col: str = "text",
+                            token_col: str = "token",
+                            out_col: str = "cnt") -> pa.Table:
+    """Per-batch WORD-token occurrence counts: tokens are the
+    [A-Za-z0-9_]+ runs (every other char becomes a space, then the
+    whitespace split — exactly regexp_extract_all('[A-Za-z0-9_]+')).
+    This is the bracket-safe alphabet the BPE encode oracle's
+    [sym][sym] wrapping relies on."""
+    words = pc.replace_substring_regex(
+        t.column(text_col), pattern="[^A-Za-z0-9_]+", replacement=" ")
+    flat, _ = _flat_tokens(pa.table({text_col: words}), text_col)
+    res = pa.TableGroupBy(pa.table({token_col: flat}),
+                          [token_col]).aggregate([([], "count_all")])
+    return pa.table({token_col: res.column(token_col),
+                     out_col: res.column("count_all")})
+
+
+def bpe_encode_symbol_rows(b: pd.DataFrame, merges) -> pd.DataFrame:
+    """Encoded-symbol counts under a fixed merge table — the
+    per-batch partial of the tokenizer APPLY pass. The Python loop
+    runs over UNIQUE-WORD vocabulary rows (corpus text was reduced to
+    (token, c) once upstream), never over corpus rows."""
+    rows: dict = {}
+    for w, c in zip(b["token"].astype(str),
+                    b["c"].to_numpy(np.int64)):
+        for s in bpe_symbols(w, merges):
+            rows[s] = rows.get(s, 0) + int(c)
+    if not rows:
+        return pd.DataFrame({"symbol": pd.array([], dtype=str),
+                             "n": pd.array([], dtype="int64")})
+    return pd.DataFrame({"symbol": list(rows),
+                         "n": pd.array(list(rows.values()),
+                                       dtype="int64")})

@@ -608,6 +608,54 @@ def test_bpe_pair_counts_empty_and_limit_tie(ray_session, tmp_path):
     assert list(got["pair"]) == [w for w in sorted(words)][:20]
 
 
+def test_bpe_encode_hand_computed(ray_session, tmp_path):
+    """Tokenizer APPLY pinned by hand AND engine-vs-oracle: 'the'
+    chains (t,h)->(th,e) into one symbol, 'thinging' encodes as
+    [th, ing, ing] ((i,n) then (in,g)), unmerged chars stay singles,
+    punctuation/whitespace never enters the word alphabet, and
+    uppercase chars are out-of-table singles."""
+    _write_docs(tmp_path, [
+        (1, "the thinging The!", "s"),
+        (2, "at-at to, zz", "s"),
+        (3, "", "s"),
+    ])
+    got = QUERIES["docs_bpe_encode"](str(tmp_path))
+    want = _oracle_on(tmp_path, "docs_bpe_encode")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    by = got.set_index("symbol")["n"]
+    assert by["the"] == 1 and by["th"] == 1      # 'the'; 'th' in thinging
+    assert by["ing"] == 2                        # both in 'thinging'
+    assert by["at"] == 2 and by["to"] == 1       # at-at splits on '-'
+    assert by["z"] == 2                          # no (z,z) merge
+    assert by["T"] == 1 and by["h"] == 1         # 'The' -> T,h,e singles
+    assert "!" not in by.index and "-" not in by.index
+
+
+def test_bpe_encode_replace_semantics_adversarial(tmp_path):
+    """The oracle's bracket-wrapped replace() chain IS one leftmost
+    non-overlapping BPE merge pass — pinned against bpe_symbols on
+    the self-pair cases where space-joined encodings break (the
+    consumed-shared-separator pitfall): (a,a) on odd/even runs,
+    (aa,aa) chaining, and cross-boundary lookalikes ('xa b' must not
+    merge). Pure-kernel test: no Ray, DuckDB evaluates the same
+    generated expression the oracle embeds."""
+    import re as _re
+    import duckdb
+    from pdf_parser_ray.stages.text_analysis import bpe_symbols
+    merges = [("a", "a"), ("aa", "aa"), ("x", "a"), ("t", "h"),
+              ("th", "e")]
+    expr = r"regexp_replace(?, '(.)', '[\1]', 'g')"
+    for a, b in merges:
+        expr = f"replace({expr}, '[{a}][{b}]', '[{a}{b}]')"
+    con = duckdb.connect()
+    for w in ["aaa", "aaaa", "aaaaa", "aaaaaaaa", "xaa", "axa",
+              "ththe", "theh", "a", ""]:
+        s = con.execute(f"SELECT {expr}", [w]).fetchone()[0]
+        sql_syms = _re.findall(r"\[([^\]]*)\]", s)
+        assert sql_syms == bpe_symbols(w, merges), (w, sql_syms)
+
+
 def test_bigram_lm_ppl_hand_computed(ray_session, tmp_path):
     """Bigram-LM scoring pinned by hand AND engine-vs-oracle: corpus
     'a b a b' + 'a b' gives C(a,b)=3, C(b,a)=1, head counts a=3, b=1,
