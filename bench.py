@@ -207,7 +207,10 @@ def run_queries() -> dict:
                 "q14_promo_share",
                 # round 5 (late): full iterative BPE merge training
                 # and the fixed-merge-table tokenizer APPLY pass
-                "docs_bpe_train", "docs_bpe_encode"]
+                "docs_bpe_train", "docs_bpe_encode",
+                # round 5 (late): integer-exact PageRank over the
+                # event-type transition graph
+                "events_type_pagerank"]
     # transcript_wave_extract is deliberately NOT a bench row: it is a
     # commit-protocol demo (two full wave extractions + checkpointed
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose

@@ -981,9 +981,66 @@ def events_transition_matrix(sf_dir: str) -> pd.DataFrame:
     part = bucketed_map_groups(ds, ["user_id"], win)
     out = grouped_agg(part, ["prev_type", "event_type"],
                       {"n_transitions": ("sum", "n")})
+    if not len(out):
+        return pd.DataFrame({
+            "prev_type": pd.array([], dtype=str),
+            "event_type": pd.array([], dtype=str),
+            "n_transitions": pd.array([], dtype="int64")})
     return (out.astype({"n_transitions": "int64"})
             .sort_values(["prev_type", "event_type"])
             .reset_index(drop=True))
+
+
+_PAGERANK_SCALE = 10 ** 9
+_PAGERANK_ITERS = 6
+
+
+def events_type_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the event-type transition graph — the iterative
+    GRAPH algorithm class (with connected components in the dedup
+    keep-set): nodes are the distinct event types, edge weights the
+    per-user LAG transition counts (the heavy distributed part —
+    reused wholesale from events_transition_matrix's bucketed
+    per-user shuffle; '(start)' rows excluded), then 6 power
+    iterations over the cardinality-bounded matrix (|types|^2 cells
+    at any corpus scale). The recurrence is EXACT FIXED-POINT INTEGER
+    arithmetic so the oracle can mirror it hash-exactly: ranks live
+    in 1e9-scaled units, every division is a floor (Python int //,
+    DuckDB // over HUGEINT — both floor for the all-positive
+    operands here), per-edge contribution floor(rank[src] * w /
+    wout[src]) is floored BEFORE the sum, and damping is
+    rank' = floor(0.15*SCALE/n) + floor(85 * inflow / 100).
+    Dangling-node mass is dropped (the documented simplified
+    variant), so total mass is non-increasing — asserted in-query.
+    The oracle unrolls the 6 iterations as generated chained CTEs
+    (aggregates are illegal in a recursive CTE's recursive term)."""
+    tm = events_transition_matrix(sf_dir)
+    nodes = sorted(set(tm["prev_type"]).union(tm["event_type"])
+                   - {"(start)"})
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"event_type": pd.array([], dtype=str),
+                             "rank_scaled": pd.array([], dtype="int64")})
+    ed = tm[tm["prev_type"] != "(start)"]
+    edges = [(s, d, int(w)) for s, d, w in
+             zip(ed["prev_type"], ed["event_type"],
+                 ed["n_transitions"])]
+    wout: dict = {}
+    for s, _, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    base = (15 * _PAGERANK_SCALE) // (100 * n)
+    rank = {v: _PAGERANK_SCALE // n for v in nodes}
+    for _ in range(_PAGERANK_ITERS):
+        inflow = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            inflow[d] += (rank[s] * w) // wout[s]
+        rank = {v: base + (85 * inflow[v]) // 100 for v in nodes}
+        assert sum(rank.values()) <= _PAGERANK_SCALE, \
+            "pagerank mass must not grow"
+    return pd.DataFrame({
+        "event_type": nodes,
+        "rank_scaled": pd.array([rank[v] for v in nodes],
+                                dtype="int64")})
 
 
 def events_hourly_pivot(sf_dir: str) -> pd.DataFrame:
@@ -5228,6 +5285,7 @@ QUERIES = {
     "q14_promo_share": q14_promo_share,
     "docs_bpe_train": docs_bpe_train,
     "docs_bpe_encode": docs_bpe_encode,
+    "events_type_pagerank": events_type_pagerank,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -7118,6 +7176,52 @@ def _bpe_encode_oracle_sql() -> str:
 
 
 ORACLES["docs_bpe_encode"] = _bpe_encode_oracle_sql()
+
+
+# The PageRank oracle is GENERATED: one chained CTE per power
+# iteration (standard SQL forbids aggregates in a recursive CTE's
+# recursive term), each mirroring the engine's exact fixed-point
+# integer recurrence — per-edge floor BEFORE the inflow sum, HUGEINT
+# products (rank * w overflows int64 at corpus scale), all-positive
+# operands so // floors on both sides.
+def _pagerank_oracle_sql() -> str:
+    scale, iters = _PAGERANK_SCALE, _PAGERANK_ITERS
+    base = (f"(15 * CAST({scale} AS HUGEINT)) "
+            f"// (100 * (SELECT COUNT(*) FROM nodes))")
+    ctes = [f"""r0 AS (
+      SELECT v, (SELECT CAST({scale} AS HUGEINT) // COUNT(*)
+                 FROM nodes) AS rank
+      FROM nodes)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS (
+      SELECT n.v AS v,
+             {base} + (85 * COALESCE(SUM((p.rank * e.w) // o.wo),
+                                     CAST(0 AS HUGEINT))) // 100
+               AS rank
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.v
+      LEFT JOIN r{k - 1} p ON p.v = e.src
+      LEFT JOIN wout o ON o.src = e.src
+      GROUP BY n.v)""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH lagw AS (
+      SELECT COALESCE(LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id),
+             '(start)') AS src,
+             event_type AS dst
+      FROM events),
+    edges AS (SELECT src, dst, CAST(COUNT(*) AS HUGEINT) AS w
+              FROM lagw WHERE src <> '(start)' GROUP BY src, dst),
+    nodes AS (SELECT DISTINCT event_type AS v FROM events),
+    wout AS (SELECT src, SUM(w) AS wo FROM edges GROUP BY src),
+    {chain}
+    SELECT v AS event_type, CAST(rank AS BIGINT) AS rank_scaled
+    FROM r{iters} ORDER BY event_type
+"""
+
+
+ORACLES["events_type_pagerank"] = _pagerank_oracle_sql()
 
 
 # The bigram-LM oracle reuses the established toks[i]/toks[i+1]

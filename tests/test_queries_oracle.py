@@ -656,6 +656,53 @@ def test_bpe_encode_replace_semantics_adversarial(tmp_path):
         assert sql_syms == bpe_symbols(w, merges), (w, sql_syms)
 
 
+def test_pagerank_hand_computed(ray_session, tmp_path):
+    """PageRank over one user's chain A,B,A,B,C,A,D — edges A->B x2,
+    B->A, B->C, C->A, A->D; D is DANGLING (its mass drops, the
+    documented simplified variant). Engine vs the generated
+    unrolled-CTE oracle hash-exact, AND the exact fixed-point integer
+    recurrence replayed independently in the test for all 6
+    iterations must reproduce the engine's ranks digit for digit."""
+    rows = [(i, i, t, 1.0) for i, t in
+            enumerate(["A", "B", "A", "B", "C", "A", "D"])]
+    _write_events(tmp_path, rows)
+    got = QUERIES["events_type_pagerank"](str(tmp_path))
+    want = _oracle_on(tmp_path, "events_type_pagerank")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    S = 10 ** 9
+    edges = [("A", "B", 2), ("B", "A", 1), ("B", "C", 1),
+             ("C", "A", 1), ("A", "D", 1)]
+    wout = {"A": 3, "B": 2, "C": 1}
+    base = (15 * S) // (100 * 4)
+    rk = {v: S // 4 for v in "ABCD"}
+    for _ in range(6):
+        inflow = {v: 0 for v in "ABCD"}
+        for s, d, w in edges:
+            inflow[d] += (rk[s] * w) // wout[s]
+        rk = {v: base + (85 * inflow[v]) // 100 for v in "ABCD"}
+    by = got.set_index("event_type")["rank_scaled"]
+    assert dict(by) == rk
+    assert by.sum() <= S                      # dangling mass drops
+    assert by["B"] > by["D"]                  # A routes 2/3 vs 1/3
+
+
+def test_pagerank_degenerate_corpora(ray_session, tmp_path):
+    """Single-event corpus: one node, no edges -> rank == the damping
+    base floor(0.15 * SCALE / 1) on both sides. Empty corpus: typed
+    empty frame."""
+    _write_events(tmp_path, [(0, 0, "only", 1.0)])
+    got = QUERIES["events_type_pagerank"](str(tmp_path))
+    want = _oracle_on(tmp_path, "events_type_pagerank")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    assert got["rank_scaled"].tolist() == [150000000]
+    _write_events(tmp_path, [])
+    got = QUERIES["events_type_pagerank"](str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["event_type", "rank_scaled"]
+
+
 def test_bigram_lm_ppl_hand_computed(ray_session, tmp_path):
     """Bigram-LM scoring pinned by hand AND engine-vs-oracle: corpus
     'a b a b' + 'a b' gives C(a,b)=3, C(b,a)=1, head counts a=3, b=1,
