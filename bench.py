@@ -209,8 +209,11 @@ def run_queries() -> dict:
                 # and the fixed-merge-table tokenizer APPLY pass
                 "docs_bpe_train", "docs_bpe_encode",
                 # round 5 (late): integer-exact PageRank over the
-                # event-type transition graph
-                "events_type_pagerank"]
+                # event-type transition graph; type co-occurrence
+                # (market-basket prep); RFM NTILE segmentation; the
+                # Q10 returned-item report
+                "events_type_pagerank", "events_type_cooccurrence",
+                "events_user_rfm", "q10_returned_items"]
     # transcript_wave_extract is deliberately NOT a bench row: it is a
     # commit-protocol demo (two full wave extractions + checkpointed
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose

@@ -278,6 +278,75 @@ def q14_promo_share(sf_dir: str) -> pd.DataFrame:
     ).astype("int64")
 
 
+def q10_returned_items(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape — the returned-item revenue report: which
+    customers returned the most in a quarter. The heavy side
+    (lineitem filtered to l_returnflag='R') partial-sums revenue per
+    ORDER before any join (grouped_agg_ds), the quarter's orders
+    attach co-partitioned on orderkey, the per-customer rollup is a
+    second bucketed combine that STAYS a Dataset, and the top-20 cut
+    is the partial-top-k primitive — only the 20 winners' customer /
+    nation detail rows are fetched (filter-read + a 20-row driver
+    merge), never a customer-table join. Revenue in exact integer e4
+    cents (the q1/q5 arithmetic); top 20 by (revenue desc,
+    c_custkey)."""
+    from .relational import grouped_agg_ds, hash_join, topk
+    lo, hi = pd.Timestamp("1995-10-01"), pd.Timestamp("1996-01-01")
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders_f = orders.map_batches(
+        lambda b: b.loc[(b["o_orderdate"] >= lo)
+                        & (b["o_orderdate"] < hi),
+                        ["o_orderkey", "o_custkey"]].rename(
+            columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_returnflag", "l_extendedprice",
+                     "l_discount"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"] == "R"]
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].values,
+            "rev_e4": _cents(b["l_extendedprice"])
+            * (100 - _cents(b["l_discount"]))})
+
+    per_order = grouped_agg_ds(
+        li.map_batches(prep, batch_format="pandas"),
+        ["l_orderkey"], {"rev_e4": ("sum", "rev_e4")})
+    joined = hash_join(per_order, orders_f, on="l_orderkey",
+                       how="inner")
+    per_cust = grouped_agg_ds(joined, ["o_custkey"],
+                              {"rev_e4": ("sum", "rev_e4")})
+    top = topk(per_cust, ["rev_e4", "o_custkey"], [False, True], 20)
+    if not len(top):
+        return pd.DataFrame({
+            "c_custkey": pd.array([], dtype="int64"),
+            "c_name": pd.array([], dtype=str),
+            "revenue": pd.array([], dtype="float64"),
+            "n_name": pd.array([], dtype=str),
+            "c_acctbal": pd.array([], dtype="float64")})
+    keys = set(int(k) for k in top["o_custkey"])
+    cust = read_table(sf_dir, "customer",
+                      ["c_custkey", "c_name", "c_nationkey",
+                       "c_acctbal"]).map_batches(
+        lambda b: b[b["c_custkey"].isin(keys)],
+        batch_format="pandas").to_pandas()
+    nation = read_table(sf_dir, "nation",
+                        ["n_nationkey", "n_name"]).to_pandas()
+    out = (top.rename(columns={"o_custkey": "c_custkey"})
+           .merge(cust, on="c_custkey")
+           .merge(nation, left_on="c_nationkey",
+                  right_on="n_nationkey"))
+    out["revenue"] = _d(out["rev_e4"]) / 10000.0
+    return (out[["c_custkey", "c_name", "revenue", "n_name",
+                 "c_acctbal"]]
+            .astype({"c_custkey": "int64"})
+            .sort_values(["revenue", "c_custkey"],
+                         ascending=[False, True])
+            .reset_index(drop=True))
+
+
 def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q5 shape — the six-table join graph (region -> nation ->
     customer -> orders -> lineitem -> supplier, with the
@@ -1043,6 +1112,43 @@ def events_type_pagerank(sf_dir: str) -> pd.DataFrame:
                                 dtype="int64")})
 
 
+def events_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Event-type CO-OCCURRENCE counts — 'users who did X also did Y',
+    the collaborative-filtering / market-basket prep aggregate: for
+    every unordered type pair (a < b), the number of distinct users
+    who performed both. One bucketed per-user shuffle; inside each
+    bucket the user x type DISTINCT reduce and the pair explosion are
+    vectorized pandas merges, and per-bucket pair counts are FINAL
+    (same user never spans buckets), so at most |types|^2 rows per
+    bucket reach the tiny combine — scale-safe for any corpus with a
+    bounded type vocabulary (salting the basket side is the escape
+    hatch for unbounded vocabularies, as in the conv-level near-dup)."""
+    from .relational import bucketed_map_groups
+    ds = read_table(sf_dir, "events", ["user_id", "event_type"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["user_id", "event_type"]].drop_duplicates()
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        return (m.groupby(["event_type_x", "event_type_y"],
+                          sort=False)
+                .size().reset_index(name="n"))
+
+    part = bucketed_map_groups(ds, ["user_id"], pairs)
+    out = grouped_agg(part, ["event_type_x", "event_type_y"],
+                      {"n_users": ("sum", "n")})
+    if not len(out):
+        return pd.DataFrame({
+            "type_a": pd.array([], dtype=str),
+            "type_b": pd.array([], dtype=str),
+            "n_users": pd.array([], dtype="int64")})
+    out = out.rename(columns={"event_type_x": "type_a",
+                              "event_type_y": "type_b"})
+    return (out.astype({"n_users": "int64"})
+            .sort_values(["type_a", "type_b"])
+            .reset_index(drop=True))
+
+
 def events_hourly_pivot(sf_dir: str) -> pd.DataFrame:
     """PIVOT (long -> wide): hourly counts per event type as one wide
     row per hour. The heavy part — the (hour, type) aggregate — runs
@@ -1250,6 +1356,80 @@ def events_ntile(sf_dir: str) -> pd.DataFrame:
     ranked = ordered_global_rank(ds, ["value", "event_id"])
     out = ranked.map_batches(tile, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_user_rfm(sf_dir: str) -> pd.DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic cohort/marketing segmentation, and a three-way consumer
+    of the distributed NTILE primitive: per-user (seconds since last
+    event, event count, spend in exact cents) via ONE bucketed
+    combine, then three chained ordered_global_rank passes (value-
+    range partition + prefix scalars — no global sort, no whole-
+    corpus task; each pass preserves the row's other columns so no
+    user-keyed re-join is needed), each followed by the SQL NTILE(4)
+    bucket formula, then the 4x4x4 segment histogram (<= 64 rows at
+    any corpus scale). The recency anchor is the corpus max ts
+    (self-contained — no wall clock enters the surface);
+    recency_days floors integer-second arithmetic mirrored by
+    DuckDB's floor(epoch())."""
+    from .relational import grouped_agg_ds, ordered_global_rank
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].values,
+            "ts_s": (b["ts"].astype("datetime64[ns]")
+                     .astype("int64") // 1_000_000_000),
+            "one": np.ones(len(b), dtype=np.int64),
+            "val_c": _cents(b["value"])})
+
+    per_user = grouped_agg_ds(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["user_id"], {"last_s": ("max", "ts_s"),
+                      "freq": ("sum", "one"),
+                      "spend_c": ("sum", "val_c")}).materialize()
+    n = per_user.count()
+    cols = ["r_q", "f_q", "m_q", "n_users"]
+    if n == 0:
+        return pd.DataFrame({c: pd.array([], dtype="int64")
+                             for c in cols})
+    anchor = int(per_user.max("last_s"))
+    k = 4
+    nq, nr = divmod(n, k)
+
+    def rec(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["recency_days"] = ((anchor
+                              - b["last_s"].to_numpy(np.int64))
+                             // 86400)
+        b["one"] = np.ones(len(b), dtype=np.int64)  # 1 row == 1 user
+        return b
+
+    def tile_col(rank_col: str, out: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            rn = b[rank_col].to_numpy()
+            big = nq + 1
+            # SQL NTILE: first n%k buckets hold one extra row
+            t = np.where(rn < nr * big, rn // max(big, 1) + 1,
+                         nr + (rn - nr * big) // max(nq, 1) + 1)
+            b = b.copy(deep=False)
+            b[out] = t.astype("int64")
+            return b
+        return f
+
+    pu = per_user.map_batches(rec, batch_format="pandas")
+    for order, rank_col, out in (
+            (["recency_days", "user_id"], "rr", "r_q"),
+            (["freq", "user_id"], "fr", "f_q"),
+            (["spend_c", "user_id"], "mr", "m_q")):
+        pu = ordered_global_rank(pu, order, out_col=rank_col)
+        pu = pu.map_batches(tile_col(rank_col, out),
+                            batch_format="pandas")
+    seg = grouped_agg(pu, ["r_q", "f_q", "m_q"],
+                      {"n_users": ("sum", "one")})
+    return (seg.astype({c: "int64" for c in cols})[cols]
+            .sort_values(["r_q", "f_q", "m_q"])
+            .reset_index(drop=True))
 
 
 def events_hourly_moving_avg(sf_dir: str) -> pd.DataFrame:
@@ -5286,6 +5466,9 @@ QUERIES = {
     "docs_bpe_train": docs_bpe_train,
     "docs_bpe_encode": docs_bpe_encode,
     "events_type_pagerank": events_type_pagerank,
+    "events_type_cooccurrence": events_type_cooccurrence,
+    "q10_returned_items": q10_returned_items,
+    "events_user_rfm": events_user_rfm,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -7222,6 +7405,56 @@ def _pagerank_oracle_sql() -> str:
 
 
 ORACLES["events_type_pagerank"] = _pagerank_oracle_sql()
+
+
+ORACLES["events_user_rfm"] = """
+    WITH pu AS (
+      SELECT user_id,
+             MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS spend_c
+      FROM events GROUP BY user_id),
+    r AS (
+      SELECT user_id,
+             ((SELECT MAX(last_s) FROM pu) - last_s) // 86400
+               AS recency_days,
+             freq, spend_c
+      FROM pu),
+    t AS (
+      SELECT NTILE(4) OVER (ORDER BY recency_days, user_id) AS r_q,
+             NTILE(4) OVER (ORDER BY freq, user_id)         AS f_q,
+             NTILE(4) OVER (ORDER BY spend_c, user_id)      AS m_q
+      FROM r)
+    SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM t GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q
+"""
+
+
+ORACLES["q10_returned_items"] = """
+    SELECT c_custkey, c_name,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             / 10000.0 AS revenue,
+           n_name, c_acctbal
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= DATE '1995-10-01'
+      AND o_orderdate <  DATE '1996-01-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+ORACLES["events_type_cooccurrence"] = """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d a JOIN d b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+"""
 
 
 # The bigram-LM oracle reuses the established toks[i]/toks[i+1]

@@ -1091,6 +1091,18 @@ def _maybe_broadcast_right(right, *, prepare=None):
     if mat.size_bytes() is not None \
             and mat.size_bytes() <= _BROADCAST_JOIN_BYTES:
         df = mat.to_pandas()
+        if not len(df.columns):
+            # a fully-EMPTY side loses its columns through
+            # to_pandas(); rebuild the typed empty frame from the
+            # Dataset schema so map-side joiners can still reference
+            # the key column (SQL: empty side -> zero matches, not a
+            # KeyError)
+            sch = mat.schema()
+            if sch is not None and sch.names:
+                df = pa.schema(
+                    [(n, _as_arrow(t)) for n, t in
+                     zip(sch.names, sch.types)]
+                ).empty_table().to_pandas()
         if prepare is not None:
             df = prepare(df)
         return ray.put(df), mat

@@ -656,6 +656,77 @@ def test_bpe_encode_replace_semantics_adversarial(tmp_path):
         assert sql_syms == bpe_symbols(w, merges), (w, sql_syms)
 
 
+def _write_events_users(path, rows):
+    """(event_id, hour, user_id, event_type, value) — the multi-user
+    variant of _write_events (which pins user_id=1)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([dt.datetime(2024, 1, 1)
+                        + dt.timedelta(hours=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())}),
+        str(path / "events.parquet"))
+
+
+def test_type_cooccurrence_hand_computed(ray_session, tmp_path):
+    """'Users who did X also did Y': user 1 does {A,B,C} (B twice —
+    distinct-per-user, so it still counts once), user 2 {A,B},
+    user 3 {C}. Pairs: (A,B)=2, (A,C)=1, (B,C)=1; singleton C alone
+    adds nothing. Engine vs SQL self-join oracle hash-exact."""
+    rows = [(0, 0, 1, "A", 1.0), (1, 1, 1, "B", 1.0),
+            (2, 2, 1, "B", 1.0), (3, 3, 1, "C", 1.0),
+            (4, 0, 2, "A", 1.0), (5, 1, 2, "B", 1.0),
+            (6, 0, 3, "C", 1.0)]
+    _write_events_users(tmp_path, rows)
+    got = QUERIES["events_type_cooccurrence"](str(tmp_path))
+    want = _oracle_on(tmp_path, "events_type_cooccurrence")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    by = got.set_index(["type_a", "type_b"])["n_users"]
+    assert by[("A", "B")] == 2 and by[("A", "C")] == 1 \
+        and by[("B", "C")] == 1 and len(by) == 3
+    _write_events_users(tmp_path, [])
+    got = QUERIES["events_type_cooccurrence"](str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["type_a", "type_b", "n_users"]
+
+
+def test_user_rfm_hand_computed(ray_session, tmp_path):
+    """RFM quartiles on 5 users with hand-checkable metrics: NTILE(4)
+    over 5 rows puts 2 rows in tile 1 (first n%k tiles get the extra
+    row) — mirrored by the engine's bucket formula; recency floors
+    (anchor - last)/86400 in integer seconds. Engine vs the SQL
+    NTILE oracle hash-exact; segment counts sum to the user count."""
+    rows = []
+    eid = 0
+    # user u has u events, last at hour 24*u, each value u dollars
+    for u in range(1, 6):
+        for i in range(u):
+            rows.append((eid, 24 * u - i, u, "t", float(u)))
+            eid += 1
+    _write_events_users(tmp_path, rows)
+    got = QUERIES["events_user_rfm"](str(tmp_path))
+    want = _oracle_on(tmp_path, "events_user_rfm")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    assert got["n_users"].sum() == 5
+    assert set(got.columns) == {"r_q", "f_q", "m_q", "n_users"}
+    # user 5: most recent (r_q 1), most frequent + biggest spender
+    # (f_q == m_q == 4, the top tile of an ascending NTILE)
+    seg = got.set_index(["r_q", "f_q", "m_q"])["n_users"]
+    assert seg[(1, 4, 4)] == 1
+    _write_events_users(tmp_path, [])
+    got = QUERIES["events_user_rfm"](str(tmp_path))
+    assert len(got) == 0
+
+
 def test_pagerank_hand_computed(ray_session, tmp_path):
     """PageRank over one user's chain A,B,A,B,C,A,D — edges A->B x2,
     B->A, B->C, C->A, A->D; D is DANGLING (its mass drops, the

@@ -92,6 +92,26 @@ def test_hash_join_string_key(ray_session):
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
 
 
+def test_hash_join_empty_side(ray_session):
+    """A fully-empty side must give SQL semantics (inner -> 0 rows,
+    left -> every left row unmatched), not a KeyError: to_pandas() of
+    an empty materialized Dataset loses its columns, and the
+    broadcast joiner used to index the missing key column."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import hash_join
+    left = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                         "x": np.arange(50, dtype=np.int64)})
+    lds = rd.from_pandas(left).repartition(3)
+    empty = rd.from_pandas(
+        pd.DataFrame({"k": pd.array([], dtype="int64"),
+                      "y": pd.array([], dtype="int64")}))
+    assert hash_join(lds, empty, on="k", how="inner").count() == 0
+    out = hash_join(lds, empty, on="k", how="left").to_pandas()
+    assert len(out) == 50 and out["y"].isna().all()
+    # symmetric: empty probe side
+    assert hash_join(empty, lds, on="k", how="inner").count() == 0
+
+
 def test_distinct_matches_pandas(frames):
     import ray.data as rd
     from pdf_parser_ray.relational import distinct
