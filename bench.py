@@ -213,7 +213,10 @@ def run_queries() -> dict:
                 # (market-basket prep); RFM NTILE segmentation; the
                 # Q10 returned-item report
                 "events_type_pagerank", "events_type_cooccurrence",
-                "events_user_rfm", "q10_returned_items"]
+                "events_user_rfm", "q10_returned_items",
+                # round 5 (late): Flesch readability (integer
+                # milli-score, one Arrow regex pass)
+                "docs_readability"]
     # transcript_wave_extract is deliberately NOT a bench row: it is a
     # commit-protocol demo (two full wave extractions + checkpointed
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose

@@ -3578,6 +3578,54 @@ def docs_c4_filters(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_readability(sf_dir: str) -> pd.DataFrame:
+    """Flesch-style readability scoring — the classic reading-ease
+    quality signal (Flesch 1948, as used in readability-based corpus
+    filters): words are [A-Za-z]+ runs, syllables the standard
+    vowel-group heuristic ([aeiouyAEIOUY]+ runs — a vowel group can
+    never span a non-alpha char, so the corpus-text count equals the
+    per-word sum), sentences [.!?]+ runs clamped to >= 1. The score
+    is EXACT INTEGER MILLI-UNITS of the Flesch formula
+    (206.835 - 1.015 w/s - 84.6 syl/w), every division a positive
+    floor mirrored by DuckDB // — no float enters the surface. One
+    vectorized Arrow pass (count_substring_regex, RE2 — the oracle's
+    regex engine); docs with zero words emit no row on either side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        w = pc.cast(pc.count_substring_regex(txt, "[A-Za-z]+"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        syl = pc.cast(pc.count_substring_regex(
+            txt, "[aeiouyAEIOUY]+"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sent = pc.cast(pc.count_substring_regex(txt, "[.!?]+"),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        sent = np.maximum(sent, 1)
+        keep = w > 0
+        w, syl, sent = w[keep], syl[keep], sent[keep]
+        flesch = (206835 - (1015 * w) // sent
+                  - (84600 * syl) // np.maximum(w, 1))
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"),
+                              pa.int64()).filter(pa.array(keep)),
+            "n_words": pa.array(w, pa.int64()),
+            "n_sentences": pa.array(sent, pa.int64()),
+            "n_syllables": pa.array(syl, pa.int64()),
+            "flesch_milli": pa.array(flesch, pa.int64())})
+
+    out = (ds.map_batches(score, batch_format="pyarrow")
+           .to_pandas())
+    if not len(out):
+        return pd.DataFrame({c: pd.array([], dtype="int64")
+                             for c in ("doc_id", "n_words",
+                                       "n_sentences", "n_syllables",
+                                       "flesch_milli")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_quality_scores(sf_dir: str) -> pd.DataFrame:
     from .stages.text_analysis import quality_batch
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -5469,6 +5517,7 @@ QUERIES = {
     "events_type_cooccurrence": events_type_cooccurrence,
     "q10_returned_items": q10_returned_items,
     "events_user_rfm": events_user_rfm,
+    "docs_readability": docs_readability,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -7405,6 +7454,23 @@ def _pagerank_oracle_sql() -> str:
 
 
 ORACLES["events_type_pagerank"] = _pagerank_oracle_sql()
+
+
+ORACLES["docs_readability"] = """
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                  AS BIGINT) AS n_words,
+             GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                           AS BIGINT), 1) AS n_sentences,
+             CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206835 - (1015 * n_words) // n_sentences
+                  - (84600 * n_syllables) // n_words AS flesch_milli
+    FROM sig WHERE n_words > 0 ORDER BY doc_id
+"""
 
 
 ORACLES["events_user_rfm"] = """

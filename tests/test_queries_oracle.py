@@ -656,6 +656,35 @@ def test_bpe_encode_replace_semantics_adversarial(tmp_path):
         assert sql_syms == bpe_symbols(w, merges), (w, sql_syms)
 
 
+def test_readability_hand_computed(ray_session, tmp_path):
+    """Flesch milli-score pinned by hand: 'The cat sat. It ran!' has
+    5 words, 2 sentence runs, 5 vowel groups -> 206835 - 5075//2 -
+    423000//5 = 119698; a doc with no sentence punctuation clamps to
+    1 sentence; a long vowel run collapses to ONE group ('ueuei');
+    a zero-word doc ('123 !!!') emits no row on either side."""
+    _write_docs(tmp_path, [
+        (1, "The cat sat. It ran!", "s"),
+        (2, "no punctuation here", "s"),
+        (3, "queueing", "s"),
+        (4, "123 !!!", "s"),
+        (5, "", "s"),
+    ])
+    got = QUERIES["docs_readability"](str(tmp_path))
+    want = _oracle_on(tmp_path, "docs_readability")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    by = got.set_index("doc_id")
+    assert by.loc[1, "n_words"] == 5 and by.loc[1, "n_sentences"] == 2
+    assert by.loc[1, "n_syllables"] == 5
+    assert by.loc[1, "flesch_milli"] == 206835 - 5075 // 2 - 423000 // 5
+    assert by.loc[2, "n_sentences"] == 1          # clamp
+    assert by.loc[3, "n_syllables"] == 1          # one run: 'ueuei'
+    assert 4 not in by.index and 5 not in by.index
+    _write_docs(tmp_path, [])
+    got = QUERIES["docs_readability"](str(tmp_path))
+    assert len(got) == 0 and "flesch_milli" in got.columns
+
+
 def _write_events_users(path, rows):
     """(event_id, hour, user_id, event_type, value) — the multi-user
     variant of _write_events (which pins user_id=1)."""
