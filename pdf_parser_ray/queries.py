@@ -1084,8 +1084,15 @@ def events_type_pagerank(sf_dir: str) -> pd.DataFrame:
     The oracle unrolls the 6 iterations as generated chained CTEs
     (aggregates are illegal in a recursive CTE's recursive term)."""
     tm = events_transition_matrix(sf_dir)
-    nodes = sorted(set(tm["prev_type"]).union(tm["event_type"])
-                   - {"(start)"})
+    # nodes from the DST side only: every event is the destination of
+    # exactly one transition row (its own arrival), so dst values
+    # cover the full type vocabulary — and, unlike the src side, they
+    # can never BE the LAG sentinel, so a corpus whose vocabulary
+    # contains the literal string '(start)' still gets the oracle's
+    # node set (DISTINCT event_type). Edges from such a type are
+    # dropped by the sentinel filter on BOTH sides identically (the
+    # oracle's lagw CTE uses the same COALESCE sentinel).
+    nodes = sorted(set(tm["event_type"]))
     n = len(nodes)
     if n == 0:
         return pd.DataFrame({"event_type": pd.array([], dtype=str),
@@ -1423,8 +1430,12 @@ def events_user_rfm(sf_dir: str) -> pd.DataFrame:
             (["freq", "user_id"], "fr", "f_q"),
             (["spend_c", "user_id"], "mr", "m_q")):
         pu = ordered_global_rank(pu, order, out_col=rank_col)
+        # materialize between passes: each rank pass consumes its
+        # input several times (order-value sample + range counts +
+        # the ranked output), so an unmaterialized chain re-executes
+        # every earlier pass's shuffle multiplicatively
         pu = pu.map_batches(tile_col(rank_col, out),
-                            batch_format="pandas")
+                            batch_format="pandas").materialize()
     seg = grouped_agg(pu, ["r_q", "f_q", "m_q"],
                       {"n_users": ("sum", "one")})
     return (seg.astype({c: "int64" for c in cols})[cols]

@@ -250,6 +250,25 @@ def topk(ds, sort_cols: List[str], ascending: List[bool], k: int,
 
     partials = ds.map_batches(partial, batch_format="pandas",
                               batch_size=batch_size).to_pandas()
+    if not len(partials.columns):
+        # a fully-EMPTY input loses its columns through to_pandas();
+        # rebuild the typed empty frame so the final sort can still
+        # reference sort_cols (top-k of nothing is an empty frame,
+        # not a KeyError)
+        sch = ds.schema()
+        if sch is not None and sch.names:
+            partials = pa.schema(
+                [(n, _as_arrow(t)) for n, t in
+                 zip(sch.names, sch.types)]).empty_table().to_pandas()
+            if columns:
+                partials = partials[columns]
+        else:
+            # schema unknown (zero-block dataset): an empty frame
+            # with the requested columns still sorts and heads to an
+            # empty result; dtypes are moot at zero rows
+            partials = pd.DataFrame(
+                {c: pd.array([], dtype="object")
+                 for c in (columns or sort_cols)})
     return (partials.sort_values(sort_cols, ascending=ascending,
                                  kind="mergesort")
             .head(k).reset_index(drop=True))

@@ -909,11 +909,9 @@ def word_token_counts_arrow(t: pa.Table, *, text_col: str = "text",
     [sym][sym] wrapping relies on."""
     words = pc.replace_substring_regex(
         t.column(text_col), pattern="[^A-Za-z0-9_]+", replacement=" ")
-    flat, _ = _flat_tokens(pa.table({text_col: words}), text_col)
-    res = pa.TableGroupBy(pa.table({token_col: flat}),
-                          [token_col]).aggregate([([], "count_all")])
-    return pa.table({token_col: res.column(token_col),
-                     out_col: res.column("count_all")})
+    return token_counts_arrow(pa.table({text_col: words}),
+                              text_col=text_col, token_col=token_col,
+                              out_col=out_col)
 
 
 def bpe_encode_symbol_rows(b: pd.DataFrame, merges) -> pd.DataFrame:

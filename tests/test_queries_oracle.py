@@ -787,6 +787,59 @@ def test_pagerank_hand_computed(ray_session, tmp_path):
     assert by["B"] > by["D"]                  # A routes 2/3 vs 1/3
 
 
+def test_q10_empty_quarter(ray_session, tmp_path):
+    """No orders in the target quarter: the empty side flows through
+    hash_join (SQL semantics) and topk (typed empty rebuild) into the
+    guard's typed empty frame — this chain used to KeyError twice."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1], pa.int64()),
+        "l_returnflag": pa.array(["R"], pa.string()),
+        "l_extendedprice": pa.array([10.0], pa.float64()),
+        "l_discount": pa.array([0.05], pa.float64())}),
+        str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1], pa.int64()),
+        "o_custkey": pa.array([7], pa.int64()),
+        "o_orderdate": pa.array([dt.datetime(2001, 1, 1)],
+                                pa.timestamp("us"))}),
+        str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([7], pa.int64()),
+        "c_name": pa.array(["c7"], pa.string()),
+        "c_nationkey": pa.array([0], pa.int64()),
+        "c_acctbal": pa.array([1.0], pa.float64())}),
+        str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int64()),
+        "n_name": pa.array(["N"], pa.string())}),
+        str(tmp_path / "nation.parquet"))
+    got = QUERIES["q10_returned_items"](str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["c_custkey", "c_name", "revenue",
+                                 "n_name", "c_acctbal"]
+
+
+def test_pagerank_literal_start_type(ray_session, tmp_path):
+    """A corpus whose type vocabulary contains the LITERAL string
+    '(start)' (the LAG sentinel) must still match the oracle: the
+    node set comes from the transition DST side (which can never be
+    the sentinel), so '(start)' stays a node on both sides, and its
+    outgoing edges are dropped by the sentinel filter identically in
+    the engine and the oracle's COALESCE CTE."""
+    rows = [(0, 0, 1, "A", 1.0), (1, 1, 1, "(start)", 1.0),
+            (2, 2, 1, "B", 1.0), (3, 0, 2, "(start)", 1.0)]
+    _write_events_users(tmp_path, rows)
+    got = QUERIES["events_type_pagerank"](str(tmp_path))
+    want = _oracle_on(tmp_path, "events_type_pagerank")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    assert set(got["event_type"]) == {"A", "B", "(start)"}
+
+
 def test_pagerank_degenerate_corpora(ray_session, tmp_path):
     """Single-event corpus: one node, no edges -> rank == the damping
     base floor(0.15 * SCALE / 1) on both sides. Empty corpus: typed

@@ -112,6 +112,22 @@ def test_hash_join_empty_side(ray_session):
     assert hash_join(empty, lds, on="k", how="inner").count() == 0
 
 
+def test_topk_empty_input(ray_session):
+    """top-k of a fully-empty Dataset is a typed empty frame, not a
+    KeyError: to_pandas() of an empty Dataset loses its columns, so
+    topk rebuilds them from the Dataset schema before the final
+    sort."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import topk
+    empty = rd.from_pandas(
+        pd.DataFrame({"a": pd.array([], dtype="int64"),
+                      "b": pd.array([], dtype="int64")}))
+    out = topk(empty, ["a", "b"], [False, True], 5)
+    assert len(out) == 0 and list(out.columns) == ["a", "b"]
+    out = topk(empty, ["a"], [True], 5, columns=["a"])
+    assert len(out) == 0 and list(out.columns) == ["a"]
+
+
 def test_distinct_matches_pandas(frames):
     import ray.data as rd
     from pdf_parser_ray.relational import distinct
