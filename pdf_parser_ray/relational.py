@@ -230,8 +230,25 @@ def grouped_agg(ds, keys: List[str],
                 specs: Dict[str, Tuple[str, Optional[str]]],
                 batch_size=None) -> pd.DataFrame:
     """grouped_agg_ds collected to driver pandas — for low-cardinality
-    grouped results (the common reporting case)."""
-    return grouped_agg_ds(ds, keys, specs, batch_size).to_pandas()
+    grouped results (the common reporting case).
+
+    EMPTY-INPUT contract: a zero-row input yields a frame that still
+    carries every key and output column (a zero-block dataset loses
+    its schema through the shuffle, so the named empty frame is
+    rebuilt here — grouping nothing is an empty report, not a
+    downstream KeyError). Counts/sums type int64, means float64, keys
+    object — dtypes are moot at zero rows, the NAMES are the
+    contract."""
+    df = grouped_agg_ds(ds, keys, specs, batch_size).to_pandas()
+    if len(df.columns):
+        return df
+    cols: Dict[str, "pd.api.extensions.ExtensionArray"] = {}
+    for k in keys:
+        cols[k] = pd.array([], dtype="object")
+    for out, (agg, _col) in specs.items():
+        cols[out] = pd.array(
+            [], dtype="float64" if agg == "mean" else "int64")
+    return pd.DataFrame(cols)
 
 
 # ------------------------------------------------------------------- top-k
@@ -552,9 +569,14 @@ def distinct_ds(ds, columns: List[str], batch_size=None):
 
 
 def distinct(ds, columns: List[str], batch_size=None) -> pd.DataFrame:
-    """distinct_ds collected to driver pandas (small-result use only)."""
-    return (distinct_ds(ds, columns, batch_size)
-            .to_pandas().reset_index(drop=True))
+    """distinct_ds collected to driver pandas (small-result use only).
+    Empty input yields a named empty frame (see grouped_agg)."""
+    df = (distinct_ds(ds, columns, batch_size)
+          .to_pandas().reset_index(drop=True))
+    if not len(df.columns):
+        df = pd.DataFrame({c: pd.array([], dtype="object")
+                           for c in columns})
+    return df
 
 
 # ------------------------------------------------------ ordered global scan

@@ -112,6 +112,25 @@ def test_hash_join_empty_side(ray_session):
     assert hash_join(empty, lds, on="k", how="inner").count() == 0
 
 
+def test_grouped_agg_empty_input(ray_session):
+    """Aggregating a zero-row Dataset returns a frame that still
+    carries every key and output column (the zero-block shuffle
+    loses the schema; grouped_agg rebuilds the named empty frame)."""
+    import ray.data as rd
+    from pdf_parser_ray.relational import distinct, grouped_agg
+    empty = rd.from_pandas(
+        pd.DataFrame({"k": pd.array([], dtype="int64"),
+                      "v": pd.array([], dtype="float64")}))
+    out = grouped_agg(empty, ["k"], {"n": ("count", None),
+                                     "s": ("sum", "v"),
+                                     "m": ("mean", "v")})
+    assert len(out) == 0
+    assert list(out.columns) == ["k", "n", "s", "m"]
+    assert out["n"].dtype == "int64"      # downstream astype contract
+    d = distinct(empty, ["k", "v"])
+    assert len(d) == 0 and list(d.columns) == ["k", "v"]
+
+
 def test_topk_empty_input(ray_session):
     """top-k of a fully-empty Dataset is a typed empty frame, not a
     KeyError: to_pandas() of an empty Dataset loses its columns, so
