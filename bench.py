@@ -215,8 +215,9 @@ def run_queries() -> dict:
                 "events_type_pagerank", "events_type_cooccurrence",
                 "events_user_rfm", "q10_returned_items",
                 # round 5 (late): Flesch readability (integer
-                # milli-score, one Arrow regex pass)
-                "docs_readability"]
+                # milli-score, one Arrow regex pass); distinct-bigram
+                # diversity ratio per source
+                "docs_readability", "docs_distinct_ngram_ratio"]
     # transcript_wave_extract is deliberately NOT a bench row: it is a
     # commit-protocol demo (two full wave extractions + checkpointed
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose

@@ -3589,6 +3589,45 @@ def docs_c4_filters(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_distinct_ngram_ratio(sf_dir: str) -> pd.DataFrame:
+    """Per-source DISTINCT-BIGRAM ratio — the distinct-n diversity
+    metric (Li et al. 2016) used to compare corpus slices for
+    repetitiveness before mixing: distinct bigrams / total bigrams
+    per source, in integer milli-units. The heavy reduce is the
+    seam-masked Arrow bigram kernel keyed by source (per-batch
+    partials, ONE bucketed combine over (source, a, b) — the bigram
+    vocabulary never visits the driver); the per-source rollup then
+    counts combined rows (each distinct bigram is exactly one row
+    post-combine), so only |sources| rows reach the report."""
+    from .stages.text_analysis import bigram_counts_arrow
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+    per = grouped_agg_ds(
+        ds.map_batches(
+            lambda t: bigram_counts_arrow(t, id_col="source"),
+            batch_format="pyarrow"),
+        ["source", "a", "b"], {"c": ("sum", "c")})
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"].values,
+            "one": np.ones(len(b), dtype=np.int64),
+            "c": b["c"].to_numpy(np.int64)})
+
+    out = grouped_agg(per.map_batches(fold, batch_format="pandas"),
+                      ["source"],
+                      {"distinct_bigrams": ("sum", "one"),
+                       "total_bigrams": ("sum", "c")})
+    out = out.astype({"distinct_bigrams": "int64",
+                      "total_bigrams": "int64"})
+    out["ttr_milli"] = (out["distinct_bigrams"] * 1000
+                        // out["total_bigrams"]
+                        if len(out) else
+                        pd.array([], dtype="int64"))
+    return (out[["source", "distinct_bigrams", "total_bigrams",
+                 "ttr_milli"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def docs_readability(sf_dir: str) -> pd.DataFrame:
     """Flesch-style readability scoring — the classic reading-ease
     quality signal (Flesch 1948, as used in readability-based corpus
@@ -5529,6 +5568,7 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "events_user_rfm": events_user_rfm,
     "docs_readability": docs_readability,
+    "docs_distinct_ngram_ratio": docs_distinct_ngram_ratio,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -7465,6 +7505,24 @@ def _pagerank_oracle_sql() -> str:
 
 
 ORACLES["events_type_pagerank"] = _pagerank_oracle_sql()
+
+
+ORACLES["docs_distinct_ngram_ratio"] = r"""
+    WITH t AS (SELECT source, regexp_extract_all(text, '\S+') AS toks
+               FROM documents),
+    bi AS (SELECT source, toks[i] AS a, toks[i+1] AS b
+           FROM (SELECT source, toks,
+                        unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM t WHERE len(toks) > 1)),
+    d AS (SELECT source, a, b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM bi GROUP BY source, a, b)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+           CAST(SUM(c) AS BIGINT) AS total_bigrams,
+           (CAST(COUNT(*) AS BIGINT) * 1000)
+             // CAST(SUM(c) AS BIGINT) AS ttr_milli
+    FROM d GROUP BY source ORDER BY source
+"""
 
 
 ORACLES["docs_readability"] = """

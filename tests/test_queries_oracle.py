@@ -656,6 +656,34 @@ def test_bpe_encode_replace_semantics_adversarial(tmp_path):
         assert sql_syms == bpe_symbols(w, merges), (w, sql_syms)
 
 
+def test_distinct_ngram_ratio_hand_computed(ray_session, tmp_path):
+    """distinct-2 diversity pinned by hand: source s1 'a b a b' has
+    bigrams (a,b),(b,a),(a,b) -> 2 distinct / 3 total -> 666 milli;
+    s2's repeated 'x x x' doc gives 1 distinct / 2 total -> 500;
+    bigrams never cross doc seams (two one-token docs add nothing);
+    empty corpus returns the typed empty frame."""
+    _write_docs(tmp_path, [
+        (1, "a b a b", "s1"),
+        (2, "x x x", "s2"),
+        (3, "solo", "s2"),
+        (4, "lone", "s1"),
+    ])
+    got = QUERIES["docs_distinct_ngram_ratio"](str(tmp_path))
+    want = _oracle_on(tmp_path, "docs_distinct_ngram_ratio")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    by = got.set_index("source")
+    assert by.loc["s1", "distinct_bigrams"] == 2
+    assert by.loc["s1", "total_bigrams"] == 3
+    assert by.loc["s1", "ttr_milli"] == 666
+    assert by.loc["s2", "distinct_bigrams"] == 1
+    assert by.loc["s2", "total_bigrams"] == 2
+    assert by.loc["s2", "ttr_milli"] == 500
+    _write_docs(tmp_path, [])
+    got = QUERIES["docs_distinct_ngram_ratio"](str(tmp_path))
+    assert len(got) == 0 and "ttr_milli" in got.columns
+
+
 def test_readability_hand_computed(ray_session, tmp_path):
     """Flesch milli-score pinned by hand: 'The cat sat. It ran!' has
     5 words, 2 sentence runs, 5 vowel groups -> 206835 - 5075//2 -
