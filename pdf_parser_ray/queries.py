@@ -2214,6 +2214,57 @@ def events_median_by_type(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).reset_index(drop=True)
 
 
+def events_winsorized_stats(sf_dir: str) -> pd.DataFrame:
+    """WINSORIZED (p5/p95-clipped) per-type statistics — the robust
+    aggregation used to keep long-tail outliers from dominating spend
+    metrics: cut values by exact rank (0-based rank (n-1)*k//100, the
+    'lower' discrete quantile), every value clipped into [lo, hi],
+    then clipped sum and clip counts. ONE distributed pass builds the
+    same int-cents value histogram as the median/quantile family;
+    cuts, clipped sums and counts all derive from that histogram
+    driver-side (cardinality = distinct cent values per type, the
+    documented median bound) — no second pass over the corpus.
+    All-integer surface, DuckDB-mirrored rank arithmetic."""
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"].values,
+                             "v_c": _cents(b["value"])})
+
+    hist = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                       ["event_type", "v_c"], {"cnt": ("count", None)})
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("v_c")
+        counts = g["cnt"].to_numpy(np.int64)
+        values = g["v_c"].to_numpy(np.int64)
+        n = int(counts.sum())
+        cum = counts.cumsum()
+        # value at 0-based rank r: first histogram row whose
+        # cumulative count exceeds r
+        lo = int(values[np.searchsorted(cum, (n - 1) * 5 // 100,
+                                        side="right")])
+        hi = int(values[np.searchsorted(cum, (n - 1) * 95 // 100,
+                                        side="right")])
+        clipped = np.clip(values, lo, hi)
+        rows.append({
+            "event_type": etype,
+            "n_events": n,
+            "lo_c": lo, "hi_c": hi,
+            "wsum_c": int((clipped * counts).sum()),
+            "n_clip_lo": int(counts[values < lo].sum()),
+            "n_clip_hi": int(counts[values > hi].sum())})
+    cols = ["event_type", "n_events", "lo_c", "hi_c", "wsum_c",
+            "n_clip_lo", "n_clip_hi"]
+    if not rows:
+        out = {"event_type": pd.array([], dtype=str)}
+        out.update({c: pd.array([], dtype="int64")
+                    for c in cols[1:]})
+        return pd.DataFrame(out)
+    return pd.DataFrame(rows)[cols].astype(
+        {c: "int64" for c in cols[1:]})
+
+
 def events_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
     """Exact distributed quantiles (p25/p50/p75/p95) per event_type
     from the same int-cents histogram as the median — the interpolation
@@ -5569,6 +5620,7 @@ QUERIES = {
     "events_user_rfm": events_user_rfm,
     "docs_readability": docs_readability,
     "docs_distinct_ngram_ratio": docs_distinct_ngram_ratio,
+    "events_winsorized_stats": events_winsorized_stats,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -7505,6 +7557,37 @@ def _pagerank_oracle_sql() -> str:
 
 
 ORACLES["events_type_pagerank"] = _pagerank_oracle_sql()
+
+
+ORACLES["events_winsorized_stats"] = """
+    WITH v AS (SELECT event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS vc
+               FROM events),
+    r AS (SELECT event_type, vc,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY vc) - 1 AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM v),
+    cuts AS (SELECT event_type,
+                    MAX(CASE WHEN rn = ((n - 1) * 5) // 100
+                             THEN vc END) AS lo,
+                    MAX(CASE WHEN rn = ((n - 1) * 95) // 100
+                             THEN vc END) AS hi
+             FROM r GROUP BY event_type)
+    SELECT v.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           c.lo AS lo_c, c.hi AS hi_c,
+           CAST(SUM(CASE WHEN vc < c.lo THEN c.lo
+                         WHEN vc > c.hi THEN c.hi
+                         ELSE vc END) AS BIGINT) AS wsum_c,
+           CAST(SUM(CASE WHEN vc < c.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN vc > c.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_hi
+    FROM v JOIN cuts c USING (event_type)
+    GROUP BY v.event_type, c.lo, c.hi
+    ORDER BY v.event_type
+"""
 
 
 ORACLES["docs_distinct_ngram_ratio"] = r"""

@@ -656,6 +656,29 @@ def test_bpe_encode_replace_semantics_adversarial(tmp_path):
         assert sql_syms == bpe_symbols(w, merges), (w, sql_syms)
 
 
+def test_winsorized_stats_hand_computed(ray_session, tmp_path):
+    """p5/p95 winsorization pinned by hand on values 1..20 dollars:
+    lower-quantile ranks (19*5)//100 = 0 and (19*95)//100 = 18 give
+    cuts [1.00, 19.00]; only the 20.00 row clips (to 19.00), so the
+    winsorized sum is (1+..+19+19) = 209.00 in cents. Engine vs the
+    window-SQL oracle hash-exact; empty corpus yields the typed
+    frame."""
+    rows = [(i, i % 24, "t", float(i + 1)) for i in range(20)]
+    _write_events(tmp_path, rows)
+    got = QUERIES["events_winsorized_stats"](str(tmp_path))
+    want = _oracle_on(tmp_path, "events_winsorized_stats")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    r = got.iloc[0]
+    assert r["n_events"] == 20
+    assert r["lo_c"] == 100 and r["hi_c"] == 1900
+    assert r["wsum_c"] == 20900
+    assert r["n_clip_lo"] == 0 and r["n_clip_hi"] == 1
+    _write_events(tmp_path, [])
+    got = QUERIES["events_winsorized_stats"](str(tmp_path))
+    assert len(got) == 0 and "wsum_c" in got.columns
+
+
 def test_distinct_ngram_ratio_hand_computed(ray_session, tmp_path):
     """distinct-2 diversity pinned by hand: source s1 'a b a b' has
     bigrams (a,b),(b,a),(a,b) -> 2 distinct / 3 total -> 666 milli;
