@@ -2183,6 +2183,23 @@ def events_props_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _type_cents_hist(sf_dir: str) -> pd.DataFrame:
+    """The shared (event_type, v_c) -> cnt int-cents value histogram
+    behind the order-statistics family (median, quantiles, MAD,
+    winsorized stats): ONE partial-agg groupby whose cardinality is
+    bounded by distinct cent values per type, not corpus rows — a
+    change to cent rounding or histogram semantics lands in all four
+    consumers at once."""
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"].values,
+                             "v_c": _cents(b["value"])})
+
+    return grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                       ["event_type", "v_c"], {"cnt": ("count", None)})
+
+
 def events_median_by_type(sf_dir: str) -> pd.DataFrame:
     """Exact distributed median per event_type WITHOUT a global sort:
     the 2-decimal values collapse to an int-cents histogram
@@ -2190,14 +2207,7 @@ def events_median_by_type(sf_dir: str) -> pd.DataFrame:
     not rows) via partial-agg groupby; the order statistics come from
     the tiny cumulative histogram. Integer arithmetic end-to-end, so
     the result is bit-equal to the SQL window-function oracle."""
-    ds = read_table(sf_dir, "events", ["event_type", "value"])
-
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"event_type": b["event_type"].values,
-                             "v_c": _cents(b["value"])})
-
-    hist = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
-                       ["event_type", "v_c"], {"cnt": ("count", None)})
+    hist = _type_cents_hist(sf_dir)
     rows = []
     for etype, g in hist.groupby("event_type", sort=True):
         g = g.sort_values("v_c")
@@ -2225,14 +2235,7 @@ def events_winsorized_stats(sf_dir: str) -> pd.DataFrame:
     driver-side (cardinality = distinct cent values per type, the
     documented median bound) — no second pass over the corpus.
     All-integer surface, DuckDB-mirrored rank arithmetic."""
-    ds = read_table(sf_dir, "events", ["event_type", "value"])
-
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"event_type": b["event_type"].values,
-                             "v_c": _cents(b["value"])})
-
-    hist = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
-                       ["event_type", "v_c"], {"cnt": ("count", None)})
+    hist = _type_cents_hist(sf_dir)
     rows = []
     for etype, g in hist.groupby("event_type", sort=True):
         g = g.sort_values("v_c")
@@ -2271,14 +2274,7 @@ def events_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
     fraction for q=k/100 is the exact rational ((n-1)*k % 100)/100, so
     the whole computation stays in int64 until two final /100.0 double
     divisions mirrored verbatim in the SQL oracle."""
-    ds = read_table(sf_dir, "events", ["event_type", "value"])
-
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"event_type": b["event_type"].values,
-                             "v_c": _cents(b["value"])})
-
-    hist = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
-                       ["event_type", "v_c"], {"cnt": ("count", None)})
+    hist = _type_cents_hist(sf_dir)
     rows = []
     for etype, g in hist.groupby("event_type", sort=True):
         g = g.sort_values("v_c")
@@ -2309,14 +2305,7 @@ def events_value_mad_by_type(sf_dir: str) -> pd.DataFrame:
     median integral) of the tiny (type, value) -> count table.
     Integer arithmetic until two final exact float divisions, mirrored
     verbatim in the SQL oracle."""
-    ds = read_table(sf_dir, "events", ["event_type", "value"])
-
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"event_type": b["event_type"].values,
-                             "v_c": _cents(b["value"])})
-
-    hist = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
-                       ["event_type", "v_c"], {"cnt": ("count", None)})
+    hist = _type_cents_hist(sf_dir)
 
     def _hist_median_x2(values: np.ndarray, counts: np.ndarray) -> int:
         """2x the continuous median of a sorted int histogram (exact
@@ -3657,16 +3646,10 @@ def docs_distinct_ngram_ratio(sf_dir: str) -> pd.DataFrame:
             lambda t: bigram_counts_arrow(t, id_col="source"),
             batch_format="pyarrow"),
         ["source", "a", "b"], {"c": ("sum", "c")})
-
-    def fold(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "source": b["source"].values,
-            "one": np.ones(len(b), dtype=np.int64),
-            "c": b["c"].to_numpy(np.int64)})
-
-    out = grouped_agg(per.map_batches(fold, batch_format="pandas"),
-                      ["source"],
-                      {"distinct_bigrams": ("sum", "one"),
+    # count(None) counts combined rows == distinct bigrams directly —
+    # no intermediate ones-column pass over the bigram vocabulary
+    out = grouped_agg(per, ["source"],
+                      {"distinct_bigrams": ("count", None),
                        "total_bigrams": ("sum", "c")})
     out = out.astype({"distinct_bigrams": "int64",
                       "total_bigrams": "int64"})
