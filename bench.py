@@ -218,8 +218,9 @@ def run_queries() -> dict:
                 # milli-score, one Arrow regex pass); distinct-bigram
                 # diversity ratio per source
                 "docs_readability", "docs_distinct_ngram_ratio",
-                # round 5 (late): p5/p95 winsorized robust stats
-                "events_winsorized_stats"]
+                # round 5 (late): p5/p95 winsorized robust stats;
+                # repurchase-interval histogram
+                "events_winsorized_stats", "orders_interorder_gap"]
     # transcript_wave_extract is deliberately NOT a bench row: it is a
     # commit-protocol demo (two full wave extractions + checkpointed
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose

@@ -278,6 +278,43 @@ def q14_promo_share(sf_dir: str) -> pd.DataFrame:
     ).astype("int64")
 
 
+def orders_interorder_gap(sf_dir: str) -> pd.DataFrame:
+    """Inter-order gap histogram — the repurchase-interval statistic
+    behind retention/CLV models: per customer, the day gaps between
+    consecutive orders (LAG in (o_orderdate, o_orderkey) order — tie
+    pairs gap 0 under any tie-break, and both sides order
+    identically), bucketed by week. One bucketed per-customer shuffle
+    computes every lag vectorized with per-bucket count partials;
+    only the (week_bucket, n) histogram — bounded by the date range,
+    never customers — reaches the combine. Integer seconds -> integer
+    day -> integer week arithmetic, DuckDB-mirrored."""
+    from .relational import bucketed_map_groups
+    ds = read_table(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
+        s = (df["o_orderdate"].astype("datetime64[ns]")
+             .astype("int64") // 1_000_000_000)
+        prev = (df.assign(__s=s.values)
+                .groupby("o_custkey", sort=False, observed=True)
+                ["__s"].shift(1))
+        m = prev.notna()
+        gap_days = ((s[m].to_numpy(np.int64)
+                     - prev[m].to_numpy(np.int64)) // 86400)
+        return (pd.DataFrame({"gap_week_bucket": gap_days // 7})
+                .groupby("gap_week_bucket", sort=False)
+                .size().reset_index(name="n"))
+
+    part = bucketed_map_groups(ds, ["o_custkey"], gaps)
+    out = grouped_agg(part, ["gap_week_bucket"],
+                      {"n_gaps": ("sum", "n")})
+    return (out.astype({"gap_week_bucket": "int64",
+                        "n_gaps": "int64"})
+            .sort_values("gap_week_bucket").reset_index(drop=True))
+
+
 def q10_returned_items(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q10 shape — the returned-item revenue report: which
     customers returned the most in a quarter. The heavy side
@@ -5604,6 +5641,7 @@ QUERIES = {
     "docs_readability": docs_readability,
     "docs_distinct_ngram_ratio": docs_distinct_ngram_ratio,
     "events_winsorized_stats": events_winsorized_stats,
+    "orders_interorder_gap": orders_interorder_gap,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -7540,6 +7578,20 @@ def _pagerank_oracle_sql() -> str:
 
 
 ORACLES["events_type_pagerank"] = _pagerank_oracle_sql()
+
+
+ORACLES["orders_interorder_gap"] = """
+    WITH g AS (
+      SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) AS s,
+             LAG(CAST(floor(epoch(o_orderdate)) AS BIGINT)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS ps
+      FROM orders)
+    SELECT ((s - ps) // 86400) // 7 AS gap_week_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM g WHERE ps IS NOT NULL
+    GROUP BY gap_week_bucket ORDER BY gap_week_bucket
+"""
 
 
 ORACLES["events_winsorized_stats"] = """

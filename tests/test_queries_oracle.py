@@ -373,9 +373,10 @@ def _write_events(path, rows):
 
 def _oracle_on(tmp, name):
     c = duckdb.connect()
-    for t, f in (("documents", "documents.parquet"),
-                 ("events", "events.parquet")):
-        p = tmp / f
+    for t in ("documents", "events", "orders", "lineitem",
+              "customer", "nation", "supplier", "part", "region",
+              "embeddings"):
+        p = tmp / f"{t}.parquet"
         if p.exists():
             c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return c.sql(ORACLES[name]).df()
@@ -654,6 +655,39 @@ def test_bpe_encode_replace_semantics_adversarial(tmp_path):
         s = con.execute(f"SELECT {expr}", [w]).fetchone()[0]
         sql_syms = _re.findall(r"\[([^\]]*)\]", s)
         assert sql_syms == bpe_symbols(w, merges), (w, sql_syms)
+
+
+def test_interorder_gap_hand_computed(ray_session, tmp_path):
+    """Repurchase-interval histogram pinned by hand: customer 1
+    orders on days 0, 7, 7, 21 -> gaps 7/0/14 days -> week buckets
+    1, 0, 2 (the same-day tie pairs a 0 gap under any tie-break);
+    customer 2's single order contributes no gap; empty table yields
+    the typed frame."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(rows):
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderdate": pa.array(
+                [dt.datetime(1995, 1, 1) + dt.timedelta(days=r[2])
+                 for r in rows], pa.timestamp("us"))}),
+            str(tmp_path / "orders.parquet"))
+
+    write([(1, 1, 0), (2, 1, 7), (3, 1, 7), (4, 1, 21), (5, 2, 3)])
+    got = QUERIES["orders_interorder_gap"](str(tmp_path))
+    want = _oracle_on(tmp_path, "orders_interorder_gap")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    by = got.set_index("gap_week_bucket")["n_gaps"]
+    assert dict(by) == {0: 1, 1: 1, 2: 1}
+    write([])
+    got = QUERIES["orders_interorder_gap"](str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["gap_week_bucket", "n_gaps"]
 
 
 def test_winsorized_stats_hand_computed(ray_session, tmp_path):
