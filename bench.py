@@ -220,7 +220,9 @@ def run_queries() -> dict:
                 "docs_readability", "docs_distinct_ngram_ratio",
                 # round 5 (late): p5/p95 winsorized robust stats;
                 # repurchase-interval histogram
-                "events_winsorized_stats", "orders_interorder_gap"]
+                "events_winsorized_stats", "orders_interorder_gap",
+                # round 5 (late): per-source char-class composition
+                "docs_charclass_profile"]
     # transcript_wave_extract is deliberately NOT a bench row: it is a
     # commit-protocol demo (two full wave extractions + checkpointed
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose

@@ -3666,6 +3666,47 @@ def docs_c4_filters(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_charclass_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-source character-class profile — the composition histogram
+    a multilingual-mix audit starts from (ASCII letters, digits,
+    ASCII whitespace, everything else): one vectorized Arrow RE2 pass
+    per class over each batch, per-source integer sums, and 'other'
+    derived by subtraction so the four classes always sum to n_chars.
+    Classes are ASCII-EXPLICIT ranges so the oracle's RE2 and the
+    engine's RE2 share one definition (the Gopher-module
+    convention)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+
+    def classes(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+
+        def cnt(pat):
+            return pc.cast(pc.count_substring_regex(txt, pat),
+                           pa.int64())
+
+        n = pc.cast(pc.utf8_length(txt), pa.int64())
+        return pa.table({"source": t.column("source"),
+                         "n_chars": n,
+                         "ascii_alpha": cnt("[A-Za-z]"),
+                         "digits": cnt("[0-9]"),
+                         "spaces": cnt("[ \t\n\f\r]")})
+
+    out = grouped_agg(ds.map_batches(classes, batch_format="pyarrow"),
+                      ["source"],
+                      {"n_chars": ("sum", "n_chars"),
+                       "ascii_alpha": ("sum", "ascii_alpha"),
+                       "digits": ("sum", "digits"),
+                       "spaces": ("sum", "spaces")})
+    cols = ["n_chars", "ascii_alpha", "digits", "spaces"]
+    out = out.astype({c: "int64" for c in cols})
+    out["other"] = (out["n_chars"] - out["ascii_alpha"]
+                    - out["digits"] - out["spaces"])
+    return (out[["source", *cols, "other"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def docs_distinct_ngram_ratio(sf_dir: str) -> pd.DataFrame:
     """Per-source DISTINCT-BIGRAM ratio — the distinct-n diversity
     metric (Li et al. 2016) used to compare corpus slices for
@@ -5642,6 +5683,7 @@ QUERIES = {
     "docs_distinct_ngram_ratio": docs_distinct_ngram_ratio,
     "events_winsorized_stats": events_winsorized_stats,
     "orders_interorder_gap": orders_interorder_gap,
+    "docs_charclass_profile": docs_charclass_profile,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -7578,6 +7620,28 @@ def _pagerank_oracle_sql() -> str:
 
 
 ORACLES["events_type_pagerank"] = _pagerank_oracle_sql()
+
+
+ORACLES["docs_charclass_profile"] = """
+    WITH sig AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                  AS BIGINT) AS ascii_alpha,
+             CAST(len(regexp_extract_all(text, '[0-9]'))
+                  AS BIGINT) AS digits,
+             CAST(len(regexp_extract_all(text, '[ \t\n\f\r]'))
+                  AS BIGINT) AS spaces
+      FROM documents)
+    SELECT source,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(ascii_alpha) AS BIGINT) AS ascii_alpha,
+           CAST(SUM(digits) AS BIGINT) AS digits,
+           CAST(SUM(spaces) AS BIGINT) AS spaces,
+           CAST(SUM(n_chars - ascii_alpha - digits - spaces)
+                AS BIGINT) AS other
+    FROM sig GROUP BY source ORDER BY source
+"""
 
 
 ORACLES["orders_interorder_gap"] = """

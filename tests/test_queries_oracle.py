@@ -657,6 +657,31 @@ def test_bpe_encode_replace_semantics_adversarial(tmp_path):
         assert sql_syms == bpe_symbols(w, merges), (w, sql_syms)
 
 
+def test_charclass_profile_hand_computed(ray_session, tmp_path):
+    """Per-source char classes pinned by hand, with a multi-byte
+    check: 'ab1 é!' is 6 CODEPOINTS (2 alpha, 1 digit, 1 space,
+    2 other — é and ! — on both engines: utf8_length and DuckDB
+    length both count codepoints, and é is outside the ASCII
+    classes); NBSP counts as 'other', not space (ASCII-explicit
+    class)."""
+    _write_docs(tmp_path, [
+        (1, "ab1 é!", "s1"),
+        (2, "x y", "s1"),
+        (3, "", "s2"),
+    ])
+    got = QUERIES["docs_charclass_profile"](str(tmp_path))
+    want = _oracle_on(tmp_path, "docs_charclass_profile")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    by = got.set_index("source")
+    assert by.loc["s1", "n_chars"] == 9        # 6 + 3
+    assert by.loc["s1", "ascii_alpha"] == 4    # a b x y
+    assert by.loc["s1", "digits"] == 1
+    assert by.loc["s1", "spaces"] == 1         # NBSP excluded
+    assert by.loc["s1", "other"] == 3          # é ! NBSP
+    assert by.loc["s2", "n_chars"] == 0
+
+
 def test_interorder_gap_hand_computed(ray_session, tmp_path):
     """Repurchase-interval histogram pinned by hand: customer 1
     orders on days 0, 7, 7, 21 -> gaps 7/0/14 days -> week buckets
