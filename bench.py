@@ -221,8 +221,9 @@ def run_queries() -> dict:
                 # round 5 (late): p5/p95 winsorized robust stats;
                 # repurchase-interval histogram
                 "events_winsorized_stats", "orders_interorder_gap",
-                # round 5 (late): per-source char-class composition
-                "docs_charclass_profile"]
+                # round 5 (late): per-source char-class composition;
+                # hapax-legomena vocabulary richness
+                "docs_charclass_profile", "docs_hapax_ratio"]
     # transcript_wave_extract is deliberately NOT a bench row: it is a
     # commit-protocol demo (two full wave extractions + checkpointed
     # writes + a driver-built fixture corpus, 12.8 s at sf0.1) whose

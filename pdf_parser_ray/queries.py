@@ -3666,6 +3666,45 @@ def docs_c4_filters(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def docs_hapax_ratio(sf_dir: str) -> pd.DataFrame:
+    """Per-source HAPAX LEGOMENA ratio — vocabulary richness (the
+    type-level complement of docs_distinct_ngram_ratio's
+    occurrence-level metric): tokens appearing exactly once in a
+    source, as a milli-fraction of that source's distinct types.
+    Token counts reduce per (source, token) in ONE bucketed combine
+    (the vocabulary never visits the driver); the per-source rollup
+    folds each combined row into (types, hapax, occurrences) int
+    partials, so only |sources| rows reach the report."""
+    from .stages.text_analysis import tf_rows_arrow
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+    per = grouped_agg_ds(
+        ds.map_batches(
+            lambda t: tf_rows_arrow(t, id_col="source"),
+            batch_format="pyarrow"),
+        ["source", "token"], {"c": ("sum", "tf")})
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": b["source"].values,
+            "types": np.ones(len(b), dtype=np.int64),
+            "hapax": (c == 1).astype(np.int64),
+            "occurrences": c})
+
+    out = grouped_agg(per.map_batches(fold, batch_format="pandas"),
+                      ["source"], {"n_types": ("sum", "types"),
+                                   "n_hapax": ("sum", "hapax"),
+                                   "n_tokens": ("sum", "occurrences")})
+    out = out.astype({c: "int64" for c in
+                      ("n_types", "n_hapax", "n_tokens")})
+    out["hapax_milli"] = (out["n_hapax"] * 1000 // out["n_types"]
+                          if len(out) else
+                          pd.array([], dtype="int64"))
+    return (out[["source", "n_tokens", "n_types", "n_hapax",
+                 "hapax_milli"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def docs_charclass_profile(sf_dir: str) -> pd.DataFrame:
     """Per-source character-class profile — the composition histogram
     a multilingual-mix audit starts from (ASCII letters, digits,
@@ -5684,6 +5723,7 @@ QUERIES = {
     "events_winsorized_stats": events_winsorized_stats,
     "orders_interorder_gap": orders_interorder_gap,
     "docs_charclass_profile": docs_charclass_profile,
+    "docs_hapax_ratio": docs_hapax_ratio,
 }
 
 _BPE_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
@@ -7620,6 +7660,23 @@ def _pagerank_oracle_sql() -> str:
 
 
 ORACLES["events_type_pagerank"] = _pagerank_oracle_sql()
+
+
+ORACLES["docs_hapax_ratio"] = r"""
+    WITH toks AS (
+      SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
+      FROM documents),
+    v AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks GROUP BY source, token)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           (CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000) // CAST(COUNT(*) AS BIGINT) AS hapax_milli
+    FROM v GROUP BY source ORDER BY source
+"""
 
 
 ORACLES["docs_charclass_profile"] = """

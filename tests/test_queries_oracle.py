@@ -657,6 +657,29 @@ def test_bpe_encode_replace_semantics_adversarial(tmp_path):
         assert sql_syms == bpe_symbols(w, merges), (w, sql_syms)
 
 
+def test_hapax_ratio_hand_computed(ray_session, tmp_path):
+    """Vocabulary richness pinned by hand: source s1 corpus
+    'a b a' + 'b c' has types {a:2, b:2, c:1} -> 5 tokens, 3 types,
+    1 hapax -> 333 milli; a source whose only doc is whitespace
+    contributes no row (no tokens, no types) on either side."""
+    _write_docs(tmp_path, [
+        (1, "a b a", "s1"),
+        (2, "b c", "s1"),
+        (3, "   ", "s2"),
+    ])
+    got = QUERIES["docs_hapax_ratio"](str(tmp_path))
+    want = _oracle_on(tmp_path, "docs_hapax_ratio")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+    assert list(got["source"]) == ["s1"]
+    r = got.iloc[0]
+    assert r["n_tokens"] == 5 and r["n_types"] == 3
+    assert r["n_hapax"] == 1 and r["hapax_milli"] == 333
+    _write_docs(tmp_path, [])
+    got = QUERIES["docs_hapax_ratio"](str(tmp_path))
+    assert len(got) == 0 and "hapax_milli" in got.columns
+
+
 def test_charclass_profile_hand_computed(ray_session, tmp_path):
     """Per-source char classes pinned by hand, with a multi-byte
     check: 'ab1 é!' is 6 CODEPOINTS (2 alpha, 1 digit, 1 space,
